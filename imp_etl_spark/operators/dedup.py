@@ -1,0 +1,176 @@
+"""Deduplication operators.
+
+``latest_per_key`` reproduces the reference's implicit last-writer-wins
+semantics: its multi-row ``INSERT ... ON DUPLICATE KEY UPDATE`` applies
+VALUES rows in array order, so the last occurrence of a PK in a batch wins
+(``services/etlService.js:47-52`` — SURVEY.md §2.7). MERGE-style sinks
+require unique source keys, so this window dedup runs before every upsert.
+
+The rest of the family is the LLM-data-pipeline surface (SURVEY.md §7.8):
+exact content dedup, MinHash-LSH / SimHash / n-gram-Jaccard near-dup, and
+embedding-cosine near-dup (in ``operators.similarity``).
+
+Scale notes: every variant is a single shuffle on the dedup key (or LSH
+band key). MinHash bands turn the O(n²) pair space into per-bucket
+candidate pairs; the band-key shuffle is the only wide exchange and its
+fan-out is bounded by bucket size. Skewed buckets (e.g. boilerplate docs)
+are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions.hashing import minhash_hex, shingles
+from imp_etl_spark.functions.text import tokens
+
+
+def latest_per_key(df: DataFrame, key: Sequence[str],
+                   order_by: Sequence[Column | str],
+                   desc: bool = True) -> DataFrame:
+    """Keep one row per key: the latest by ``order_by`` (last-writer-wins).
+
+    Single hash-partition shuffle on ``key``; at scale prefer an
+    ``order_by`` column that correlates with file order (e.g. a
+    monotone log_id) so AQE's local top-1 (partial window pushdown via
+    rank limit) keeps state small.
+    """
+    ordering = [
+        (F.col(c) if isinstance(c, str) else c).desc() if desc
+        else (F.col(c) if isinstance(c, str) else c).asc()
+        for c in order_by
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, on: Sequence[str],
+                keep_by: str | None = None) -> DataFrame:
+    """Exact deduplication on a column set.
+
+    With ``keep_by`` the survivor is deterministic (min of that column —
+    stable under re-runs, unlike ``dropDuplicates`` which keeps an
+    arbitrary row). One shuffle on ``on``; map-side partial aggregation
+    applies because it compiles to a groupBy.
+    """
+    if keep_by is None:
+        return df.dropDuplicates(list(on))
+    w = Window.partitionBy(*[F.col(c) for c in on]).orderBy(F.col(keep_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_content_dedup(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup via content hash.
+
+    Hash-groupBy on ``xxhash64(text)`` rather than the full text so the
+    shuffle moves 8-byte keys, not document bodies — the difference
+    between shuffling 100 TB and shuffling 0.8% of it.
+    """
+    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_k: int = 5,
+                           num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """MinHash-LSH near-duplicate *candidate pairs* (id_a < id_b).
+
+    shingle(k tokens) -> per-permutation min of a keyed md5 -> band into
+    ``bands`` groups of ``num_hashes/bands`` rows -> self-join per band
+    bucket -> distinct pairs. md5-hex min (lexicographic) is used as the
+    permutation hash: portable across engines (same answer in the DuckDB
+    oracle) and uniform enough for banding.
+
+    Scale: signatures are ``num_hashes`` fixed-width strings per doc; the
+    self-join shuffles on (band_id, band_signature) so only same-bucket
+    docs meet. Candidate verification (exact Jaccard) is the caller's
+    choice — see ``ngram_jaccard_pairs`` with a candidate frame.
+    """
+    rows = num_hashes // bands
+    toks = tokens(F.col(text_col))
+    sh = shingles(toks, shingle_k)
+    sig = minhash_hex(sh, num_hashes)  # array<string>, length num_hashes
+    sigs = df.select(F.col(id_col), sig.alias("sig"))
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.concat_ws("|", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)])
+            .alias(f"band_{b}")
+        )
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = stacked.alias("a")
+    b_ = stacked.alias("b")
+    pairs = (
+        a.join(b_, on=["band", "sig"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact token-n-gram Jaccard similarity pairs above ``threshold``.
+
+    Without ``candidates`` this computes Jaccard via an inverted index
+    (explode n-grams -> co-occurrence counts -> |A∩B| / (|A|+|B|-|A∩B|)),
+    which shuffles (ngram, id) postings — the classic set-similarity-join
+    shape. Pair it with ``minhash_lsh_candidates`` output at scale so only
+    candidate pairs are scored.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("ga.id") < F.col("gb.id"))
+        .groupBy(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    scored = (
+        inter
+        .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return scored

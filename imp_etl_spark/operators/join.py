@@ -1,0 +1,73 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's only join is an index-nested-loop executed as N point
+lookups, 4 records at a time (``services/etlService.js:446-449`` driving
+``:17-23`` and ``:158-164``). Set-based equivalents:
+
+- J1  lookup_join      — equi inner join, broadcast when one side is small
+- J1' semi_prune       — prune a big fact table to a key set (left semi)
+- J2  exists_keys      — composite-key existence (left semi / left anti),
+                         the intended semantics of the dead
+                         ``validateVoucherUniqueness`` (etlService.js:25-34)
+- J3  missing_matches  — work-queue references with no entity rows
+                         (left anti), reproducing the skip/warning path
+                         (etlService.js:452-471)
+
+Scale notes: the deduplicated reference-key set is tiny relative to the
+entity tables, so every prune broadcasts (no shuffle of the fact side).
+A genuinely large probe side falls back to a shuffled hash join keyed on
+the same column the sinks partition by, so the exchange is reused across
+the voucher and transaction branches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def semi_prune(fact: DataFrame, keys: DataFrame, on: Sequence[str] | str,
+               broadcast_keys: bool = True) -> DataFrame:
+    """Keep fact rows whose key appears in ``keys`` (left semi).
+
+    ``keys`` is deduplicated first: semi joins don't multiply rows, but a
+    deduped broadcast table is smaller and the build side cheaper.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    k = keys.select(*on).dropDuplicates(on)
+    if broadcast_keys:
+        k = F.broadcast(k)
+    return fact.join(k, on=on, how="left_semi")
+
+
+def anti_missing(keys: DataFrame, fact: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    """J3 — keys with no matching fact rows (left anti): the reference's
+    'No voucher data found' warning set (etlService.js:452-471)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return keys.join(fact.select(*on).dropDuplicates(on), on=on, how="left_anti")
+
+
+def exists_keys(batch: DataFrame, target: DataFrame, on: Sequence[str],
+                anti: bool = False) -> DataFrame:
+    """J2 — composite-key existence filter against the target table.
+
+    ``anti=False`` -> rows whose key already exists (would UPDATE);
+    ``anti=True`` -> new keys (would INSERT).
+    """
+    how = "left_anti" if anti else "left_semi"
+    return batch.join(target.select(*on).dropDuplicates(list(on)), on=list(on), how=how)
+
+
+def lookup_join(queue: DataFrame, entity: DataFrame, on: Sequence[str] | str,
+                how: str = "inner", broadcast_queue: bool = True) -> DataFrame:
+    """J1 — the work-queue -> entity lookup as one equi join.
+
+    The queue side (deduped keys) broadcasts; Catalyst turns the N point
+    lookups into a single broadcast hash join with the entity scan's
+    pushed filters intact.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    q = F.broadcast(queue) if broadcast_queue else queue
+    return entity.join(q, on=on, how=how)

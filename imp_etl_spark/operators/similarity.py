@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §7.8).
+
+Two tiers:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, score with ``functions.vector.cosine`` (pure
+  built-ins, whole-stage codegen), rank per query. Cost O(|Q|·N·d) with
+  no shuffle of the corpus — the correctness baseline and perfectly
+  adequate whenever |Q| is bounded.
+
+- ``srp_bucket_topk`` — the scale path: signed-random-projection LSH.
+  Each vector gets a ``planes``-bit bucket signature from deterministic
+  pseudo-random hyperplanes (component for (plane p, dim i) derived from
+  xxhash64 — no stored model, reproducible across runs). Candidates =
+  corpus vectors sharing a bucket with the query (multi-probe over exact
+  bucket); exact cosine re-ranks candidates. The corpus is scored only
+  where buckets collide, turning O(|Q|·N) into O(|Q|·N/2^planes) expected
+  — the shuffle is on the 32-bit bucket id, not the vectors.
+
+Embedding-cosine near-duplicate detection reuses the same machinery:
+``embedding_near_dup_pairs`` self-joins on the SRP bucket and keeps pairs
+with cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions.vector import cosine
+
+
+def _srp_bucket(vec: Column, planes: int, dim: int) -> Column:
+    """Signed-random-projection bucket id (`planes` bits).
+
+    Plane p's i-th component is +1/-1 from the parity of
+    xxhash64(p, i) — deterministic, no RNG state, identical on every
+    executor. dot(plane, vec) >= 0 sets bit p.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i, p=p: F.when(
+                        F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k per query.
+
+    Returns (query_id, vec_id, cos, rnk<=k), rank ties broken by vec_id
+    (deterministic). Self-matches (same id) are excluded by the caller's
+    query frame if desired.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
+def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                    planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket, re-ranked by
+    exact cosine. Recall grows as ``planes`` shrinks (coarser buckets)."""
+    cb = corpus.withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__bkt", _srp_bucket(F.col("__qvec"), planes, dim))
+    cand = cb.join(F.broadcast(qb), on="__bkt")
+    scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
+                             planes: int = 8, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Bucketed self-join (SRP) then exact cosine — near-identical vectors
+    land in the same bucket with high probability; at 100 TB add
+    multi-probe (flip one bit) to raise recall without widening the join.
+    """
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, on="__bkt")
+        .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+        .withColumn("cos", cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"), "cos")
+    )

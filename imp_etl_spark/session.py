@@ -1,0 +1,45 @@
+"""SparkSession construction with scale-conscious defaults.
+
+The reference hand-tunes physical execution (pool sizes, concurrency=4,
+batch pagination — see SURVEY.md §4). On Spark all of that is the
+scheduler's job; what we tune instead is the small set of knobs that
+matter at 100 TB: AQE (runtime re-planning, skew-join splitting,
+partition coalescing), shuffle partition count, broadcast threshold, and
+Arrow for the few Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32]/128GiB test harness; on a real
+# cluster these are overridden by spark-submit conf. shuffle.partitions
+# is intentionally modest locally — AQE coalesces further — while at
+# cluster scale you'd set it ~2-3x total cores (or rely on AQE's
+# initialPartitionNum).
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "imp_etl_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in {**_DEFAULT_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
