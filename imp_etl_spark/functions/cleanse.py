@@ -73,7 +73,7 @@ def parse_float(col: Column | str, compat: bool = True) -> Column:
     """
     c = _c(col).cast("string")
     if not compat:
-        return c.cast("double")  # ANSI-off cast == try_cast semantics
+        return c.try_cast("double")
     stripped = F.regexp_replace(c, r"^\s+", "")
     prefix = F.regexp_extract(stripped, _PARSEFLOAT_RE, 0)
     parsed = F.when(prefix != "", prefix.cast("double"))
@@ -123,7 +123,7 @@ def truthy_int(col: Column | str, compat: bool = True) -> Column:
     """
     c = _c(col)
     s = c.cast("string")
-    falsy = c.isNull() | (s == "") | (c.cast("double") == 0.0)
+    falsy = c.isNull() | (s == "") | (c.try_cast("double") == 0.0)
     if compat:
         # For string inputs JS only sees '' as falsy; cast("double")=="0"
         # must not fire for the *string* "0". Recreate exact JS semantics:

@@ -1,0 +1,138 @@
+"""The reference's full ETL dataflow as one declarative DataFrame plan.
+
+Reference lifecycle (SURVEY.md §3, ``services/etlService.js:416-520``):
+work-queue scan -> per-record point lookups (voucher + transaction) ->
+row-at-a-time cleanse -> falsy-key validity filter -> transactional bulk
+upsert, with {processed, skipped, warnings} accounting.
+
+Spark shape: instead of N point lookups at 4-way concurrency, each branch
+is *one* broadcast-semi-joined scan; cleanse is Column expressions inside
+whole-stage codegen; validity filtering splits into a kept frame and a
+skipped side-output (the reference's warning lines); last-writer-wins
+dedup prepares unique keys for the MERGE-style sink.
+
+Scale notes: the deduped reference-key set is orders of magnitude smaller
+than the entity tables -> broadcast (no shuffle of either fact table).
+The only wide exchange in the whole plan is the per-PK dedup window,
+partitioned by the same key the sink upserts on, so the exchange is
+reused by the sink's own key-partitioned write. Counters ride
+``observe()`` — zero extra passes over the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions import cleanse
+from imp_etl_spark.operators.dedup import latest_per_key
+from imp_etl_spark.operators.join import anti_missing, semi_prune
+
+
+def clean_queue(queue: DataFrame) -> DataFrame:
+    """P2 + P6: drop work-queue rows with NULL reference_no/table
+    (models/EtlLogger.js:10-12) and falsy reference_no
+    (etlService.js:436-444)."""
+    return queue.filter(
+        F.col("reference_no").isNotNull()
+        & F.col("`table`").isNotNull()
+        & ~cleanse.falsy_key("reference_no")
+    )
+
+
+def reference_keys(queue: DataFrame) -> DataFrame:
+    """The deduplicated key set driving both lookup branches (J1)."""
+    return clean_queue(queue).select("reference_no").dropDuplicates(["reference_no"])
+
+
+def cleanse_voucher(df: DataFrame, compat: bool = True) -> DataFrame:
+    """processVoucherData (etlService.js:118-156) as Column expressions.
+
+    Rules apply only to columns present in the frame — the reference
+    guards each field with existence checks, so a narrow source simply
+    gets fewer rules.
+    """
+    cols = set(df.columns)
+    out = df
+    if "sex" in cols:
+        out = out.withColumn("sex", cleanse.enum_domain("sex", ["MALE", "FEMALE"]))
+    for f_ in cleanse.VOUCHER_UPPER_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.upper_trim(f_))
+    for f_ in cleanse.VOUCHER_NUMERIC_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.parse_float(f_, compat=compat))
+    for f_ in cleanse.VOUCHER_DATE_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.date_norm_utc(f_))
+    return out
+
+
+def cleanse_transaction(df: DataFrame, compat: bool = True) -> DataFrame:
+    """processTransactionData (etlService.js:259-297)."""
+    cols = set(df.columns)
+    out = df
+    for f_ in cleanse.TXN_NUMERIC_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.parse_float(f_, compat=compat))
+    if "payout" in cols:
+        out = out.withColumn("payout", cleanse.char_flag("payout"))
+    for f_ in cleanse.TXN_BOOL_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.truthy_int(f_, compat=compat))
+    for f_ in cleanse.TXN_DATE_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.date_norm_utc(f_))
+    for f_ in cleanse.TXN_UPPER_FIELDS:
+        if f_ in cols:
+            out = out.withColumn(f_, cleanse.upper_trim(f_))
+    return out
+
+
+@dataclass
+class BranchResult:
+    """One entity branch (voucher or transaction): frames, not numbers —
+    callers trigger actions; counts come from one .count() per frame or
+    from observe() in the runner."""
+    valid: DataFrame          # cleansed, key-valid, deduped (ready to MERGE)
+    skipped: DataFrame        # falsy-key rejects (P4/P5 side-output)
+    missing_refs: DataFrame   # queue refs with no rows in this entity (J3)
+
+
+@dataclass
+class PipelineResult:
+    voucher: BranchResult
+    transaction: BranchResult
+    keys: DataFrame
+    extras: dict = field(default_factory=dict)
+
+
+def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
+            cleanse_fn, order_col: str, compat: bool) -> BranchResult:
+    pruned = semi_prune(entity, keys, "reference_no")
+    cleansed = cleanse_fn(pruned, compat=compat)
+    invalid = cleanse.any_falsy_key(pk)
+    skipped = cleansed.filter(invalid)
+    valid = latest_per_key(
+        cleansed.filter(~invalid), pk, [order_col], desc=True
+    )
+    missing = anti_missing(keys, entity, "reference_no")
+    return BranchResult(valid=valid, skipped=skipped, missing_refs=missing)
+
+
+def build_pipeline(queue: DataFrame, voucher: DataFrame,
+                   transaction: DataFrame,
+                   voucher_key: list[str] | None = None,
+                   transaction_key: list[str] | None = None,
+                   order_col: str = "reference_no",
+                   compat: bool = True) -> PipelineResult:
+    """Assemble the full dataflow. All lazy — nothing executes here."""
+    keys = reference_keys(queue)
+    vb = _branch(voucher, keys, voucher_key or ["voucher_id", "reference_no"],
+                 cleanse_voucher, order_col, compat)
+    tb = _branch(transaction, keys,
+                 transaction_key or ["voucher_details_id", "reference_no"],
+                 cleanse_transaction, order_col, compat)
+    return PipelineResult(voucher=vb, transaction=tb, keys=keys)

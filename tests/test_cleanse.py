@@ -1,0 +1,96 @@
+"""Quirk-pinning goldens (SURVEY.md §5.3): hand-computed expected values
+derived from the JS semantics of etlService.js:118-156 / 259-297."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions import cleanse
+
+
+def _one(spark, col, value, dtype="string"):
+    df = spark.createDataFrame([(value,)], f"x {dtype}")
+    return df.select(col.alias("y")).collect()[0]["y"]
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("  hello world  ", "HELLO WORLD"),
+    ("", ""),                # falsy -> untouched
+    (None, None),            # falsy -> untouched
+    ("   ", ""),             # whitespace-only is truthy -> trims to ''
+    ("MiXeD", "MIXED"),
+])
+def test_upper_trim(spark, value, expected):
+    assert _one(spark, cleanse.upper_trim("x"), value) == expected
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("male", "MALE"), (" FEMALE ", "FEMALE"), ("M", None),
+    ("unknown", None), ("", None), (None, None),
+])
+def test_enum_domain(spark, value, expected):
+    col = cleanse.enum_domain("x", ["MALE", "FEMALE"])
+    assert _one(spark, col, value) == expected
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("1.5000", 1.5),
+    ("0.00", None),        # Q1: parseFloat('0.00') || null -> null
+    ("0", None),
+    ("12abc", 12.0),       # prefix parse
+    ("abc", None),
+    ("", None),
+    (None, None),
+    ("  3.25", 3.25),      # leading whitespace ok
+    ("-2.5e1", -25.0),     # exponent
+    (".5", 0.5),
+])
+def test_parse_float_compat(spark, value, expected):
+    assert _one(spark, cleanse.parse_float("x", compat=True), value) == expected
+
+
+def test_parse_float_clean_keeps_zero(spark):
+    assert _one(spark, cleanse.parse_float("x", compat=False), "0.00") == 0.0
+    assert _one(spark, cleanse.parse_float("x", compat=False), "12abc") is None
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("1990-05-07", "1990-05-07"),
+    # Q4: +08:00 datetime shifts a calendar day back in UTC
+    ("1988-01-15T01:00:00+08:00", "1988-01-14"),
+    ("2024-03-01T20:00:00+08:00", "2024-03-01"),
+    ("not-a-date", None),
+    ("", None),
+    (None, None),
+    ("2000-02-29", "2000-02-29"),
+])
+def test_date_norm_utc(spark, value, expected):
+    assert _one(spark, cleanse.date_norm_utc("x"), value) == expected
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("1", "1"), ("0", "0"), ("2", "0"), ("", "0"), (None, "0"),
+])
+def test_char_flag(spark, value, expected):
+    assert _one(spark, cleanse.char_flag("x"), value) == expected
+
+
+@pytest.mark.parametrize("value,expected", [
+    ("0", 1),   # Q3: string '0' is truthy in JS
+    ("1", 1), ("", 0), (None, 0), ("false", 1),
+])
+def test_truthy_int_compat(spark, value, expected):
+    assert _one(spark, cleanse.truthy_int("x", compat=True), value) == expected
+
+
+def test_truthy_int_clean(spark):
+    assert _one(spark, cleanse.truthy_int("x", compat=False), "0") == 0
+
+
+@pytest.mark.parametrize("value,numeric,expected", [
+    (None, False, True), ("", False, True), ("0", False, False),
+    ("V1", False, False),
+])
+def test_falsy_key(spark, value, numeric, expected):
+    assert _one(spark, cleanse.falsy_key("x", numeric), value) == expected

@@ -1,0 +1,95 @@
+"""End-to-end pipeline + upsert-sink semantics on family-B fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.plans.pipeline import build_pipeline, reference_keys
+from imp_etl_spark.plans.runner import run_etl
+from imp_etl_spark.plans.upsert import merge_upsert, read_target
+from tests.fixtures_b import make_frames
+
+
+def test_reference_keys_filters_queue(spark):
+    queue, _, _ = make_frames(spark)
+    keys = {r["reference_no"] for r in reference_keys(queue).collect()}
+    # NULL/empty refs and NULL table rows dropped; duplicates collapsed
+    assert keys == {"REF-1", "REF-2", "REF-GONE"}
+
+
+def test_pipeline_branches(spark):
+    queue, voucher, txn = make_frames(spark)
+    res = build_pipeline(queue, voucher, txn,
+                         voucher_key=["voucher_id", "reference_no"],
+                         transaction_key=["voucher_details_id", "reference_no"])
+
+    valid = res.voucher.valid.collect()
+    # V9 (not queued) pruned; falsy-key rows skipped; V1 dup deduped
+    ids = sorted((r["voucher_id"], r["reference_no"]) for r in valid)
+    assert ids == [("V1", "REF-1"), ("V2", "REF-1"), ("V3", "REF-2")]
+    assert res.voucher.skipped.count() == 2  # None key + '' key
+
+    v1 = next(r for r in valid if r["voucher_id"] == "V1")
+    # cleanse applied: T1 upper, T2 enum, Q1 zero->null, Q4 day shift
+    assert v1["first_name"] in ("JUAN", "JUAN UPDATED")
+    v2 = next(r for r in valid if r["voucher_id"] == "V2")
+    assert v2["sex"] == "FEMALE"
+    assert v2["farm_area"] is None           # '0.00' -> Q1 null
+    assert v2["birthday"] == "1988-01-14"    # Q4 UTC shift
+    v3 = next(r for r in valid if r["voucher_id"] == "V3")
+    assert v3["farm_area"] == 12.0           # prefix parse
+    assert v3["birthday"] is None
+
+    # missing refs: REF-GONE has no voucher and no txn rows
+    assert {r["reference_no"] for r in res.voucher.missing_refs.collect()} == {"REF-GONE"}
+    assert {r["reference_no"] for r in res.transaction.missing_refs.collect()} == {"REF-GONE"}
+
+    t = {r["voucher_details_id"]: r for r in res.transaction.valid.collect()}
+    assert t["T1"]["ishold"] == 1            # Q3: '0' truthy
+    assert t["T2"]["quantity"] is None       # Q1
+    assert t["T1"]["payout"] == "1" and t["T2"]["payout"] == "0"
+    assert t["T1"]["transac_date"] == "2024-03-01"
+
+
+def test_merge_upsert_idempotent_and_lww(spark, tmp_path):
+    path = str(tmp_path / "voucher_tgt")
+    df1 = spark.createDataFrame(
+        [("V1", "R1", "a", 1), ("V2", "R1", "b", 1)],
+        "voucher_id string, reference_no string, payload string, seq int")
+    v0 = merge_upsert(spark, path, df1, ["voucher_id", "reference_no"], "seq")
+    assert v0 == 0
+    assert read_target(spark, path).count() == 2
+
+    # batch with an update (V1) + an insert (V3) + intra-batch dup (V3 twice,
+    # higher seq wins)
+    df2 = spark.createDataFrame(
+        [("V1", "R1", "a2", 2), ("V3", "R1", "c1", 1), ("V3", "R1", "c2", 2)],
+        "voucher_id string, reference_no string, payload string, seq int")
+    merge_upsert(spark, path, df2, ["voucher_id", "reference_no"], "seq")
+    state = {r["voucher_id"]: r["payload"] for r in read_target(spark, path).collect()}
+    assert state == {"V1": "a2", "V2": "b", "V3": "c2"}
+
+    # idempotence: re-applying the same batch changes nothing (ST4)
+    merge_upsert(spark, path, df2, ["voucher_id", "reference_no"], "seq")
+    state2 = {r["voucher_id"]: r["payload"] for r in read_target(spark, path).collect()}
+    assert state2 == state
+
+
+def test_run_etl_summary_and_watermark(spark, tmp_path):
+    queue, voucher, txn = make_frames(spark)
+    summary = run_etl(spark, queue, voucher, txn,
+                      str(tmp_path / "v"), str(tmp_path / "t"))
+    assert summary["processedVoucherCount"] == 3
+    assert summary["skippedVoucherCount"] == 2
+    assert summary["processedTransactionCount"] == 3
+    assert summary["skippedTransactionCount"] == 1
+    assert summary["watermark"] == 8
+    assert any("REF-GONE" in w for w in summary["warningSample"])
+
+    # incremental run with watermark: empty queue -> nothing reprocessed
+    summary2 = run_etl(spark, queue, voucher, txn,
+                       str(tmp_path / "v"), str(tmp_path / "t"),
+                       watermark=summary["watermark"])
+    assert summary2["processedVoucherCount"] == 0
+    assert summary2["watermark"] == 8
+    assert read_target(spark, str(tmp_path / "v")).count() == 3
