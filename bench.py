@@ -1,0 +1,109 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], timing each to a noop sink (measures full scan+
+compute without driver-side row transfer), plus the end-to-end reference
+ETL pipeline (queue->join->cleanse->dedup->upsert) whose wall time is the
+honest comparison against BASELINE.md's 173 rec/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from imp_etl_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_latest_per_key",
+    "win_topn_per_group",
+    "events_session_10m",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("imp-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from imp_etl_spark.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)  # build (lazy)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end ETL pipeline on the FIXTURES.md family-A mapping:
+    # orders -> work queue, customer -> entity, lineitem -> detail
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.plans.runner import run_etl
+    from imp_etl_spark.sources.parquet import read_table
+
+    queue = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("log_id"),
+        F.col("o_custkey").cast("string").alias("reference_no"),
+        F.lit("voucher").alias("table"),
+    )
+    voucher = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("voucher_id"),
+        F.col("c_custkey").cast("string").alias("reference_no"),
+        F.col("c_name").alias("first_name"),
+        F.col("c_mktsegment").alias("voucher_status"),
+        F.col("c_acctbal").cast("string").alias("farm_area"),
+    )
+    # detail rows carry the same reference key (custkey) as the entity —
+    # derived via the lineitem->orders join, itself part of the workload
+    txn = (
+        read_table(spark, sf_dir, "lineitem")
+        .join(read_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("voucher_details_id"),
+            F.col("o_custkey").cast("string").alias("reference_no"),
+            F.col("l_quantity").cast("string").alias("quantity"),
+            F.col("l_returnflag").alias("payout"),
+            F.col("l_linestatus").alias("ishold"),
+            F.col("l_shipdate").cast("string").alias("transac_date"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="imp_etl_bench_")
+    t0 = time.perf_counter()
+    summary = run_etl(spark, queue, voucher, txn,
+                      os.path.join(out, "voucher"),
+                      os.path.join(out, "txn"))
+    timings["etl_pipeline"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(out, ignore_errors=True)
+
+    queue_records = summary["processedVoucherCount"] + summary[
+        "processedTransactionCount"]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "etl_records": queue_records,
+        "etl_rec_per_sec": round(queue_records / timings["etl_pipeline"], 1)
+        if timings["etl_pipeline"] else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from imp_etl_spark.functions.hashing import minhash_hex, shingles
+from imp_etl_spark.functions.hashing import minhash_int, shingle_hash, shingles
 from imp_etl_spark.functions.text import tokens
 
 
@@ -105,12 +105,20 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     toks = tokens(F.col(text_col))
     sh = shingles(toks, shingle_k)
-    sig = minhash_hex(sh, num_hashes)  # array<string>, length num_hashes
-    sigs = df.select(F.col(id_col), sig.alias("sig"))
+    # one md5 per shingle, materialized once; permutations are arithmetic
+    # (12x less hashing than salted digests — see functions/hashing.py)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(sh, shingle_hash).alias("hs"),
+    )
+    sigs = hashed.select(
+        F.col(id_col), minhash_int(F.col("hs"), num_hashes).alias("sig")
+    )
     band_cols = []
     for b in range(bands):
         band_cols.append(
-            F.concat_ws("|", *[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)])
+            F.concat_ws("|", *[F.col("sig")[i].cast("string")
+                               for i in range(b * rows, (b + 1) * rows)])
             .alias(f"band_{b}")
         )
     banded = sigs.select(id_col, *band_cols)

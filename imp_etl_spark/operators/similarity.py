@@ -37,18 +37,20 @@ def _srp_bucket(vec: Column, planes: int, dim: int) -> Column:
     xxhash64(p, i) — deterministic, no RNG state, identical on every
     executor. dot(plane, vec) >= 0 sets bit p.
     """
+    def _plane_fn(p: int):
+        def fn(i):
+            return F.when(
+                F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+        return fn
+
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda i, p=p: F.when(
-                        F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _plane_fn(p)),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0).cast("double"),

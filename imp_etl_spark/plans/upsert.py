@@ -101,10 +101,10 @@ def merge_preview(batch: DataFrame, target: DataFrame,
     looks like after applying ``batch``. Used by the SQL-oracle check —
     expressible as a windowed union in ANSI SQL."""
     key = list(key)
-    b = latest_per_key(batch, key, [order_col], desc=True).withColumn(
-        "__prio", F.lit(1))
-    t = target.select(*[c for c in batch.columns]).withColumn(
-        "__prio", F.lit(0))
+    common = [c for c in batch.columns if c in set(target.columns)]
+    b = latest_per_key(batch, key, [order_col], desc=True).select(
+        *common).withColumn("__prio", F.lit(1))
+    t = target.select(*common).withColumn("__prio", F.lit(0))
     return latest_per_key(
         b.unionByName(t), key, ["__prio"], desc=True
     ).drop("__prio")

@@ -288,3 +288,429 @@ def a2_processed_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(valid, 1)).alias("processed"),
         F.count(F.when(~valid, 1)).alias("skipped"),
     )
+
+
+# ===========================================================================
+# Analytics extension surface (SURVEY.md §7.8): multi-hop joins, grouped
+# aggregation variants, window analytics, set ops, JSON extraction.
+# ===========================================================================
+
+@register("q3_shipping_priority", """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered multi-join + agg + top-k. The customer
+    side broadcasts (small after segment filter); lineitem/orders shuffle
+    on the join key once, reused by the groupBy on the same key."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue", 6))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register("q5_local_supplier_volume", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table snowflake join. region/nation/supplier/
+    customer all broadcast (dimension-sized); the single shuffle is the
+    lineitem->orders equi join."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue", 6))
+    )
+
+
+@register("agg_rollup", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register("agg_cube", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_extendedprice"), "sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register("win_topn_per_group", """
+SELECT c_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+""")
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+                 "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register("win_lag_lead", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""")
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register("win_running_sum", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""")
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("running_total"),
+    )
+
+
+@register("setops_suite", """
+SELECT 'union' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+)
+""")
+def setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey"))
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+@register("json_extract_props", """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(MAX(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the JSON-ish props payload — the op the reference
+    never does on additional_info MEDIUMTEXT (SURVEY.md §2.5 note)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register("log_parse_tail", """
+SELECT ts_str, message FROM (
+  SELECT regexp_extract(line, '^\\[(.*?)\\]', 1) AS ts_str,
+         trim(regexp_replace(line, '^\\[.*?\\]', '')) AS message,
+         event_id
+  FROM (
+    SELECT '[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] ' || event_type ||
+           ' user=' || CAST(user_id AS VARCHAR) AS line, event_id
+    FROM events
+  )
+  ORDER BY ts_str DESC, event_id DESC
+  LIMIT 100
+)
+""")
+def log_parse_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/T9/A7: log-line regex parse + tail-100, exercised over synthetic
+    '[ts] message' lines built from events (index.js:208-253 semantics)."""
+    ev = read_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("["), F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                 F.lit("] "), F.col("event_type"), F.lit(" user="),
+                 F.col("user_id").cast("string")).alias("line"),
+        "event_id",
+    )
+    parsed = lines.select(
+        F.regexp_extract("line", r"^\[(.*?)\]", 1).alias("ts_str"),
+        F.trim(F.regexp_replace("line", r"^\[.*?\]", "")).alias("message"),
+        "event_id",
+    )
+    return (
+        parsed.orderBy(F.col("ts_str").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("ts_str", "message")
+    )
+
+
+@register("j4_merge_preview", """
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice, 1 AS prio
+  FROM orders WHERE o_orderstatus = 'O'
+), tgt AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 0 AS prio FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY prio DESC) AS rn
+  FROM (SELECT * FROM batch UNION ALL SELECT * FROM tgt)
+) WHERE rn = 1
+""")
+def j4_merge_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/S6: MERGE semantics (matched -> update, not-matched -> insert)
+    as the windowed-union plan the parquet fallback sink executes
+    (plans/upsert.py)."""
+    from imp_etl_spark.plans.upsert import merge_preview
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    batch = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"))
+        .withColumn("__seq", F.lit(1))
+    )
+    return merge_preview(batch, o, ["o_orderkey"], "__seq").drop("__seq")
+
+
+# ===========================================================================
+# Event-time windowed aggregation (streaming surface, batch-checkable —
+# SURVEY.md §2.8). The same builders run on readStream frames with
+# watermarks (tests/test_streaming.py); batch mode makes them
+# oracle-checkable here.
+# ===========================================================================
+
+@register("events_tumbling_1h", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from imp_etl_spark.streaming.windows import tumbling
+
+    ev = read_table(spark, sf_dir, "events")
+    return tumbling(
+        ev, "ts", "1 hour", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("cnt"),
+              F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")],
+    ).drop("window_end")
+
+
+@register("events_sliding_1h_30m", """
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, * FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', * FROM events
+)
+SELECT window_start, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM shifted
+GROUP BY 1
+""")
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide): every event lands in two
+    windows — the oracle materializes exactly those two shifted buckets."""
+    from imp_etl_spark.streaming.windows import sliding
+
+    ev = read_table(spark, sf_dir, "events")
+    return sliding(
+        ev, "ts", "1 hour", "30 minutes",
+        aggs=[F.count(F.lit(1)).alias("cnt"),
+              F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")],
+    ).drop("window_end")
+
+
+@register("events_session_10m", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '10 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS cnt
+FROM numbered
+GROUP BY user_id, session_no
+""")
+def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, gap 10m. Spark's session_window closes gap-after-
+    last-event; the oracle reproduces that with gaps-and-islands."""
+    from imp_etl_spark.streaming.windows import session
+
+    ev = read_table(spark, sf_dir, "events")
+    return session(
+        ev, "ts", "10 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("cnt")],
+    ).select("user_id", "session_start", "session_end", "cnt")
+
+
+# ===========================================================================
+# LLM-data-pipeline surface (SURVEY.md §7.8): dedup family, text analysis,
+# similarity search. MinHash uses portable md5 hashing so even LSH is
+# oracle-checked (functions/hashing.py).
+# ===========================================================================
+
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+              "x -> x <> '')")
+
+
+@register("dedup_exact_group", """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""")
+def dedup_exact_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min doc_id per group)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    return dedup.exact_dedup(docs, ["lang", "source"], keep_by="doc_id")
+
+
+@register("dedup_exact_content", """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1
+""")
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash-groupBy on xxhash64(text) so the shuffle
+    carries 8-byte keys, not bodies; the oracle partitions by the text
+    itself — same survivors as long as xxhash64 is collision-free on the
+    corpus, which the count equality verifies)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup.exact_content_dedup(docs, "text", "doc_id").select(
+        "doc_id", "n_chars")
+
+
+# late import: populates REGISTRY with the LLM-data-pipeline surface
+from imp_etl_spark import queries_llm as _queries_llm  # noqa: E402,F401

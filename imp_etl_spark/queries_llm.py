@@ -1,0 +1,284 @@
+"""LLM-data-pipeline queries (registered into queries.REGISTRY).
+
+Portability strategy per operator:
+- text stats / lang-ID / fingerprint / jaccard: pure integer or
+  same-order double arithmetic -> bit-exact DuckDB oracles.
+- MinHash-LSH: md5-hex permutation hashes (functions/hashing.py) -> the
+  *entire* LSH pipeline (shingle -> signature -> band -> bucket join) is
+  reproduced in SQL and must match pair-for-pair.
+- SimHash / SRP-bucketed ANN / embedding near-dup: xxhash64-based
+  (JVM-only) -> rows-only checks; their exact counterparts
+  (brute-force cosine) are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions.hashing import minhash_hex, shingles, simhash
+from imp_etl_spark.functions.text import (
+    LANG_MARKERS,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from imp_etl_spark.functions.vector import cosine
+from imp_etl_spark.operators import similarity
+from imp_etl_spark.queries import register
+from imp_etl_spark.sources.parquet import read_table
+
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+              "x -> x <> '')")
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','on','for','with','is','are','was','be','this','that','it','as','at','by']"
+
+@register("text_stats", f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, {_DUCK_TOKS} AS t, text FROM documents
+)
+SELECT doc_id, n_chars,
+       len(t) AS n_tokens,
+       CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+         / len(t) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+         / len(t) AS mean_token_len
+FROM toks
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "n_chars",
+        token_count("text").alias("n_tokens"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        words = "[" + ",".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(t, x -> list_contains({words}, x))) AS c_{lang}")
+    langs = sorted(LANG_MARKERS)
+    gre = "greatest(" + ",".join(f"c_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN c_{la} = {gre} THEN '{la}'" for la in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents),
+sc AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM toks)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN {gre} = 0 THEN 'und' {case} END AS lang_pred
+FROM sc
+"""
+
+
+@register("lang_id_docs", _lang_sql())
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID next to the fixture's lang label."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@register("fingerprint_docs", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fp
+FROM toks
+""")
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint, md5-portable: identical
+    fold in both engines (mod 2^31-1 keeps every step in exact i64)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("long")
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(2147483647).cast("long")),
+    )
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: n-gram Jaccard on a deterministic sample of doc pairs
+# ---------------------------------------------------------------------------
+
+@register("jaccard_sampled_pairs", f"""
+WITH sub AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' '))) AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        WHERE doc_id % 50 = 0)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
+         / (len(a.grams) + len(b.grams)
+            - len(list_filter(a.grams, x -> list_contains(b.grams, x)))) AS jaccard
+FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+""")
+def jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a deterministic doc sample (doc_id%50=0):
+    the verification stage that scores LSH candidates at scale. Integer
+    set sizes -> one double division -> bit-exact across engines."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0)
+    grams = F.array_distinct(shingles(tokens(F.col("text")), 3))
+    g = docs.select(F.col("doc_id"), grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = (F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                (inter.cast("double") / union).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs — fully oracle-checked (portable md5)
+# ---------------------------------------------------------------------------
+
+def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
+    from imp_etl_spark.functions.hashing import MERSENNE31, MINHASH_A, MINHASH_B
+
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE31}) AS h{i}"
+        for i in range(num_hashes))
+    band_rows = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"h{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sig")
+    banded = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(t[i:i+{k - 1}], ' '))
+              WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+              ELSE [] END AS shingles
+  FROM toks
+), exploded AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM sh, UNNEST(sh.shingles) AS u(s)
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM exploded GROUP BY doc_id
+), banded AS (
+{banded}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", _minhash_sql())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from imp_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", shingle_k=5,
+                                  num_hashes=12, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register("ann_cosine_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_reduce(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE),
+             (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                i -> q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE),
+                (x, y) -> x + y))) AS cos
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors. The fold order is
+    identical in both engines (sequential over the array, double
+    accumulation), so cos is bit-exact — no rounding tricks needed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+@register("srp_bucket_topk", None)
+def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: SRP-LSH bucketed ANN (xxhash64 planes -> rows-only)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.srp_bucket_topk(emb, queries, k=10, dim=64, planes=4)
+
+
+@register("embedding_near_dup", None)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only;
+    the exact pair scorer ann_cosine_topk is the oracle-checked sibling)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.9, dim=64,
+                                               planes=4)
+
+
+@register("simhash_docs", None)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document (xxhash64-based -> rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(tokens(F.col("text")), bits=32).alias("simhash"))
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: wrap text bytes as opaque media payloads,
+    extract deterministic fake features via Arrow-batched mapInPandas
+    (decode STUBBED — no codecs in this container)."""
+    from imp_etl_spark.operators.multimodal import attach_media, extract_features
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    media = attach_media(docs, "text", "image", "raw", "doc_id")
+    return extract_features(media, fake=True)

@@ -25,11 +25,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+        # rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
+        # (legacy conf), integer-truncate to micros (identical to
+        # DuckDB's ns->us handling), and surface as NTZ. The ltz->ntz
+        # cast is only identity under UTC, so pin the session tz — the
+        # engine's documented convention (session.py) — here too for
+        # sessions we didn't build.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(path)
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     schema = schemas.FIXTURE_TABLES.get(name)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return reader.parquet(path)
 
 
 def load_fixtures(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
