@@ -712,5 +712,77 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars")
 
 
+# ===========================================================================
+# Temporal joins (operators/temporal.py): as-of + banded range join.
+# Not in the reference (SURVEY.md §2.3 "not present"); north-star ops.
+# ===========================================================================
+
+@register("asof_click_before_purchase", """
+WITH purchases AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.ts, p.user_id, p.value,
+       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the latest click at-or-before it
+    by the same user. Single shuffle on user_id (union+window plan — see
+    operators/temporal.py scale notes)."""
+    from imp_etl_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases, clicks, on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols={"event_id": "click_event_id", "ts": "click_ts",
+                    "value": "click_value"},
+    )
+
+
+@register("range_clicks_before_purchase", """
+SELECT p.event_id, p.user_id,
+       COUNT(*) AS click_cnt,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value_sum
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '10 minutes'
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""")
+def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: clicks within the 10 minutes before each
+    purchase, aggregated per purchase. The inequality join becomes an
+    equi join on (user_id, 600s-bin) + exact refine — a hash exchange,
+    not a nested loop (operators/temporal.py)."""
+    from imp_etl_spark.operators.temporal import range_join_binned
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    pairs = range_join_binned(
+        purchases, clicks, on="user_id", probe_ts="ts", build_ts="ts",
+        lower="'-10' minutes", upper="'0' seconds", bin_width_s=600,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("click_cnt"),
+        _dec_sum(F.col("value"), "click_value_sum", 6),
+    )
+
+
 # late import: populates REGISTRY with the LLM-data-pipeline surface
 from imp_etl_spark import queries_llm as _queries_llm  # noqa: E402,F401
