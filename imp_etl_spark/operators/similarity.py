@@ -110,6 +110,96 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             nlist: int = 16, nprobe: int = 4, kmeans_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine.
+
+    Index: ``nlist`` centroids seeded from a deterministic corpus sample
+    (lowest xxhash64(id)) and refined with ``kmeans_iters`` distributed
+    Lloyd steps (assign = codegen argmax over centroid literals; update =
+    per-dimension mean via posexplode — only nlist·dim rows ever reach
+    the driver). Every corpus vector then lands in one list; queries
+    probe their ``nprobe`` nearest lists and exact-score only those:
+    O(Q·N·nprobe/nlist) instead of O(Q·N), and the only exchange is the
+    broadcast of the (tiny) query set.
+
+    At 100 TB: persist the assigned corpus partitioned by ``__list`` so
+    probes prune partitions at the scan, and train centroids offline on
+    a sample.
+    """
+    cents = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(nlist)
+        .collect()
+    )
+    cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
+
+    def _lits(vecs):
+        return [F.array(*[F.lit(x) for x in v]) for v in vecs]
+
+    def _scores(vec: Column, cent_lits) -> Column:
+        return F.array(*[cosine(vec, c) for c in cent_lits])
+
+    def _argmax(scores: Column) -> Column:
+        # first index achieving the max — deterministic tie-break
+        return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+    for _ in range(kmeans_iters):
+        assigned = corpus.withColumn(
+            "__list", _argmax(_scores(F.col(vec_col), _lits(cent_vecs))))
+        means = (
+            assigned.select("__list", F.posexplode(F.col(vec_col)))
+            .groupBy("__list", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r["__list"], {})[r["pos"]] = r["m"]
+        cent_vecs = [
+            [by_list[i][p] for p in range(len(cent_vecs[i]))]
+            if i in by_list else cent_vecs[i]  # empty list keeps its seed
+            for i in range(nlist)
+        ]
+
+    cent_lits = _lits(cent_vecs)
+    cb = corpus.withColumn("__list", _argmax(_scores(F.col(vec_col), cent_lits)))
+
+    # per query: indices of the nprobe best centroids
+    def _top_lists(scores: Column) -> Column:
+        ranked = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda i: F.struct(scores[i].alias("s"), i.alias("idx")),
+            ),
+            lambda l, r: F.when(l["s"] > r["s"], -1)
+            .when(l["s"] < r["s"], 1)
+            .otherwise(l["idx"] - r["idx"])
+            .cast("int"),
+        )
+        return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["idx"])
+
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn(
+        "__list", F.explode(_top_lists(_scores(F.col("__qvec"), cent_lits)))
+    )
+
+    cand = cb.join(F.broadcast(qb), on="__list")
+    scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cos", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
                              planes: int = 8, id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:

@@ -256,6 +256,18 @@ def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_bucket_topk(emb, queries, k=10, dim=64, planes=4)
 
 
+@register("ivf_cosine_topk", None)
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: centroid-bucketed ANN, nprobe=3 of nlist=10 lists
+    scored per query (deterministic seed sample + 2 Lloyd steps ->
+    rows-only; recall vs brute force pinned in tests/test_similarity.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, queries, k=10, nlist=10, nprobe=3,
+                               kmeans_iters=2)
+
+
 @register("embedding_near_dup", None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only;

@@ -1,0 +1,43 @@
+"""IVF ANN quality gates: recall vs the exact brute-force baseline, and
+determinism (sampled seeds + Lloyd steps contain no RNG state)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators import similarity
+from imp_etl_spark.sources.parquet import read_table
+from tests.conftest import ORACLE_SF_DIR
+
+
+def _sets(df):
+    return {(r.query_id, r.vec_id) for r in df.collect()}
+
+
+def test_ivf_recall_and_determinism(spark):
+    emb = read_table(spark, ORACLE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = _sets(similarity.brute_force_topk(emb, q, k=10))
+
+    kwargs = dict(k=10, nlist=10, nprobe=3, kmeans_iters=2)
+    approx = _sets(similarity.ivf_topk(emb, q, **kwargs))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 degraded: {recall}"
+    # every query answered with a full top-k (lists are big enough)
+    assert len(approx) == len(exact)
+
+    again = _sets(similarity.ivf_topk(emb, q, **kwargs))
+    assert again == approx
+
+
+def test_ivf_nprobe_full_scan_is_exact(spark):
+    """Probing every list must recover the exact answer — IVF's only
+    loss is unprobed lists, not the within-list scoring."""
+    emb = read_table(spark, ORACLE_SF_DIR, "embeddings").limit(120)
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = _sets(similarity.brute_force_topk(emb, q, k=5))
+    full = _sets(similarity.ivf_topk(
+        emb, q, k=5, nlist=6, nprobe=6, kmeans_iters=1))
+    assert full == exact
