@@ -712,6 +712,40 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars")
 
 
+@register("stateful_user_stats", None)
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): runs a
+    real two-micro-batch stream to completion and returns the final
+    per-user running stats. Rows-only check (stateful streaming is not
+    ANSI-SQL); batch-equivalence is pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from imp_etl_spark.streaming.stateful import running_user_stats
+    from imp_etl_spark.streaming.windows import stream_events
+
+    tmp = tempfile.mkdtemp(prefix="stateful_events_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="overwrite")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append")
+
+    stream = stream_events(spark, src, spark.read.parquet(src).schema)
+    name = "stateful_user_stats_sink"
+    q = (running_user_stats(stream).writeStream.format("memory")
+         .queryName(name).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"""
+        SELECT user_id, events, value_sum, last_event_us FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY events DESC) AS rn FROM {name}
+        ) WHERE rn = 1
+    """)
+
+
 # ===========================================================================
 # Temporal joins (operators/temporal.py): as-of + banded range join.
 # Not in the reference (SURVEY.md §2.3 "not present"); north-star ops.

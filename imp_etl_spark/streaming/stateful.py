@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference keeps exactly one piece of cross-batch state: the four
+run-level counters accumulated across micro-batches
+(``services/etlService.js:526-583``, SURVEY.md A5/ST3). This module
+generalizes that into a per-key stateful operator on a real event
+stream: running (event count, value sum, last-seen event time) per user,
+updated every micro-batch — the applyInPandasWithState shape any custom
+stateful op (dedup-within-stream, sessionization with side outputs,
+CDC folding) reuses.
+
+Scale notes: state lives per key in the state store, partitioned by the
+groupBy key — the shuffle is on user_id and state size is O(distinct
+keys), not O(events). Arrow moves each group's rows as columnar batches
+(no per-row Python overhead). With event-time timeouts + a watermark the
+store evicts idle keys, bounding memory on unbounded streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("user_id BIGINT, events BIGINT, value_sum DOUBLE, "
+                 "last_event_us BIGINT")
+STATE_SCHEMA = "events BIGINT, value_sum DOUBLE, last_event_us BIGINT"
+
+
+def _update_user_stats(key: tuple[Any, ...],
+                       pdfs: Iterator[pd.DataFrame],
+                       state: GroupState) -> Iterator[pd.DataFrame]:
+    cnt, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        vals = pdf["value"].dropna()
+        vsum += float(vals.sum()) if len(vals) else 0.0
+        if len(pdf):
+            ts_max = pdf["ts"].max()
+            last_us = max(last_us, int(pd.Timestamp(ts_max).value // 1000))
+    state.update((cnt, vsum, last_us))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "events": [cnt], "value_sum": [vsum],
+         "last_event_us": [last_us]}
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running stats over a streaming events frame.
+
+    Emits one row per (user, micro-batch) with the cumulative totals —
+    'update' output semantics; the latest row per user is the current
+    state. Input needs columns user_id, ts, value.
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -68,6 +68,43 @@ def test_stream_session_window_runs(spark, tmp_path):
     assert n > 0
 
 
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: the final
+    per-user state must equal the batch groupBy over the same data."""
+    from imp_etl_spark.streaming.stateful import running_user_stats
+
+    src = _prepare_stream_dir(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = stream_events(spark, src, schema)
+
+    out = running_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("user_stats")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # update mode appends one row per (user, batch); last one wins
+    got = {
+        r["user_id"]: (r["events"], round(r["value_sum"], 6))
+        for r in spark.sql("""
+            SELECT user_id, events, value_sum FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY events DESC) AS rn FROM user_stats
+            ) WHERE rn = 1
+        """).collect()
+    }
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.sum("value").alias("value_sum"))
+    )
+    want = {r["user_id"]: (r["events"], round(r["value_sum"] or 0.0, 6))
+            for r in batch.collect()}
+    assert got == want
+
+
 def test_log_parse_batch_and_stream(spark, tmp_path):
     logdir = tmp_path / "logs"
     os.makedirs(logdir)
