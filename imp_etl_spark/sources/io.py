@@ -1,0 +1,108 @@
+"""Unified source/sink interface: parquet, CSV, JSON, text, JDBC.
+
+The reference's only connectors are two MySQL pools (``config/db.js:5-35``,
+SURVEY.md S13) and an append-only text log (S10-S12). The engine keeps
+that deployment shape (JDBC in/out) and adds the file formats a Spark
+deployment actually feeds on. One entry point each way so pipelines are
+format-agnostic:
+
+    df = read_source(spark, "csv", path, schema=..., header=True)
+    write_sink(df, "parquet", out_dir, mode="overwrite")
+
+Scale notes:
+- every reader takes an explicit schema — inference is a full extra pass
+  over 100 TB and pins types from whichever file got sampled;
+- CSV/JSON readers stay in PERMISSIVE mode with a ``_corrupt_record``
+  column routed to a side output rather than failing the job;
+- the JDBC reader requires (partition_column, lower/upper bound,
+  num_partitions) for any real table — without them Spark reads the
+  whole table through ONE connection; with them each executor pulls its
+  own slice (the set-based equivalent of the reference's LIMIT/OFFSET
+  pagination, EtlLogger.js:13);
+- JDBC writes batch ``batchsize`` rows per round trip, the reference's
+  multi-row INSERT (etlService.js:40-52) done by the connector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+READ_FORMATS = ("parquet", "csv", "json", "text")
+
+
+def read_source(spark: SparkSession, fmt: str, path: str,
+                schema: StructType | str | None = None,
+                **options) -> DataFrame:
+    """Read a file-based source with an explicit schema.
+
+    CSV/JSON default to PERMISSIVE with a ``_corrupt_record`` column when
+    the caller's schema declares one; pass ``mode='FAILFAST'`` to abort
+    on malformed input instead.
+    """
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unknown source format {fmt!r}; one of {READ_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} sources require an explicit schema "
+                         "(inference costs a full pass — see module doc)")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "error",
+               partition_by: list[str] | None = None, **options) -> None:
+    """Write a file-based sink; ``partition_by`` yields hive-style
+    directory partitioning (the scan-side pruning key at scale)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 8, fetchsize: int = 10_000,
+              **options) -> DataFrame:
+    """JDBC source with partitioned reads (S13).
+
+    ``table`` may be a table name or a pushdown subquery like
+    ``"(SELECT ... WHERE ...) t"`` — the reference's filtered work-queue
+    scan (EtlLogger.js:6-17) rides down to the database this way.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("fetchsize", fetchsize))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", lower_bound)
+                  .option("upperBound", upper_bound)
+                  .option("numPartitions", num_partitions))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
+               batchsize: int = 10_000, num_partitions: int | None = None,
+               **options) -> None:
+    """JDBC sink: multi-row batched inserts, ``num_partitions`` parallel
+    connections (bounded like the reference's pool limit, db.js:11)."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (out.write.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", batchsize)
+              .mode(mode))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

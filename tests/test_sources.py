@@ -1,0 +1,69 @@
+"""Round-trip tests for the unified source/sink interface (sources/io.py).
+
+JDBC itself needs a database + driver jar this container doesn't ship, so
+the JDBC tests cover the option-validation logic only; the read/write
+paths are exercised against file formats.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.sources.io import read_jdbc, read_source, write_sink
+from imp_etl_spark.sources.parquet import read_table
+from tests.conftest import SF_DIR
+
+CSV_SCHEMA = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+
+
+def test_csv_round_trip(spark, tmp_path):
+    nation = read_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_csv")
+    write_sink(nation, "csv", out, mode="overwrite", header=True)
+    back = read_source(spark, "csv", out, schema=CSV_SCHEMA, header=True)
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    a = {tuple(r) for r in nation.select("n_nationkey", "n_name").collect()}
+    b = {tuple(r) for r in back.select("n_nationkey", "n_name").collect()}
+    assert a == b
+
+
+def test_json_round_trip_and_partitioning(spark, tmp_path):
+    region = read_table(spark, SF_DIR, "region")
+    out = str(tmp_path / "region_json")
+    write_sink(region, "json", out, mode="overwrite",
+               partition_by=["r_regionkey"])
+    back = read_source(
+        spark, "json", out,
+        schema="r_name STRING, r_regionkey BIGINT",
+    )
+    assert back.count() == region.count()
+    # partition pruning: a key filter must reach the scan as a PartitionFilter
+    pruned = back.filter(F.col("r_regionkey") == 1)
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "r_regionkey" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_text_round_trip(spark, tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text("alpha\nbeta\n")
+    df = read_source(spark, "text", str(p))
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta"]
+
+
+def test_schema_required_for_csv_json(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, "csv", str(tmp_path))
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, "json", str(tmp_path))
+    with pytest.raises(ValueError, match="unknown source format"):
+        read_source(spark, "avro", str(tmp_path))
+
+
+def test_jdbc_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError, match="bounds"):
+        read_jdbc(spark, "jdbc:mysql://example/db", "voucher",
+                  partition_column="log_id")
