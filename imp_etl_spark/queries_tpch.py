@@ -1,0 +1,485 @@
+"""TPC-H-shaped analytics queries (registered into queries.REGISTRY).
+
+SURVEY.md §7.8 directs the engine's analytics surface beyond the
+reference's fixed dataflow: multi-way joins, semi/anti joins with
+non-equi conditions, correlated-subquery shapes, conditional-aggregate
+ratios, distinct aggregation, and exact percentiles. Each query here is
+the standard TPC-H shape adapted to the slimmed fixture schemas
+(TESTDATA.md — no partsupp/shipmode/commitdate columns, synthetic
+NATION_* names).
+
+Scale notes (the 100 TB plan, not the sf0.01 one):
+- dimension sides (region/nation/part/supplier/customer-after-filter)
+  are broadcast explicitly; the only shuffles left are lineitem<->orders
+  equi joins and the final small-key aggregations;
+- correlated-subquery shapes (q17) become a single window over the
+  already-joined fact slice — one shuffle on the correlation key instead
+  of a second scan + re-join of lineitem;
+- ratio queries (q8/q14) compute numerator and denominator as
+  conditional aggregates in ONE pass — never two scans unioned;
+- determinism for the DuckDB oracle follows queries.py: decimal-exact
+  sums surfaced as double, ties in top-k broken on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imp_etl_spark.queries import _dec_sum, register
+from imp_etl_spark.sources.parquet import read_table
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp_ntz")
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS semi join with a non-equi condition + priority rollup.
+# (Adapted: no l_commitdate/l_receiptdate in the fixture; the "late line"
+# predicate is l_shipdate > o_orderdate.)
+# ---------------------------------------------------------------------------
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join keeps the probe side lean: lineitem is projected to the
+    two columns the condition needs before the shuffle."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01")))
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: pure scan + tight filter + single aggregate. The whole query
+# should collapse to one WholeStageCodegen span over the parquet scan with
+# every predicate pushed down.
+# ---------------------------------------------------------------------------
+
+@register("q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= _ts("1996-01-01"))
+                  & (F.col("l_shipdate") < _ts("1997-01-01"))
+                  & (F.col("l_discount") >= 0.03)
+                  & (F.col("l_discount") <= 0.05)
+                  & (F.col("l_quantity") < 24))
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount"),
+                      "revenue", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: bidirectional nation-pair volume, two broadcast dims aliased
+# twice, grouped by (supp_nation, cust_nation, year).
+# ---------------------------------------------------------------------------
+
+@register("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation broadcasts twice under different aliases; supplier and
+    customer broadcast after the nation filter prunes them ~12x. The one
+    shuffle is lineitem<->orders."""
+    pair = F.lit("NATION_3"), F.lit("NATION_7")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01")))
+    sn = s.join(F.broadcast(n1), s.s_nationkey == n1.n1_key).filter(
+        F.col("supp_nation").isin(pair[0], pair[1]))
+    cn = c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key).filter(
+        F.col("cust_nation").isin(pair[0], pair[1]))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+                | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0])))
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: market share = conditional-sum / sum in ONE aggregation pass.
+# ---------------------------------------------------------------------------
+
+@register("q8_market_share", """
+SELECT l_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END
+                     AS DECIMAL(18,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+GROUP BY l_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator in one groupBy — a second scan for the
+    denominator would double the lineitem I/O at 100 TB."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("l_year", F.year("o_orderdate").cast("long"))
+        .groupBy("l_year")
+        .agg(_dec_sum(num, "_num", 6), _dec_sum(vol, "_den", 6))
+        .select("l_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue per customer, top 20.
+# ---------------------------------------------------------------------------
+
+@register("q10_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01")))
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue", 6))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: left outer join + two-level aggregation (orders-per-customer
+# histogram). Keeps customers with zero orders via COUNT(non-null col).
+# ---------------------------------------------------------------------------
+
+@register("q13_customer_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First agg happens on the join key itself, so Catalyst reuses the
+    join's hash partitioning — the histogram re-shuffle moves only
+    (c_count) pairs."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue ratio — conditional aggregate over one join.
+# ---------------------------------------------------------------------------
+
+@register("q14_promo_effect", """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01")))
+    p = read_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(_dec_sum(promo, "_num", 6), _dec_sum(vol, "_den", 6))
+        .select((F.lit(100.0) * F.col("_num") / F.col("_den"))
+                .alias("promo_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated scalar subquery (per-part average quantity) — in
+# Spark the correlation collapses into a window over the joined slice.
+# ---------------------------------------------------------------------------
+
+@register("q17_small_quantity", """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""")
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand filter prunes part to ~3%, broadcast-joins into lineitem;
+    the correlated AVG becomes avg().over(partitionBy(l_partkey)) on the
+    pruned slice — one shuffle, no second lineitem scan. (Per-part
+    quantity sums are small exact integers in double, so the avg is
+    bit-deterministic across engines.)"""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-volume orders — HAVING on a grouped fact, joined back
+# to its dimensions.
+# ---------------------------------------------------------------------------
+
+@register("q18_large_volume", """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""")
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING subquery and the outer per-order sum are the same
+    aggregation — compute it once, filter, then decorate with the
+    dimensions (broadcast customer, equi-join orders)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"),
+             F.sum("l_quantity").alias("_raw_qty"))
+        .filter(F.col("_raw_qty") > 300)
+        .drop("_raw_qty")
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive band predicates across a join.
+# ---------------------------------------------------------------------------
+
+@register("q19_disjunctive_bands", """
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-only conjuncts (brand, size) prune the broadcast side before
+    the join; the mixed disjunction evaluates post-join inside codegen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: anti join against orders for above-average-balance customers.
+# (Adapted: no c_phone in the fixture — grouped by nation key instead of
+# phone country code.)
+# ---------------------------------------------------------------------------
+
+@register("q22_dormant_customers", """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""")
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar threshold is a one-row aggregate collected once on the
+    driver (decimal-exact, so both engines compute the identical double);
+    the NOT EXISTS is a left anti join on the order keys."""
+    c = read_table(spark, sf_dir, "customer")
+    row = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                 / F.count(F.lit(1))).alias("t"))).collect()[0]
+    threshold = row["t"]
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.filter(F.col("c_acctbal") > threshold)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _dec_sum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation + exact percentile — the aggregation variants the
+# reference never had (SURVEY.md §2.4 "not present" list).
+# ---------------------------------------------------------------------------
+
+@register("agg_distinct_customers", """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS uniq_cust,
+       COUNT(*) AS cnt
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("uniq_cust"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register("agg_exact_median", """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles — quantities are small integers so
+    the interpolation arithmetic is bit-identical across engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+    )
