@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from imp_etl_spark.functions.hashing import minhash_int, shingle_hash, shingles
 from imp_etl_spark.functions.text import tokens
+from imp_etl_spark.operators.util import spread_small_scan
 
 
 def latest_per_key(df: DataFrame, key: Sequence[str],
@@ -103,6 +104,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     choice — see ``ngram_jaccard_pairs`` with a candidate frame.
     """
     rows = num_hashes // bands
+    df = spread_small_scan(df)  # shingle hashing is CPU-bound (util.py)
     toks = tokens(F.col(text_col))
     sh = shingles(toks, shingle_k)
     # one md5 per shingle, materialized once; permutations are arithmetic
@@ -155,7 +157,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shape. Pair it with ``minhash_lsh_candidates`` output at scale so only
     candidate pairs are scored.
     """
-    grams = df.select(
+    grams = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("g"),
     )

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from imp_etl_spark.functions.vector import cosine
+from imp_etl_spark.operators.util import spread_small_scan
 
 
 def _srp_bucket(vec: Column, planes: int, dim: int) -> Column:
@@ -74,7 +75,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                        F.col(vec_col).alias("__qvec"))
     )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        spread_small_scan(corpus.select(F.col(id_col), F.col(vec_col)))
         .crossJoin(q)
         .withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
     )
@@ -94,7 +95,8 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     query_id_col: str = "query_id") -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket, re-ranked by
     exact cosine. Recall grows as ``planes`` shrinks (coarser buckets)."""
-    cb = corpus.withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
+    cb = spread_small_scan(corpus).withColumn(
+        "__bkt", _srp_bucket(F.col(vec_col), planes, dim))
     qb = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__bkt", _srp_bucket(F.col("__qvec"), planes, dim))
@@ -166,7 +168,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         ]
 
     cent_lits = _lits(cent_vecs)
-    cb = corpus.withColumn("__list", _argmax(_scores(F.col(vec_col), cent_lits)))
+    cb = spread_small_scan(corpus).withColumn(
+        "__list", _argmax(_scores(F.col(vec_col), cent_lits)))
 
     # per query: indices of the nprobe best centroids
     def _top_lists(scores: Column) -> Column:
@@ -209,9 +212,9 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
     land in the same bucket with high probability; at 100 TB add
     multi-probe (flip one bit) to raise recall without widening the join.
     """
-    b = corpus.select(
+    b = spread_small_scan(corpus.select(
         F.col(id_col), F.col(vec_col)
-    ).withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
+    )).withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
     a = b.alias("a")
     c = b.alias("c")
     return (

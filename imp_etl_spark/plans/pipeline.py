@@ -25,10 +25,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from imp_etl_spark.functions import cleanse
 from imp_etl_spark.operators.dedup import latest_per_key
 from imp_etl_spark.operators.join import anti_missing, semi_prune
+from imp_etl_spark.operators.util import spread_small_scan
 
 
 def clean_queue(queue: DataFrame) -> DataFrame:
@@ -99,6 +101,7 @@ class BranchResult:
     valid: DataFrame          # cleansed, key-valid, deduped (ready to MERGE)
     skipped: DataFrame        # falsy-key rejects (P4/P5 side-output)
     missing_refs: DataFrame   # queue refs with no rows in this entity (J3)
+    cleansed: DataFrame | None = None  # persisted branch point (unpersist me)
 
 
 @dataclass
@@ -110,16 +113,27 @@ class PipelineResult:
 
 
 def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
-            cleanse_fn, order_col: str, compat: bool) -> BranchResult:
-    pruned = semi_prune(entity, keys, "reference_no")
+            cleanse_fn, order_col: str, compat: bool,
+            persist: bool) -> BranchResult:
+    # cleanse is CPU-bound (regex/timestamp parsing); widen few-partition
+    # local scans to all cores first (no-op on real multi-split tables)
+    pruned = spread_small_scan(semi_prune(entity, keys, "reference_no"))
     cleansed = cleanse_fn(pruned, compat=compat)
+    if persist:
+        # valid-count, skipped-count and the MERGE all consume this node;
+        # persisting it turns 3 recomputations of scan->semi-join->cleanse
+        # into one (MEMORY_AND_DISK: spills rather than OOMs at scale; on
+        # a Delta deployment you'd use observe() metrics instead and skip
+        # the persist entirely)
+        cleansed = cleansed.persist(StorageLevel.MEMORY_AND_DISK)
     invalid = cleanse.any_falsy_key(pk)
     skipped = cleansed.filter(invalid)
     valid = latest_per_key(
         cleansed.filter(~invalid), pk, [order_col], desc=True
     )
     missing = anti_missing(keys, entity, "reference_no")
-    return BranchResult(valid=valid, skipped=skipped, missing_refs=missing)
+    return BranchResult(valid=valid, skipped=skipped, missing_refs=missing,
+                        cleansed=cleansed if persist else None)
 
 
 def build_pipeline(queue: DataFrame, voucher: DataFrame,
@@ -127,12 +141,14 @@ def build_pipeline(queue: DataFrame, voucher: DataFrame,
                    voucher_key: list[str] | None = None,
                    transaction_key: list[str] | None = None,
                    order_col: str = "reference_no",
-                   compat: bool = True) -> PipelineResult:
-    """Assemble the full dataflow. All lazy — nothing executes here."""
+                   compat: bool = True,
+                   persist: bool = True) -> PipelineResult:
+    """Assemble the full dataflow. All lazy — nothing executes here
+    (``persist`` only marks the branch points for caching)."""
     keys = reference_keys(queue)
     vb = _branch(voucher, keys, voucher_key or ["voucher_id", "reference_no"],
-                 cleanse_voucher, order_col, compat)
+                 cleanse_voucher, order_col, compat, persist)
     tb = _branch(transaction, keys,
                  transaction_key or ["voucher_details_id", "reference_no"],
-                 cleanse_transaction, order_col, compat)
+                 cleanse_transaction, order_col, compat, persist)
     return PipelineResult(voucher=vb, transaction=tb, keys=keys)

@@ -72,6 +72,10 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
     # sample 5, as the reference logs slice(0,5) (etlService.js:499-510)
     warning_sample = [r["warning"] for r in warnings.limit(5).collect()]
 
+    for branch in (result.voucher, result.transaction):
+        if branch.cleansed is not None:
+            branch.cleansed.unpersist()
+
     new_wm_row = queue.agg(F.max("log_id").alias("wm")).collect()[0]
     summary = {
         "processedVoucherCount": processed_voucher,
