@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 from imp_etl_spark.functions.hashing import minhash_hex, shingles, simhash
 from imp_etl_spark.functions.text import (
     LANG_MARKERS,
+    bpe_ish_tokens,
     lang_id,
     mean_token_len,
     punct_ratio,
+    quality_score,
     stopword_ratio,
     token_count,
     tokens,
@@ -115,6 +117,50 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2147483647).cast("long")),
     )
     return docs.select("doc_id", fp.alias("fp"))
+
+
+@register("doc_quality", f"""
+WITH s AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+), r AS (
+  SELECT doc_id,
+         least(length(text) / 500.0, 1.0) AS len_band,
+         CASE WHEN len(t) > 0
+              THEN CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE) / len(t)
+              ELSE 0.0 END AS sr,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr
+  FROM s
+)
+SELECT doc_id,
+       round(0.4 * len_band + 0.3 * least(sr * 4, 1.0)
+             + 0.3 * greatest(1.0 - pr * 5, 0.0), 6) AS quality
+FROM r
+""")
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite heuristic quality score (functions/text.py
+    quality_score): length band + stopword presence + punctuation
+    penalty, all codegen built-ins."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register("bpe_token_count", r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1)) AS n_bpe,
+       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws
+FROM documents
+""")
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish (BPE-flavoured regex) vs whitespace token counts —
+    the token-accounting stage of a training-data pipeline."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    )
 
 
 # ---------------------------------------------------------------------------

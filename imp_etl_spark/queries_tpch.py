@@ -468,6 +468,47 @@ def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — wide<->long reshaping. A pivot with an explicit value
+# list is a single groupBy with conditional aggregates (no extra pass to
+# discover the domain — at scale the implicit-domain form adds a full
+# distinct scan, so the engine always pins the values).
+# ---------------------------------------------------------------------------
+
+@register("pivot_status_counts", """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+FROM orders
+GROUP BY o_orderpriority
+""")
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "st_f", "O": "st_o", "P": "st_p"})
+    )
+
+
+@register("unpivot_measures", """
+SELECT l_orderkey, l_linenumber, measure, val
+FROM lineitem
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""")
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of the numeric measures; pure narrow op (no
+    shuffle) — row count triples, bytes stay constant."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure", "val",
+    )
+
+
 @register("agg_exact_median", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,
