@@ -1,3 +1,3 @@
-from imp_etl_spark.operators import agg, dedup, join, similarity, window
+from imp_etl_spark.operators import agg, dedup, join, similarity, skew, window
 
-__all__ = ["agg", "dedup", "join", "similarity", "window"]
+__all__ = ["agg", "dedup", "join", "similarity", "skew", "window"]

@@ -746,6 +746,102 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("salted_skew_agg", """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+""")
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over the
+    low-cardinality (hence skew-prone) event_type key — semantically
+    identical to the plain GROUP BY the oracle runs; physically the hot
+    group fans out over 16 salt buckets before the final combine."""
+    from imp_etl_spark.operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev, ["event_type"],
+        partial=[F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+                 F.count(F.lit(1)).alias("c")],
+        final=[F.sum("s").cast("double").alias("val_sum"),
+               F.sum("c").alias("cnt")],
+        buckets=16,
+    )
+
+
+@register("stream_dedup_events", None)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the input
+    stream delivers every event twice (two identical files); the output
+    must contain each event_id exactly once. Rows-only check; the
+    first-arrival-wins semantics are pinned in tests/test_etl_stream.py."""
+    import tempfile
+
+    from imp_etl_spark.streaming.etl_stream import dedup_stream
+    from imp_etl_spark.streaming.windows import stream_events
+
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    src, name = f"{tmp}/src", "stream_dedup_events_sink"
+    ev = read_table(spark, sf_dir, "events")
+    ev.coalesce(1).write.parquet(src, mode="overwrite")
+    ev.coalesce(1).write.parquet(src, mode="append")
+    stream = stream_events(spark, src, spark.read.parquet(src).schema)
+    q = (dedup_stream(stream, ["event_id"], "ts", within="2 hours")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT event_id, user_id, event_type FROM {name}")
+
+
+@register("stream_interval_join", """
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+       c.value AS click_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks on both sides (clicks
+    in the 10 minutes preceding each purchase): run on a real stream to
+    completion; the batch-equivalent SQL is the oracle — streaming and
+    batch answers agree because availableNow drains all data and the
+    join condition is time-bounded."""
+    import tempfile
+
+    from imp_etl_spark.streaming.etl_stream import interval_join_stream
+    from imp_etl_spark.streaming.windows import stream_events
+
+    tmp = tempfile.mkdtemp(prefix="ij_stream_")
+    src, name = f"{tmp}/src", "stream_interval_join_sink"
+    read_table(spark, sf_dir, "events").coalesce(2).write.parquet(
+        src, mode="overwrite")
+    schema = spark.read.parquet(src).schema
+    stream = stream_events(spark, src, schema)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    joined = interval_join_stream(purchases, clicks, on="user_id",
+                                  left_ts="ts", right_ts="ts",
+                                  lower="interval 10 minutes")
+    out = joined.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("__l_ts")).alias("purchase_us"),
+        F.unix_micros(F.col("__r_ts")).alias("click_us"),
+        F.col("value").alias("click_value"),
+    )
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 # ===========================================================================
 # Temporal joins (operators/temporal.py): as-of + banded range join.
 # Not in the reference (SURVEY.md §2.3 "not present"); north-star ops.

@@ -1,0 +1,130 @@
+"""Incremental streaming ETL (streaming/etl_stream.py): foreachBatch
+epochs + checkpoint = the reference's cron micro-batch loop (ST1-ST4)
+with exactly-once queue consumption."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.plans.upsert import read_target
+from imp_etl_spark.sources.parquet import read_table
+from imp_etl_spark.streaming.etl_stream import (
+    dedup_stream,
+    interval_join_stream,
+    run_etl_stream,
+)
+from imp_etl_spark.streaming.windows import stream_events
+from tests.conftest import SF_DIR
+
+
+def _queue_frames(spark):
+    """Work-queue mapping (FIXTURES.md family A): orders -> queue."""
+    return read_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("log_id"),
+        F.col("o_custkey").cast("string").alias("reference_no"),
+        F.lit("voucher").alias("table"),
+    )
+
+
+def _entities(spark):
+    voucher = read_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").cast("string").alias("voucher_id"),
+        F.col("c_custkey").cast("string").alias("reference_no"),
+        F.col("c_name").alias("first_name"),
+    )
+    txn = read_table(spark, SF_DIR, "lineitem").join(
+        read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("voucher_details_id"),
+        F.col("o_custkey").cast("string").alias("reference_no"),
+        F.col("l_quantity").cast("string").alias("quantity"),
+    )
+    return voucher, txn
+
+
+def test_streaming_etl_epochs_merge_and_checkpoint(spark, tmp_path):
+    queue = _queue_frames(spark)
+    voucher, txn = _entities(spark)
+    src = str(tmp_path / "queue_stream")
+    ckpt = str(tmp_path / "ckpt")
+    vout, tout = str(tmp_path / "voucher"), str(tmp_path / "txn")
+
+    # two files -> (up to) two epochs
+    queue.filter(F.col("log_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    queue.filter(F.col("log_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "log_id BIGINT, reference_no STRING, table STRING").parquet(src)
+    summaries: list[dict] = []
+    q = run_etl_stream(spark, stream, voucher, txn, vout, tout, ckpt,
+                       epoch_summaries=summaries)
+    q.awaitTermination(180)
+
+    assert len(summaries) >= 1
+    total_v = sum(s["processedVoucherCount"] for s in summaries)
+    assert total_v > 0
+    # final voucher target = every customer referenced by any order
+    target = read_target(spark, vout)
+    expect = (queue.select("reference_no").distinct()
+              .join(voucher, "reference_no", "left_semi").count())
+    assert target.select("voucher_id").distinct().count() == expect
+
+    # restart on the same checkpoint: no new epochs, target unchanged
+    before = target.count()
+    summaries2: list[dict] = []
+    q2 = run_etl_stream(spark, stream, voucher, txn, vout, tout, ckpt,
+                        epoch_summaries=summaries2)
+    q2.awaitTermination(180)
+    assert sum(s["processedVoucherCount"] for s in summaries2) == 0
+    assert read_target(spark, vout).count() == before
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events").limit(200)
+    src = str(tmp_path / "dups")
+    # write the same rows twice -> every key re-delivered once
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = stream_events(spark, src, spark.read.parquet(src).schema)
+    deduped = dedup_stream(stream, ["event_id"], "ts", within="2 hours")
+    q = (deduped.writeStream.format("memory").queryName("dedup_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c, count(distinct event_id) d "
+                    "from dedup_stream_t").collect()[0]
+    assert got["c"] == got["d"] == 200
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    ev = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ij_events")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def split(df):
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts")
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value")
+        return purchases, clicks
+
+    sp, sc = split(stream_events(spark, src, schema))
+    joined = interval_join_stream(sp, sc, on="user_id",
+                                  left_ts="ts", right_ts="ts",
+                                  lower="interval 10 minutes")
+    q = (joined.writeStream.format("memory").queryName("ij_stream_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) c from ij_stream_t").collect()[0]["c"]
+
+    bp, bc = split(read_table(spark, SF_DIR, "events"))
+    want = (bp.alias("l").join(
+        bc.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr("interval 10 minutes"))
+        & (F.col("r.ts") <= F.col("l.ts"))).count())
+    assert got == want
