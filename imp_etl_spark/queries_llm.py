@@ -119,6 +119,50 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fp"))
 
 
+@register("explode_tokens", f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 50 = 0
+), z AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+                               i -> {{'pos': i - 1, 'tok': t[i]}})) AS s
+  FROM toks
+)
+SELECT doc_id, s.pos AS pos, s.tok AS tok FROM z
+""")
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view positional explode (array -> rows). Narrow op: no
+    shuffle; row count fans out by tokens-per-doc."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0)
+    return (
+        docs.select("doc_id", F.posexplode(tokens(F.col("text"))))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                F.col("col").alias("tok"))
+    )
+
+
+@register("word_counts_top50", f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents)
+SELECT tok, COUNT(*) AS cnt FROM (SELECT unnest(t) AS tok FROM toks)
+GROUP BY tok
+ORDER BY cnt DESC, tok ASC
+LIMIT 50
+""")
+def word_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode -> groupBy -> top-k corpus word count.
+    Partial (map-side) aggregation absorbs the fan-out before the
+    shuffle: the exchange carries distinct (token, partial-count) pairs,
+    not one row per token occurrence."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
 @register("doc_quality", f"""
 WITH s AS (
   SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
