@@ -22,12 +22,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume",
     "dedup_latest_per_key",
     "win_topn_per_group",
     "events_session_10m",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "text_stats",
+    "word_counts_top50",
 ]
 
 

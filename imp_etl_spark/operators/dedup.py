@@ -24,7 +24,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from imp_etl_spark.functions.hashing import minhash_int, shingle_hash, shingles
+from imp_etl_spark.functions.hashing import (
+    hamming64,
+    minhash_int,
+    shingle_hash,
+    shingles,
+    simhash,
+)
 from imp_etl_spark.functions.text import tokens
 from imp_etl_spark.operators.util import spread_small_scan
 
@@ -143,6 +149,50 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return pairs
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", bits: int = 48,
+                           max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming.
+
+    Banding uses the pigeonhole principle: with ``bands > max_hamming``
+    equal-size blocks, any pair within ``max_hamming`` differs in at most
+    ``max_hamming`` blocks, so at least one block matches exactly — the
+    per-block self-join therefore finds EVERY qualifying pair (no recall
+    loss), while only same-block docs ever meet. The shuffle carries
+    (band, block_value) keys, and the hamming re-check prunes false
+    candidates.
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    block_bits = bits // bands
+    mask = (1 << block_bits) - 1
+    sigs = spread_small_scan(df).select(
+        F.col(id_col), simhash(tokens(F.col(text_col)), bits=bits).alias("sig"))
+    blocks = sigs.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * block_bits)
+                .bitwiseAND(F.lit(mask)).alias("blk"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"),
+             F.col("bk.blk").alias("blk"))
+    a, b_ = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b_, on=["band", "blk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -374,6 +374,18 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(tokens(F.col("text")), bits=32).alias("simhash"))
 
 
+@register("simhash_near_dup", None)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs via pigeonhole banding
+    (operators/dedup.py) — exact recall vs brute force is pinned in
+    tests/test_similarity.py; xxhash64-based, hence rows-only here."""
+    from imp_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id",
+                                  bits=48, max_hamming=6, bands=8)
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: wrap text bytes as opaque media payloads,

@@ -41,3 +41,34 @@ def test_ivf_nprobe_full_scan_is_exact(spark):
     full = _sets(similarity.ivf_topk(
         emb, q, k=5, nlist=6, nprobe=6, kmeans_iters=1))
     assert full == exact
+
+
+def test_simhash_near_dup_matches_brute_force(spark):
+    """Pigeonhole banding (bands > max_hamming) must find EXACTLY the
+    brute-force hamming-ball pairs — no recall loss, no extras."""
+    from imp_etl_spark.functions.hashing import hamming64, simhash
+    from imp_etl_spark.functions.text import tokens
+    from imp_etl_spark.operators.dedup import simhash_near_dup_pairs
+    from imp_etl_spark.sources.parquet import read_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_DIR, "documents").limit(150)
+    got = sorted(
+        tuple(r) for r in simhash_near_dup_pairs(
+            docs, "text", "doc_id", bits=48, max_hamming=6, bands=8
+        ).collect()
+    )
+
+    sigs = docs.select(
+        "doc_id", simhash(tokens(F.col("text")), bits=48).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    want = sorted(
+        tuple(r) for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
+        .filter(F.col("hamming") <= 6).collect()
+    )
+    assert got == want and len(want) > 0
