@@ -746,6 +746,35 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@register("events_rollup_hour_day", """
+SELECT date_trunc('day', ts) AS bucket_day, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""")
+def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: raw -> hourly -> daily,
+    where the daily tier aggregates the HOURLY tier, not the raw events
+    (the continuous-aggregate pattern — at 100 TB the coarse tiers read
+    the fine tiers' few rows instead of rescanning the event log; the
+    oracle computes daily directly, which must agree because decimal
+    sums re-aggregate losslessly)."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+                   "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("val_sum_h"),
+             F.count(F.lit(1)).alias("cnt_h"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("bucket_hour"))
+                       .cast("date").alias("bucket_day"), "event_type")
+        .agg(F.sum("val_sum_h").cast("double").alias("val_sum"),
+             F.sum("cnt_h").alias("cnt"))
+    )
+
+
 @register("salted_skew_agg", """
 SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,

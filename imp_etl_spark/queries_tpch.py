@@ -509,6 +509,20 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_stats", None)
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB tier: HLL++ count-distinct and
+    t-digest-style percentile — O(1) state per group vs O(n) exact.
+    Sketch values are engine-specific (rows-only check); the 5%% error
+    envelope vs exact is pinned in tests/test_approx.py."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 @register("agg_exact_median", """
 SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -72,3 +72,36 @@ def test_semi_prune_is_broadcast(spark):
 def test_unpivot_needs_no_shuffle(spark):
     plan = _executed(_run("unpivot_measures", spark))
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key -> sort-merge join with zero
+    Exchange nodes (the co-located layout a 100 TB fact-fact join needs)."""
+    from imp_etl_spark.sources.bucketed import colocated_join, write_bucketed
+    from imp_etl_spark.sources.parquet import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    o = read_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    import shutil
+
+    for t in ("b_lineitem", "b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(li, "b_lineitem", 4, "l_orderkey")
+    write_bucketed(o, "b_orders", 4, "l_orderkey")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path the layout exists for (small local
+        # fixtures would otherwise broadcast and skip bucketed reads)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _executed(joined)
+        assert "Bucketed: true" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
