@@ -1,0 +1,109 @@
+"""ETL control plane: the Express API's lifecycle verbs as driver calls.
+
+The reference wraps its pipeline in an HTTP control plane (SURVEY.md §3):
+``POST /api/start-etl`` (cron-schedule, ``index.js:46-112``),
+``POST /api/start-etl-force`` (run now, ``index.js:114-164``),
+``POST /api/stop-etl`` (``index.js:166-206``), ``GET /api/etl-status``
+(``index.js:329-342``), guarded by a single ``isEtlRunning`` flag
+(``index.js:25``) that does NOT prevent cron-fire overlap with a long run
+(ST6 — interleaved runs visible at ``logs/RSBSAetl.log:10-13``). Here the
+same verbs drive Structured Streaming, whose scheduler serializes epochs
+— the overlap bug is structurally impossible:
+
+- ``run_once``     = start-etl-force (Trigger.AvailableNow, blocks)
+- ``schedule``     = start-etl (processing-time trigger = the cron clock)
+- ``stop``         = stop-etl (in-flight epoch finishes, like task.stop())
+- ``status``       = etl-status (flag + schedule + durations, same keys)
+
+HTTP itself stays out of engine scope (SURVEY §7.7) — any server can
+wrap these four calls.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from imp_etl_spark.plans.runner import run_etl
+from imp_etl_spark.streaming.etl_stream import run_etl_stream
+
+
+class EtlController:
+    """Lifecycle wrapper over the batch runner and the streaming epochs."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._query = None
+        self._schedule: str | None = None
+        self._started_at: float | None = None
+        self._last_summary: dict[str, Any] | None = None
+        self.epoch_summaries: list[dict[str, Any]] = []
+
+    # -- start-etl-force ---------------------------------------------------
+    def run_once(self, queue: DataFrame, voucher: DataFrame,
+                 transaction: DataFrame, voucher_path: str, txn_path: str,
+                 **kwargs) -> dict[str, Any]:
+        """Synchronous single run; returns the reference-shaped summary
+        (etlService.js:576-583). Refuses while a schedule is active —
+        the isEtlRunning guard, minus its overlap hole."""
+        if self.is_running:
+            raise RuntimeError("ETL is already running; stop it first")
+        self._started_at = time.time()
+        try:
+            self._last_summary = run_etl(
+                self.spark, queue, voucher, transaction,
+                voucher_path, txn_path, **kwargs)
+            return self._last_summary
+        finally:
+            self._started_at = None
+
+    # -- start-etl (scheduled) --------------------------------------------
+    def schedule(self, queue_stream: DataFrame, voucher: DataFrame,
+                 transaction: DataFrame, voucher_path: str, txn_path: str,
+                 checkpoint_dir: str, every: str = "1 minute",
+                 **kwargs) -> None:
+        """Start the recurring micro-batch query (the cron analog —
+        ``every`` plays the cron pattern, ST1)."""
+        if self.is_running:
+            raise RuntimeError("ETL is already scheduled")
+        self.epoch_summaries.clear()
+        self._query = run_etl_stream(
+            self.spark, queue_stream, voucher, transaction,
+            voucher_path, txn_path, checkpoint_dir,
+            available_now=False, processing_time=every,
+            epoch_summaries=self.epoch_summaries, **kwargs)
+        self._schedule = every
+        self._started_at = time.time()
+
+    # -- stop-etl ----------------------------------------------------------
+    def stop(self) -> dict[str, Any]:
+        """Stop the schedule; the in-flight epoch completes first (the
+        reference's task.stop() likewise only halts FUTURE fires, ST5)."""
+        if self._query is not None:
+            self._query.stop()
+            self._query.awaitTermination(60)
+            self._query = None
+        out = self.status()
+        self._schedule = None
+        self._started_at = None
+        return out
+
+    # -- etl-status / health ----------------------------------------------
+    @property
+    def is_running(self) -> bool:
+        if self._query is not None:
+            return self._query.isActive
+        return self._started_at is not None
+
+    def status(self) -> dict[str, Any]:
+        """The GET /api/etl-status shape (index.js:329-342)."""
+        return {
+            "isRunning": self.is_running,
+            "schedule": self._schedule,
+            "uptimeSec": round(time.time() - self._started_at, 3)
+            if self._started_at else None,
+            "epochsCompleted": len(self.epoch_summaries),
+            "lastSummary": self._last_summary,
+        }
