@@ -2,15 +2,19 @@
 
 The reference's pagination (`ORDER BY log_id LIMIT ? OFFSET ?`,
 models/EtlLogger.js:13) exists because Node must bound memory; Spark
-partitions the scan instead, so ``paginate`` is provided for literal
-batch-window parity (row_number over a total order) while production
-paths just process the whole frame.
+partitions the scan instead, so ``paginate`` exists for literal
+batch-window parity while production paths just process the whole frame
+(the scalable incremental pattern is the ``log_id`` high-watermark in
+``plans.runner``).
 
-Scale notes: a global row_number needs a total order — a single-partition
-sort at the extreme. ``paginate`` is therefore parity/testing surface; the
-scalable incremental pattern is the ``log_id`` high-watermark in
-``plans.runner``. Ranked-within-group windows (rank_in_group) shuffle once
-on the partition key — the normal analytic shape.
+Scale notes: a naive global ``row_number()`` (Window with no
+partitionBy) funnels ALL rows through one task — the classic 100 TB
+killer. ``global_index`` does it distributed instead: range-partition on
+the order column (ranges are ordered and non-overlapping), rank within
+each partition in parallel, then add per-partition base offsets computed
+from a partition-count pass. The only driver-side data is one count per
+partition. Ranked-within-group windows (rank_in_group) shuffle once on
+the partition key — the normal analytic shape.
 """
 
 from __future__ import annotations
@@ -21,11 +25,42 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
-def paginate(df: DataFrame, order_col: str, offset: int, limit: int) -> DataFrame:
-    """S2/O2 — deterministic batch window over a total order."""
-    w = Window.orderBy(F.col(order_col).asc())
+def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
+                 num_partitions: int | None = None) -> DataFrame:
+    """Distributed 1-based global row index over a total order on
+    ``order_col`` (ties broken arbitrarily but ranked consistently).
+
+    Two jobs: a per-partition count (tiny collect) and the indexed
+    output; no single-task sort anywhere.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(n, F.col(order_col).asc())
+         .withColumn("__pid", F.spark_partition_id()))
+    counts = {r["__pid"]: r["c"] for r in
+              d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                           for x in kv]),
+            F.col("__pid"))
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        d.withColumn(col_name, (F.row_number().over(w) + off).cast("long"))
+        .drop("__pid")
+    )
+
+
+def paginate(df: DataFrame, order_col: str, offset: int, limit: int) -> DataFrame:
+    """S2/O2 — deterministic batch window over a total order, built on
+    the distributed ``global_index`` (no single-partition sort)."""
+    return (
+        global_index(df, order_col)
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
         .drop("__rn")
     )

@@ -21,9 +21,10 @@ reused by the sink's own key-partitioned write. Counters ride
 
 from __future__ import annotations
 
+import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -102,6 +103,23 @@ class BranchResult:
     skipped: DataFrame        # falsy-key rejects (P4/P5 side-output)
     missing_refs: DataFrame   # queue refs with no rows in this entity (J3)
     cleansed: DataFrame | None = None  # persisted branch point (unpersist me)
+    # observe() metrics (A2/A3): recorded for free during the first action
+    # that executes the branch (normally the MERGE write) — zero extra
+    # passes. obs_cleansed -> {"skipped": n}; obs_valid -> {"processed": n}.
+    obs_cleansed: Observation | None = None
+    obs_valid: Observation | None = None
+
+    def processed_count(self) -> int:
+        """Post-dedup valid rows; reads the observation if an action has
+        already executed the branch, else falls back to one count()."""
+        if self.obs_valid is not None:
+            return int(self.obs_valid.get["processed"])
+        return self.valid.count()
+
+    def skipped_count(self) -> int:
+        if self.obs_cleansed is not None:
+            return int(self.obs_cleansed.get["skipped"] or 0)
+        return self.skipped.count()
 
 
 @dataclass
@@ -119,21 +137,27 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
     # local scans to all cores first (no-op on real multi-split tables)
     pruned = spread_small_scan(semi_prune(entity, keys, "reference_no"))
     cleansed = cleanse_fn(pruned, compat=compat)
-    if persist:
-        # valid-count, skipped-count and the MERGE all consume this node;
-        # persisting it turns 3 recomputations of scan->semi-join->cleanse
-        # into one (MEMORY_AND_DISK: spills rather than OOMs at scale; on
-        # a Delta deployment you'd use observe() metrics instead and skip
-        # the persist entirely)
-        cleansed = cleansed.persist(StorageLevel.MEMORY_AND_DISK)
     invalid = cleanse.any_falsy_key(pk)
+    # counters ride the data (A2): recorded when the MERGE executes the
+    # branch — no dedicated count jobs
+    tag = uuid.uuid4().hex[:8]
+    obs_cleansed = Observation(f"cleansed_{tag}")
+    cleansed = cleansed.observe(
+        obs_cleansed, F.sum(invalid.cast("long")).alias("skipped"))
+    if persist:
+        # skipped side-output and the MERGE both consume this node;
+        # persist turns the recomputation of scan->semi-join->cleanse
+        # into one pass (MEMORY_AND_DISK: spills rather than OOMs)
+        cleansed = cleansed.persist(StorageLevel.MEMORY_AND_DISK)
     skipped = cleansed.filter(invalid)
+    obs_valid = Observation(f"valid_{tag}")
     valid = latest_per_key(
         cleansed.filter(~invalid), pk, [order_col], desc=True
-    )
+    ).observe(obs_valid, F.count(F.lit(1)).alias("processed"))
     missing = anti_missing(keys, entity, "reference_no")
     return BranchResult(valid=valid, skipped=skipped, missing_refs=missing,
-                        cleansed=cleansed if persist else None)
+                        cleansed=cleansed if persist else None,
+                        obs_cleansed=obs_cleansed, obs_valid=obs_valid)
 
 
 def build_pipeline(queue: DataFrame, voucher: DataFrame,

@@ -47,18 +47,18 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
                             transaction_key=transaction_key,
                             order_col=order_col, compat=compat)
 
-    # counts: one aggregate per side-frame; the valid frames are counted
-    # by the merge write itself (count after dedup)
-    processed_voucher = result.voucher.valid.count()
-    skipped_voucher = result.voucher.skipped.count()
-    processed_txn = result.transaction.valid.count()
-    skipped_txn = result.transaction.skipped.count()
-
+    # MERGE first: the writes execute both branches, and the observe()
+    # metrics attached in build_pipeline record the processed/skipped
+    # counters during that same pass — zero dedicated count jobs (A2/A3)
     merge_upsert(spark, voucher_path, result.voucher.valid,
                  voucher_key or ["voucher_id", "reference_no"], order_col)
     merge_upsert(spark, txn_path, result.transaction.valid,
                  transaction_key or ["voucher_details_id", "reference_no"],
                  order_col)
+    processed_voucher = result.voucher.processed_count()
+    skipped_voucher = result.voucher.skipped_count()
+    processed_txn = result.transaction.processed_count()
+    skipped_txn = result.transaction.skipped_count()
 
     warnings = (
         result.voucher.missing_refs.withColumn(

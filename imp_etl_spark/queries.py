@@ -121,16 +121,15 @@ FROM (
 WHERE rn > 100 AND rn <= 300
 """)
 def s2_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination via the distributed global index (operators/window.py
+    paginate) — range-partitioned ranking, never a single-task sort."""
+    from imp_etl_spark.operators.window import paginate
+
     o = read_table(spark, sf_dir, "orders")
     filtered = o.filter(
         F.col("o_custkey").isNotNull() & F.col("o_orderstatus").isNotNull()
     ).select("o_orderkey", "o_custkey", "o_orderstatus")
-    w = Window.orderBy(F.col("o_orderkey").asc())
-    return (
-        filtered.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 300))
-        .drop("rn")
-    )
+    return paginate(filtered, "o_orderkey", offset=100, limit=200)
 
 
 # ---------------------------------------------------------------------------

@@ -64,12 +64,12 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
         result = build_pipeline(batch_queue, voucher, transaction,
                                 voucher_key=vkey, transaction_key=tkey,
                                 order_col=order_col, compat=compat)
-        pv = result.voucher.valid.count()
-        pt = result.transaction.valid.count()
-        sv = result.voucher.skipped.count()
-        st = result.transaction.skipped.count()
         merge_upsert(spark, voucher_path, result.voucher.valid, vkey, order_col)
         merge_upsert(spark, txn_path, result.transaction.valid, tkey, order_col)
+        pv = result.voucher.processed_count()
+        pt = result.transaction.processed_count()
+        sv = result.voucher.skipped_count()
+        st = result.transaction.skipped_count()
         for branch in (result.voucher, result.transaction):
             if branch.cleansed is not None:
                 branch.cleansed.unpersist()

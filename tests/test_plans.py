@@ -105,3 +105,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_global_index_is_distributed_and_correct(spark):
+    """global_index must equal the naive global row_number while never
+    collapsing to a single partition."""
+    from imp_etl_spark.operators.window import global_index
+    from imp_etl_spark.sources.parquet import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    idx = global_index(o, "o_orderkey", "gidx", num_partitions=8)
+    rows = idx.orderBy("gidx").collect()
+    keys = [r["o_orderkey"] for r in rows]
+    assert keys == sorted(keys)
+    assert [r["gidx"] for r in rows] == list(range(1, len(rows) + 1))
+    # no single-partition funnel anywhere in the plan (the naive global
+    # row_number would need an Exchange SinglePartition; AQE may still
+    # coalesce the tiny local exchange, which is fine)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
