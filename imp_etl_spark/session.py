@@ -28,6 +28,14 @@ _DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # split small file sets down to at least this many scan partitions so
+    # CPU-bound expression work uses every core even when the input is a
+    # handful of sub-128MB files; at real scale the scan already exceeds
+    # this and the setting is inert. minPartitionNum's split size is
+    # floored at openCostInBytes, so drop that floor from 4MB to 1MB —
+    # per-split open overhead on parquet is far below 1MB of scan work
+    "spark.sql.files.minPartitionNum": "32",
+    "spark.sql.files.openCostInBytes": str(1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
