@@ -52,9 +52,30 @@ def current_snapshot_path(path: str) -> str | None:
     return os.path.join(path, f"{_VERSION_PREFIX}{vs[-1]}") if vs else None
 
 
-def read_target(spark: SparkSession, path: str) -> DataFrame | None:
+def read_target(spark: SparkSession, path: str,
+                version: int | None = None) -> DataFrame | None:
+    """Read the current snapshot, or a retained older one (time travel —
+    ``version`` from the ``merge_upsert`` return value; how many stay
+    readable is ``keep_versions``)."""
+    if version is not None:
+        if version not in _versions(path):
+            raise ValueError(
+                f"version {version} not retained at {path}; "
+                f"have {_versions(path)}")
+        return spark.read.parquet(
+            os.path.join(path, f"{_VERSION_PREFIX}{version}"))
     snap = current_snapshot_path(path)
     return spark.read.parquet(snap) if snap else None
+
+
+def _clean_orphan_staging(path: str) -> None:
+    """Remove staging dirs left by crashed writers (never the live
+    versions — a crash before the rename flip leaves only these)."""
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if d.startswith("_staging_"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
@@ -83,6 +104,7 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
             b.unionByName(t), key, ["__prio"], desc=True
         ).drop("__prio")
 
+    _clean_orphan_staging(path)
     vs = _versions(path)
     new_v = (vs[-1] + 1) if vs else 0
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")

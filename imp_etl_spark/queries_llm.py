@@ -374,6 +374,17 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(tokens(F.col("text")), bits=32).alias("simhash"))
 
 
+@register("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over opaque media payloads (video shape):
+    byte-offset samples via pure built-ins, no codec required."""
+    from imp_etl_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    media = attach_media(docs, "text", "video", "raw", "doc_id")
+    return frame_sample(media, every_n_bytes=64, max_frames=8)
+
+
 @register("simhash_near_dup", None)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-ball near-dup pairs via pigeonhole banding

@@ -93,3 +93,35 @@ def test_run_etl_summary_and_watermark(spark, tmp_path):
     assert summary2["processedVoucherCount"] == 0
     assert summary2["watermark"] == 8
     assert read_target(spark, str(tmp_path / "v")).count() == 3
+
+
+def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
+    """Retained snapshot versions stay readable (time travel); orphaned
+    staging dirs from crashed writers are swept on the next merge."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.plans.upsert import merge_upsert, read_target
+
+    path = str(tmp_path / "tt")
+    base = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("a").alias("v"),
+        F.col("id").alias("ord"))
+    v0 = merge_upsert(spark, path, base, ["k"], "ord")
+    upd = spark.range(2).select(
+        F.col("id").alias("k"), F.lit("b").alias("v"),
+        (F.col("id") + 10).alias("ord"))
+    # simulate a crashed writer before merging again
+    os.makedirs(os.path.join(path, "_staging_deadbeef"))
+    v1 = merge_upsert(spark, path, upd, ["k"], "ord")
+
+    assert not [d for d in os.listdir(path) if d.startswith("_staging_")]
+    cur = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert cur[0] == "b" and cur[4] == "a"
+    old = {r["k"]: r["v"] for r in read_target(spark, path, version=v0).collect()}
+    assert old[0] == "a"
+    with pytest.raises(ValueError, match="not retained"):
+        read_target(spark, path, version=99)
+    assert v1 == v0 + 1

@@ -67,3 +67,21 @@ def test_jdbc_requires_bounds_with_partition_column(spark):
     with pytest.raises(ValueError, match="bounds"):
         read_jdbc(spark, "jdbc:mysql://example/db", "voucher",
                   partition_column="log_id")
+
+
+def test_csv_corrupt_record_side_output(spark, tmp_path):
+    """PERMISSIVE mode routes malformed rows to _corrupt_record instead
+    of failing the 100 TB job on one bad line."""
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "data.csv").write_text("1,alpha\n2,beta\nnot_an_int,gamma\n")
+    df = read_source(
+        spark, "csv", str(p),
+        schema="id BIGINT, name STRING, _corrupt_record STRING",
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    df = df.cache()  # corrupt-record column requires materialized parse
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.collect()[0]["_corrupt_record"].startswith("not_an_int")
+    df.unpersist()
