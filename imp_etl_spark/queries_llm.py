@@ -249,7 +249,9 @@ def jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH candidate pairs — fully oracle-checked (portable md5)
 # ---------------------------------------------------------------------------
 
-def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_ctes(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
+    """Shared CTE chain: tokens -> shingles -> hashed -> signatures ->
+    banded rows (reused by the pairs query and the composed pipeline)."""
     from imp_etl_spark.functions.hashing import MERSENNE31, MINHASH_A, MINHASH_B
 
     rows = num_hashes // bands
@@ -263,8 +265,7 @@ def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
         band_rows.append(
             f"SELECT doc_id, {b} AS band, {cols} AS sig FROM sig")
     banded = "\nUNION ALL\n".join(band_rows)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -284,11 +285,67 @@ WITH toks AS (
   FROM exploded GROUP BY doc_id
 ), banded AS (
 {banded}
-)
+)"""
+
+
+def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
+    return f"""
+WITH {_minhash_ctes(k, num_hashes, bands)}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
 WHERE a.doc_id < b.doc_id
 """
+
+
+def _dedup_pipeline_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_ctes(k, num_hashes, bands)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+), gramsets AS (
+  SELECT doc_id, list_distinct(shingles) AS gs FROM sh
+), verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN gramsets ga ON ga.doc_id = c.id_a
+  JOIN gramsets gb ON gb.doc_id = c.id_b
+  WHERE CAST(len(list_filter(ga.gs, x -> list_contains(gb.gs, x))) AS DOUBLE)
+        / (len(ga.gs) + len(gb.gs)
+           - len(list_filter(ga.gs, x -> list_contains(gb.gs, x))))
+        >= {threshold}
+), removed AS (SELECT DISTINCT id_b FROM verified)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id_b = d.doc_id)
+"""
+
+
+@register("dedup_pipeline_survivors", _dedup_pipeline_sql())
+def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM dedup pipeline end-to-end: MinHash-LSH candidate
+    generation -> exact n-gram-Jaccard verification of ONLY the
+    candidates -> survivor selection (lowest doc_id of each verified
+    near-dup pair survives, via anti join).
+
+    Scale shape: the O(n^2) pair space never materializes — candidates
+    come from band-bucket collisions, verification touches candidate
+    pairs only, and the final anti join broadcasts the (small) removal
+    set against the corpus."""
+    from imp_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_k=5,
+                                   num_hashes=12, bands=4)
+    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                                   threshold=0.5, candidates=cands)
+    removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(F.broadcast(removed), on="doc_id", how="left_anti").select(
+        "doc_id", "n_chars")
 
 
 @register("minhash_lsh_pairs", _minhash_sql())
