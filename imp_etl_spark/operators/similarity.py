@@ -112,25 +112,27 @@ def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     )
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
-             nlist: int = 16, nprobe: int = 4, kmeans_iters: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine.
+def _lits(vecs):
+    return [F.array(*[F.lit(x) for x in v]) for v in vecs]
 
-    Index: ``nlist`` centroids seeded from a deterministic corpus sample
-    (lowest xxhash64(id)) and refined with ``kmeans_iters`` distributed
-    Lloyd steps (assign = codegen argmax over centroid literals; update =
-    per-dimension mean via posexplode — only nlist·dim rows ever reach
-    the driver). Every corpus vector then lands in one list; queries
-    probe their ``nprobe`` nearest lists and exact-score only those:
-    O(Q·N·nprobe/nlist) instead of O(Q·N), and the only exchange is the
-    broadcast of the (tiny) query set.
 
-    At 100 TB: persist the assigned corpus partitioned by ``__list`` so
-    probes prune partitions at the scan, and train centroids offline on
-    a sample.
-    """
+def _cent_scores(vec: Column, cent_lits) -> Column:
+    return F.array(*[cosine(vec, c) for c in cent_lits])
+
+
+def _argmax(scores: Column) -> Column:
+    # first index achieving the max — deterministic tie-break
+    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+
+
+def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
+                        kmeans_iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Distributed Lloyd training: ``nlist`` centroids seeded from a
+    deterministic corpus sample (lowest xxhash64(id)), refined with
+    ``kmeans_iters`` steps. Assign = codegen argmax over centroid
+    literals; update = per-dimension mean via posexplode — only
+    nlist*dim rows ever reach the driver. At 100 TB, train on a sample."""
     cents = (
         corpus.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
@@ -138,20 +140,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .collect()
     )
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
-
-    def _lits(vecs):
-        return [F.array(*[F.lit(x) for x in v]) for v in vecs]
-
-    def _scores(vec: Column, cent_lits) -> Column:
-        return F.array(*[cosine(vec, c) for c in cent_lits])
-
-    def _argmax(scores: Column) -> Column:
-        # first index achieving the max — deterministic tie-break
-        return F.array_position(scores, F.array_max(scores)).cast("int") - 1
-
     for _ in range(kmeans_iters):
         assigned = corpus.withColumn(
-            "__list", _argmax(_scores(F.col(vec_col), _lits(cent_vecs))))
+            "__list", _argmax(_cent_scores(F.col(vec_col), _lits(cent_vecs))))
         means = (
             assigned.select("__list", F.posexplode(F.col(vec_col)))
             .groupBy("__list", "pos")
@@ -166,32 +157,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
             if i in by_list else cent_vecs[i]  # empty list keeps its seed
             for i in range(nlist)
         ]
+    return cent_vecs
 
-    cent_lits = _lits(cent_vecs)
-    cb = spread_small_scan(corpus).withColumn(
-        "__list", _argmax(_scores(F.col(vec_col), cent_lits)))
 
-    # per query: indices of the nprobe best centroids
-    def _top_lists(scores: Column) -> Column:
-        ranked = F.array_sort(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nlist - 1)),
-                lambda i: F.struct(scores[i].alias("s"), i.alias("idx")),
-            ),
-            lambda l, r: F.when(l["s"] > r["s"], -1)
-            .when(l["s"] < r["s"], 1)
-            .otherwise(l["idx"] - r["idx"])
-            .cast("int"),
-        )
-        return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["idx"])
+def assign_ivf_lists(corpus: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """Attach each vector's inverted-list id (nearest centroid)."""
+    return spread_small_scan(corpus).withColumn(
+        "__list", _argmax(_cent_scores(F.col(vec_col), _lits(centroids))))
 
+
+def _probe_lists(scores: Column, nlist: int, nprobe: int) -> Column:
+    """Indices of the nprobe best centroids, deterministic tie-break."""
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nlist - 1)),
+            lambda i: F.struct(scores[i].alias("s"), i.alias("idx")),
+        ),
+        lambda l, r: F.when(l["s"] > r["s"], -1)
+        .when(l["s"] < r["s"], 1)
+        .otherwise(l["idx"] - r["idx"])
+        .cast("int"),
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x["idx"])
+
+
+def _probe_and_rank(assigned: DataFrame, queries: DataFrame,
+                    centroids: list[list[float]], k: int, nprobe: int,
+                    id_col: str, vec_col: str,
+                    query_id_col: str) -> DataFrame:
+    cent_lits = _lits(centroids)
     qb = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn(
-        "__list", F.explode(_top_lists(_scores(F.col("__qvec"), cent_lits)))
-    )
-
-    cand = cb.join(F.broadcast(qb), on="__list")
+        "__list",
+        F.explode(_probe_lists(_cent_scores(F.col("__qvec"), cent_lits),
+                               len(centroids), nprobe)))
+    cand = assigned.join(F.broadcast(qb), on="__list")
     scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -201,6 +203,69 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cos", "rnk")
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             nlist: int = 16, nprobe: int = 4, kmeans_iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine, trained inline.
+
+    Every corpus vector lands in one inverted list; queries probe their
+    ``nprobe`` nearest lists and exact-score only those:
+    O(Q*N*nprobe/nlist) instead of O(Q*N), and the only exchange is the
+    broadcast of the (tiny) query set. For the persisted-index variant
+    with partition-pruned probes see ``build_ivf_index``/``ivf_topk_indexed``.
+    """
+    cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
+                                    id_col, vec_col)
+    assigned = assign_ivf_lists(corpus, cent_vecs, vec_col)
+    return _probe_and_rank(assigned, queries, cent_vecs, k, nprobe,
+                           id_col, vec_col, query_id_col)
+
+
+def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
+                    kmeans_iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Persist the IVF index: corpus parquet PARTITIONED BY the inverted
+    list, centroids as JSON alongside. Probing then prunes partitions at
+    the scan — a query touching nprobe of nlist lists reads only
+    nprobe/nlist of the bytes (the disk-backed ANN layout for 100 TB)."""
+    import json
+    import os
+
+    cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
+                                    id_col, vec_col)
+    assigned = assign_ivf_lists(corpus, cent_vecs, vec_col)
+    assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cent_vecs, f)
+    return cent_vecs
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
+                     nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Query a persisted IVF index. The ``__list IN (probed lists)``
+    filter is a partition predicate — the scan reads only the probed
+    list directories (verify via PartitionFilters in .explain)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent_vecs = json.load(f)
+    assigned = spark.read.parquet(path)
+    # prune the scan to the union of all queries' probe lists first
+    # (partition pruning), then route per-query via the join on __list
+    probe_rows = queries.select(
+        F.explode(_probe_lists(
+            _cent_scores(F.col(vec_col), _lits(cent_vecs)),
+            len(cent_vecs), nprobe)).alias("__list")).distinct().collect()
+    probed = [r["__list"] for r in probe_rows]
+    assigned = assigned.filter(F.col("__list").isin(probed))
+    return _probe_and_rank(assigned, queries, cent_vecs, k, nprobe,
+                           id_col, vec_col, query_id_col)
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,

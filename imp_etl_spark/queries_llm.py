@@ -415,6 +415,26 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                kmeans_iters=2)
 
 
+@register("ivf_indexed_topk", None)
+def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk-backed IVF: build the partitioned index, probe with
+    partition-pruned scans (equality with the inline IVF is pinned in
+    tests/test_similarity.py; rows-only here)."""
+    import tempfile
+
+    from imp_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    build_ivf_index(emb, path, nlist=16, kmeans_iters=2)
+    return ivf_topk_indexed(spark, path, queries, k=10, nprobe=4)
+
+
 @register("embedding_near_dup", None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only;

@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): operator invariants that must hold
+for ANY input, not just the fixtures — the dedup/pagination/salting
+contracts the pipeline builds on."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.integers(min_value=-1000, max_value=1000)
+ROWS = st.lists(st.tuples(KEYS, VALS, st.integers(0, 50)), min_size=1,
+                max_size=40)
+
+_PROPS = settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(rows=ROWS)
+@_PROPS
+def test_latest_per_key_one_row_per_key_and_max_order(spark, rows):
+    from imp_etl_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(rows, "k INT, v INT, ord INT")
+    out = latest_per_key(df, ["k"], ["ord"], desc=True).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys)) == df.select("k").distinct().count()
+    max_ord = {r["k"]: r["mo"] for r in
+               df.groupBy("k").agg(F.max("ord").alias("mo")).collect()}
+    for r in out:
+        assert r["ord"] == max_ord[r["k"]]
+
+
+@given(rows=ROWS)
+@_PROPS
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from imp_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k INT, v INT, ord INT")
+    got = {
+        r["k"]: (r["s"], r["c"]) for r in salted_agg(
+            df, ["k"],
+            partial=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")],
+            final=[F.sum("s").alias("s"), F.sum("c").alias("c")],
+            buckets=4).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["c"]) for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert got == want
+
+
+@given(rows=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                     unique=True),
+       offset=st.integers(0, 10), limit=st.integers(1, 20))
+@_PROPS
+def test_paginate_equals_sorted_slice(spark, rows, offset, limit):
+    from imp_etl_spark.operators.window import paginate
+
+    df = spark.createDataFrame([(x,) for x in rows], "k INT")
+    got = sorted(r["k"] for r in paginate(df, "k", offset, limit).collect())
+    assert got == sorted(rows)[offset:offset + limit]
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.text(min_size=0, max_size=12)),
+    min_size=1, max_size=30))
+@_PROPS
+def test_merge_preview_batch_beats_target(spark, rows):
+    """After MERGE semantics, every batch key carries the batch value and
+    all other target keys survive untouched."""
+    from imp_etl_spark.plans.upsert import merge_preview
+
+    target = spark.createDataFrame(
+        [(k, "t", 0) for k in range(4)], "k INT, v STRING, ord INT")
+    batch = spark.createDataFrame(
+        [(k, "b:" + v, i + 1) for i, (k, v) in enumerate(rows)],
+        "k INT, v STRING, ord INT")
+    out = {r["k"]: r["v"] for r in
+           merge_preview(batch, target, ["k"], "ord").collect()}
+    batch_keys = {k for k, _ in rows}
+    assert set(out) == set(range(4)) | batch_keys
+    for k in range(4):
+        if k in batch_keys:
+            assert out[k].startswith("b:")
+        else:
+            assert out[k] == "t"

@@ -72,3 +72,30 @@ def test_simhash_near_dup_matches_brute_force(spark):
         .filter(F.col("hamming") <= 6).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_ivf_indexed_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index must return the same top-k as the inline
+    variant, and the probe scan must prune to the probed list
+    partitions (PartitionFilters at the scan)."""
+    from imp_etl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from imp_etl_spark.sources.parquet import read_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=8, kmeans_iters=2)
+    got = ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    want = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2, kmeans_iters=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__list" in plan.split("PartitionFilters:")[1].split("]")[0]
