@@ -186,3 +186,24 @@ TXN_NUMERIC_FIELDS = ["quantity", "amount", "total_amount", "cash_added",
 TXN_DATE_FIELDS = ["transac_date", "payout_date", "date_hold",
                    "date_removed"]
 TXN_BOOL_FIELDS = ["ishold", "isremove", "isretransact"]
+
+
+def manila_iso(col: Column | str) -> Column:
+    """T10 — Asia/Manila wall-clock ISO rendering with explicit +08:00
+    offset (``utils/logger.js:22-42``; variant ``etlService.js:593-605``).
+    Input is the engine's UTC-pinned NTZ event time; Manila has no DST,
+    so the offset is the constant the reference hardcodes."""
+    c = _c(col)
+    return F.date_format(c + F.expr("INTERVAL 8 HOURS"),
+                         "yyyy-MM-dd'T'HH:mm:ss.SSS'+08:00'")
+
+
+def duration_hms(col: Column | str) -> Column:
+    """T11 — milliseconds -> "Xh Ym Zs" (``index.js:39-44``)."""
+    ms = _c(col).cast("long")
+    return F.format_string(
+        "%dh %dm %ds",
+        F.floor(ms / 3_600_000).cast("long"),
+        F.floor((ms % 3_600_000) / 60_000).cast("long"),
+        F.floor((ms % 60_000) / 1_000).cast("long"),
+    )

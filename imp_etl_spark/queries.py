@@ -244,6 +244,27 @@ def t_cleanse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("t_time_format_suite", """
+SELECT event_id,
+       strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S.%g') || '+08:00' AS manila_ts,
+       printf('%dh %dm %ds',
+              CAST(floor(value * 1000) AS BIGINT) // 3600000,
+              (CAST(floor(value * 1000) AS BIGINT) % 3600000) // 60000,
+              (CAST(floor(value * 1000) AS BIGINT) % 60000) // 1000) AS dur
+FROM events
+""")
+def t_time_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/T11 — Asia/Manila-offset ISO rendering (utils/logger.js:22-42)
+    and ms -> 'Xh Ym Zs' duration formatting (index.js:39-44)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        cleanse.manila_iso("ts").alias("manila_ts"),
+        cleanse.duration_hms(F.floor(F.col("value") * 1000).cast("long"))
+        .alias("dur"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O3/A7 — deterministic top-k
 # ---------------------------------------------------------------------------
