@@ -454,6 +454,30 @@ def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("win_rank_dense", """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderstatus ASC, o_orderkey ASC)
+""")
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (ties on the status key) + ntile bucketing —
+    single shuffle on the partition key (operators/window.py
+    rank_in_group is the generic form)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderstatus").asc(), F.col("o_orderkey").asc())
+    w2 = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )
+
+
 @register("win_lag_lead", """
 SELECT o_custkey, o_orderkey, o_totalprice,
        LAG(o_totalprice) OVER w AS prev_price,
