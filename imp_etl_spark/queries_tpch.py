@@ -413,6 +413,78 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q21 shape (adapted — no l_commitdate/receiptdate): suppliers who were
+# the SOLE late shipper on a multi-supplier order. Nested correlated
+# EXISTS / NOT EXISTS collapse into two small aggregates joined back.
+# ---------------------------------------------------------------------------
+
+@register("q21_sole_late_supplier", """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate
+  GROUP BY l.l_orderkey, l.l_suppkey
+), all_supp AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey
+), late_supp AS (
+  SELECT l_orderkey, COUNT(*) AS n_late FROM late GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late t
+JOIN all_supp a ON a.l_orderkey = t.l_orderkey
+JOIN late_supp ls ON ls.l_orderkey = t.l_orderkey
+JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE a.n_supp >= 2 AND ls.n_late = 1
+GROUP BY s.s_name
+""")
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTS (another supplier on the order) and NOT EXISTS (another
+    LATE supplier) correlations become per-order counts computed once
+    and joined back — three aggregations sharing the l_orderkey shuffle
+    instead of two correlated rescans of lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = read_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_orderkey", "l_suppkey").agg(F.lit(1).alias("_x"))
+        .drop("_x")
+    )
+    all_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"))
+    late_supp = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late"))
+    return (
+        late.join(all_supp, "l_orderkey")
+        .join(late_supp, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register("j1_lookup_inner", """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 9000
+""")
+def j1_lookup_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 inner form (operators/join.py lookup_join): the reference's N
+    point lookups as one broadcast equi join with scan filters intact."""
+    from imp_etl_spark.operators.join import lookup_join
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment")
+    return lookup_join(c, o, on="o_custkey").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
 # Q22 shape: anti join against orders for above-average-balance customers.
 # (Adapted: no c_phone in the fixture — grouped by nation key instead of
 # phone country code.)
