@@ -244,6 +244,35 @@ def t_cleanse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("nested_types_suite", """
+SELECT o_custkey,
+       list_sort(list(o_orderstatus)) AS statuses,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       CAST(list_aggregate(list(o_totalprice_dec), 'sum') AS DOUBLE) AS total,
+       COUNT(*) AS n, MIN(o_orderkey) AS first_key
+FROM (SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice_dec
+      FROM orders WHERE o_custkey < 50)
+GROUP BY o_custkey
+""")
+def nested_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface (absent from the reference — SURVEY.md
+    §1.2 'not present'): sorted collect_list (sorting makes the unordered
+    aggregation deterministic for the oracle), distinct collect, and an
+    array-fold sum on the oracle side. (Struct columns are exercised in
+    rows-only queries — engines render them incomparably in the value
+    hash.)"""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
 @register("t_time_format_suite", """
 SELECT event_id,
        strftime(ts + INTERVAL 8 HOUR, '%Y-%m-%dT%H:%M:%S.%g') || '+08:00' AS manila_ts,
