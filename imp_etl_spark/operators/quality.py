@@ -1,0 +1,87 @@
+"""Declarative data-quality rules: the reference's validity filter
+(P4-P6, ``services/etlService.js:65-75``) generalized into a rule set.
+
+The reference hand-codes one rule (composite key present, JS-falsy
+semantics) and routes failures to a skip counter + warning log. Here a
+rule is a named predicate Column; ``apply_rules`` splits any frame into
+(good, bad) in ONE pass — bad rows carry the list of failed rule names
+(the warnings side-output, queryable instead of log-scraped).
+
+Scale notes: rules are Column expressions inside whole-stage codegen —
+no UDFs, no extra scan; the split is two filters over one cached/shared
+node, and per-rule violation counts ride ``observe()`` upstream if the
+caller attaches them. Failed-rule names are built with array filtering,
+not string concat loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class Rule:
+    """A named validity predicate (True = row passes)."""
+
+    def __init__(self, name: str, predicate: Column):
+        self.name = name
+        self.predicate = predicate
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def non_blank(col: str) -> Rule:
+    """Present and not empty/whitespace (the reference's falsy-key check
+    minus the 0-is-missing quirk; compose with ``in_range`` for that)."""
+    return Rule(f"{col}_non_blank",
+                F.col(col).isNotNull() & (F.trim(F.col(col)) != ""))
+
+
+def in_set(col: str, allowed: Sequence[str]) -> Rule:
+    return Rule(f"{col}_in_set", F.col(col).isin(*allowed))
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"{col}_in_range",
+                F.col(col).isNotNull() & F.col(col).between(lo, hi))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"{col}_matches", F.col(col).rlike(pattern))
+
+
+def max_length(col: str, n: int) -> Rule:
+    """VARCHAR(n) length as a data-quality rule (SURVEY.md §1.2 — Spark
+    strings carry no length, so the DDL's bound becomes a check)."""
+    return Rule(f"{col}_max_len", F.length(F.col(col)) <= n)
+
+
+def apply_rules(df: DataFrame, rules: Sequence[Rule],
+                failed_col: str = "failed_rules") -> tuple[DataFrame, DataFrame]:
+    """Split into (good, bad). Bad rows gain ``failed_col``: the array of
+    rule names they violate. One expression tree, evaluated once per row."""
+    checks = F.array(*[
+        F.struct(F.lit(r.name).alias("name"),
+                 r.predicate.alias("ok"))
+        for r in rules
+    ])
+    failed = F.transform(
+        F.filter(checks, lambda c: ~F.coalesce(c["ok"], F.lit(False))),
+        lambda c: c["name"])
+    tagged = df.withColumn(failed_col, failed)
+    good = tagged.filter(F.size(failed_col) == 0).drop(failed_col)
+    bad = tagged.filter(F.size(failed_col) > 0)
+    return good, bad
+
+
+def violation_counts(bad: DataFrame,
+                     failed_col: str = "failed_rules") -> DataFrame:
+    """Per-rule violation counts from the bad side-output (A4 analog)."""
+    return (
+        bad.select(F.explode(failed_col).alias("rule"))
+        .groupBy("rule").agg(F.count(F.lit(1)).alias("violations"))
+    )

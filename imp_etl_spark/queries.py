@@ -244,6 +244,40 @@ def t_cleanse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dq_rule_violations", """
+WITH tagged AS (
+  SELECT c_custkey,
+         (CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN 1 ELSE 0 END
+          + CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY',
+                                       'HOUSEHOLD','FURNITURE') THEN 0 ELSE 1 END
+          + CASE WHEN c_acctbal IS NOT NULL
+                      AND c_acctbal BETWEEN 0.0 AND 10000.0 THEN 0 ELSE 1 END
+          + CASE WHEN length(c_name) <= 25 THEN 0 ELSE 1 END) AS n_failed
+  FROM customer
+)
+SELECT COUNT(*) FILTER (WHERE n_failed = 0) AS good_rows,
+       COUNT(*) FILTER (WHERE n_failed > 0) AS bad_rows
+FROM tagged
+""")
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule set (operators/quality.py) — the
+    reference's validity filter generalized: one pass splits good/bad
+    with per-row failed-rule names; the oracle recomputes the same
+    predicates as CASE sums."""
+    from imp_etl_spark.operators import quality as dq
+
+    c = read_table(spark, sf_dir, "customer")
+    good, bad = dq.apply_rules(c, [
+        dq.non_blank("c_name"),
+        dq.in_set("c_mktsegment", ["BUILDING", "AUTOMOBILE", "MACHINERY",
+                                   "HOUSEHOLD", "FURNITURE"]),
+        dq.in_range("c_acctbal", 0.0, 10000.0),
+        dq.max_length("c_name", 25),
+    ])
+    return good.agg(F.count(F.lit(1)).alias("good_rows")).crossJoin(
+        bad.agg(F.count(F.lit(1)).alias("bad_rows")))
+
+
 @register("nested_types_suite", """
 SELECT o_custkey,
        list_sort(list(o_orderstatus)) AS statuses,

@@ -94,3 +94,23 @@ def test_truthy_int_clean(spark):
 ])
 def test_falsy_key(spark, value, numeric, expected):
     assert _one(spark, cleanse.falsy_key("x", numeric), value) == expected
+
+
+def test_quality_rules_split_and_counts(spark):
+    """apply_rules: good+bad partition the frame; bad rows name every
+    violated rule; violation_counts aggregates the side-output."""
+    from imp_etl_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [(1, "ok", 5.0), (2, "", 5.0), (3, "ok", 99.0), (4, None, -1.0)],
+        "id INT, name STRING, score DOUBLE")
+    rules = [dq.non_blank("name"), dq.in_range("score", 0.0, 10.0)]
+    good, bad = dq.apply_rules(df, rules)
+    assert {r["id"] for r in good.collect()} == {1}
+    got = {r["id"]: sorted(r["failed_rules"]) for r in bad.collect()}
+    assert got == {2: ["name_non_blank"],
+                   3: ["score_in_range"],
+                   4: ["name_non_blank", "score_in_range"]}
+    counts = {r["rule"]: r["violations"]
+              for r in dq.violation_counts(bad).collect()}
+    assert counts == {"name_non_blank": 2, "score_in_range": 2}
