@@ -97,11 +97,15 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     if target is None:
         merged = batch_unique
     else:
-        # priority column: batch (1) beats target (0) per key
+        # priority column: batch (1) beats target (0) per key. Schema
+        # evolution: the union keeps ALL columns from both sides — a new
+        # batch column backfills null on historical rows, a dropped one
+        # stays (null on updated rows), so readers never break mid-stream
         b = batch_unique.withColumn("__prio", F.lit(1))
-        t = target.select(*batch_unique.columns).withColumn("__prio", F.lit(0))
+        t = target.withColumn("__prio", F.lit(0))
         merged = latest_per_key(
-            b.unionByName(t), key, ["__prio"], desc=True
+            b.unionByName(t, allowMissingColumns=True),
+            key, ["__prio"], desc=True
         ).drop("__prio")
 
     _clean_orphan_staging(path)

@@ -125,3 +125,23 @@ def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
     with pytest.raises(ValueError, match="not retained"):
         read_target(spark, path, version=99)
     assert v1 == v0 + 1
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A batch with a NEW column merges cleanly: historical rows backfill
+    null, updated rows carry the new value, and no column is lost."""
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.plans.upsert import merge_upsert, read_target
+
+    path = str(tmp_path / "evolve")
+    base = spark.createDataFrame(
+        [(k, "old", k) for k in range(4)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord")
+    evolved = spark.createDataFrame(
+        [(0, "new", 10, "extra0")], "k INT, v STRING, ord INT, note STRING")
+    merge_upsert(spark, path, evolved, ["k"], "ord")
+
+    out = {r["k"]: (r["v"], r["note"]) for r in read_target(spark, path).collect()}
+    assert out[0] == ("new", "extra0")
+    assert out[1] == ("old", None) and len(out) == 4
