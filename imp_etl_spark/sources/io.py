@@ -65,6 +65,34 @@ def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "error",
     writer.save(path)
 
 
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each and atomically swap it in. Streaming sinks and
+    per-epoch merges accrete small files; at scale the file count (not
+    the bytes) dominates scan planning time, so periodic compaction is
+    part of the table's lifecycle. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dirs, files in os.walk(path) for f in files
+        if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    staging = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex}"
+    df.repartition(n).write.mode("overwrite").parquet(staging)
+    old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               lower_bound: int | None = None, upper_bound: int | None = None,

@@ -85,3 +85,20 @@ def test_csv_corrupt_record_side_output(spark, tmp_path):
     assert good.count() == 2 and bad.count() == 1
     assert bad.collect()[0]["_corrupt_record"].startswith("not_an_int")
     df.unpersist()
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    import glob
+
+    from imp_etl_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "shards")
+    li = read_table(spark, SF_DIR, "lineitem")
+    li.repartition(24).write.mode("overwrite").parquet(src)
+    before_files = len(glob.glob(src + "/*.parquet"))
+    before_rows = spark.read.parquet(src).count()
+
+    n = compact_parquet(spark, src, target_mb=128)
+    after_files = len(glob.glob(src + "/*.parquet"))
+    assert after_files == n < before_files
+    assert spark.read.parquet(src).count() == before_rows
