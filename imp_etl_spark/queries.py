@@ -1053,4 +1053,5 @@ def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late imports: populate REGISTRY with the LLM-data-pipeline and
 # TPC-H-shaped analytics surfaces
 from imp_etl_spark import queries_llm as _queries_llm  # noqa: E402,F401
+from imp_etl_spark import queries_scalar as _queries_scalar  # noqa: E402,F401
 from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
