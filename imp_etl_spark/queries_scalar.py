@@ -135,3 +135,63 @@ def math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(F.col("l_discount")).alias("disc_exp"),
         F.pow(F.col("l_quantity"), F.lit(1.5)).alias("qty_pow"),
     )
+
+
+@register("null_cond_suite", """
+SELECT c_custkey,
+       coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band,
+       CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation,
+       ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_nonneg,
+       (c_acctbal IS NULL) AS bal_is_null,
+       (c_acctbal IS NOT DISTINCT FROM 0.0) AS bal_is_zero
+FROM customer
+""")
+def null_cond_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling + conditional family: coalesce/nullif/ifnull, CASE
+    chains, null-safe equality (<=> / IS NOT DISTINCT FROM)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                   F.lit("OTHER")).alias("seg_or_other"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high").alias("bal_band"),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c_nationkey")).alias("odd_nation"),
+        F.ifnull(F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+                 .otherwise(F.col("c_acctbal")), F.lit(0.0))
+        .alias("bal_nonneg"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("bal_is_zero"),
+    )
+
+
+@register("regex_funcs_suite", r"""
+SELECT doc_id,
+       regexp_extract(text, '([0-9]+)', 1) AS first_number,
+       regexp_replace(text, '[0-9]+', '#', 'g') AS numberless,
+       regexp_matches(text, '[A-Z][a-z]+') AS has_capitalized,
+       len(regexp_extract_all(text, '([a-zA-Z]{5,})', 1)) AS long_words,
+       (text LIKE '%the%') AS has_the,
+       (text SIMILAR TO '.*[.!?]') AS ends_sentence
+FROM documents WHERE doc_id % 10 = 0
+""")
+def regex_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family over documents (conservative syntax — identical
+    semantics in Java regex and RE2)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace("text", r"[0-9]+", "#").alias("numberless"),
+        F.col("text").rlike(r"[A-Z][a-z]+").alias("has_capitalized"),
+        F.size(F.regexp_extract_all("text", F.lit(r"([a-zA-Z]{5,})"), 1))
+        .cast("bigint").alias("long_words"),
+        F.col("text").like("%the%").alias("has_the"),
+        F.col("text").rlike(r"[.!?]$").alias("ends_sentence"),
+    )
