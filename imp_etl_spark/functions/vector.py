@@ -29,3 +29,33 @@ def norm2(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity: dot / (||a|| * ||b||)."""
     return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_arrow_udf(query_vec: list[float]):
+    """Arrow-batched (pandas_udf) cosine against a FIXED query vector —
+    the escape hatch for vector ops the builtins can't express (learned
+    scorers, library kernels). For plain cosine the builtin above wins:
+    it stays inside whole-stage codegen with zero Python transfer, while
+    this path ships Arrow batches to a Python worker and back. Kept as
+    the documented pattern (vectorized numpy over whole batches — never
+    a row-at-a-time Python UDF) and pinned equal to the builtin in
+    tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+
+    def _cos(col):
+        m = np.stack(col.to_numpy())  # (batch, dim) — one matmul per batch
+        num = m.astype(np.float64) @ q
+        den = np.sqrt((m.astype(np.float64) ** 2).sum(axis=1)) * qn
+        return pd.Series(num / den)
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects
+    _cos.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(_cos)

@@ -99,3 +99,25 @@ def test_ivf_indexed_matches_inline_and_prunes_partitions(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "__list" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_arrow_udf_cosine_matches_builtin(spark):
+    """The Arrow-UDF escape hatch must agree with the codegen builtin
+    (double-precision fold vs numpy matmul: equal to ~1e-12 relative)."""
+    from imp_etl_spark.functions.vector import cosine, cosine_arrow_udf
+    from imp_etl_spark.sources.parquet import read_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(100)
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    udf = cosine_arrow_udf(qvec)
+    got = emb.select(
+        "vec_id",
+        cosine(F.col("embedding"),
+               F.array(*[F.lit(x) for x in qvec])).alias("builtin"),
+        udf(F.col("embedding")).alias("arrow"),
+    ).collect()
+    assert len(got) == 100
+    for r in got:
+        assert abs(r["builtin"] - r["arrow"]) <= 1e-9 * max(1.0, abs(r["builtin"]))
