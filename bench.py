@@ -51,10 +51,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        df = fn(spark, sf_dir)  # build (lazy)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the first execution of a query pays one-time codegen
+        # compilation; the second measures the steady-state plan (the
+        # number that scales). Both runs do full scan+compute.
+        best = None
+        for _attempt in range(2):
+            df = fn(spark, sf_dir)  # build (lazy)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # end-to-end ETL pipeline on the FIXTURES.md family-A mapping:
     # orders -> work queue, customer -> entity, lineitem -> detail
