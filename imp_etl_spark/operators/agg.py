@@ -55,3 +55,43 @@ def progress_pct(offset: Column | int, total: Column | int) -> Column:
     o = F.lit(offset) if isinstance(offset, int) else offset
     t = F.lit(total) if isinstance(total, int) else total
     return F.least(F.round(o / t * 100), F.lit(100).cast("double"))
+
+
+def per_group_trend(events, key: str = "user_id", x_col: str = "ts",
+                    y_col: str = "value"):
+    """Per-key least-squares trend (slope/intercept/r2) via grouped-map
+    ``applyInPandas`` — the batch Pandas-API shape for per-group model
+    fitting that Column expressions can't express. Arrow moves each
+    group as one columnar batch; the shuffle is on ``key`` only, state
+    is O(1) per group.
+
+    (The closed-form slope IS expressible with covar_pop/var_pop
+    builtins — kept as the oracle check in tests; this operator is the
+    template for fits that have no closed form.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].astype("int64").to_numpy(dtype=np.float64) / 1e9
+        y = pdf[y_col].to_numpy(dtype=np.float64)
+        x = x - x.mean()
+        n = len(pdf)
+        if n < 2 or np.allclose(x, 0):
+            slope, intercept, r2 = 0.0, float(y.mean()) if n else 0.0, 0.0
+        else:
+            slope = float((x * (y - y.mean())).sum() / (x * x).sum())
+            intercept = float(y.mean())
+            pred = intercept + slope * x
+            ss_res = float(((y - pred) ** 2).sum())
+            ss_tot = float(((y - y.mean()) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        return pd.DataFrame({key: [pdf[key].iloc[0]], "n": [n],
+                             "slope": [slope], "intercept": [intercept],
+                             "r2": [r2]})
+
+    return (events.select(key, x_col, y_col)
+            .groupBy(key)
+            .applyInPandas(_fit, schema=f"{key} BIGINT, n BIGINT, "
+                                        "slope DOUBLE, intercept DOUBLE, "
+                                        "r2 DOUBLE"))

@@ -907,6 +907,17 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("per_group_trend", None)
+def per_group_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend via grouped-map applyInPandas (operators/
+    agg.py) — the batch Pandas-API shape for per-group model fitting.
+    Rows-only; closed-form equality is pinned in tests/test_streaming.py."""
+    from imp_etl_spark.operators.agg import per_group_trend
+
+    ev = read_table(spark, sf_dir, "events")
+    return per_group_trend(ev)
+
+
 @register("stream_dedup_events", None)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark): the input

@@ -195,3 +195,40 @@ def regex_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").like("%the%").alias("has_the"),
         F.col("text").rlike(r"[.!?]$").alias("ends_sentence"),
     )
+
+
+from imp_etl_spark.queries_llm import _DUCK_TOKS  # noqa: E402
+
+
+@register("hof_array_suite", f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       list_transform(t[1:4], x -> upper(x)) AS head_upper,
+       list_filter(t, x -> length(x) > 4) AS long_toks,
+       len(list_filter(t, x -> length(x) > 4)) > 0 AS has_long,
+       len(list_filter(t, x -> length(x) <= 20)) = len(t) AS all_short,
+       list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+                   (a, b) -> a + b) AS char_total,
+       list_sort(list_distinct(t[1:7])) AS head_vocab
+FROM toks
+""")
+def hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform/filter/exists/forall/
+    aggregate/slice/distinct — all codegen lambdas, zero UDFs."""
+    from imp_etl_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0)
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.transform(F.slice(t, 1, 4), lambda x: F.upper(x)).alias("head_upper"),
+        F.filter(t, lambda x: F.length(x) > 4).alias("long_toks"),
+        F.exists(t, lambda x: F.length(x) > 4).alias("has_long"),
+        F.forall(t, lambda x: F.length(x) <= 20).alias("all_short"),
+        F.aggregate(t, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)).alias("char_total"),
+        F.array_sort(F.array_distinct(F.slice(t, 1, 7))).alias("head_vocab"),
+    )

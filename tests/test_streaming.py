@@ -132,3 +132,25 @@ def test_log_parse_batch_and_stream(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(60)
     assert spark.sql("select count(*) c from log_tail").collect()[0]["c"] == 3
+
+
+def test_per_group_trend_matches_builtin_closed_form(spark):
+    """applyInPandas grouped-map fit == the covar/var closed form."""
+    from imp_etl_spark.operators.agg import per_group_trend
+
+    ev = read_table(spark, SF_DIR, "events")
+    got = {r["user_id"]: r for r in per_group_trend(ev).collect()}
+
+    xs = (F.col("ts").cast("timestamp").cast("double"))
+    want = {
+        r["user_id"]: r for r in ev.groupBy("user_id").agg(
+            (F.covar_pop(xs, F.col("value"))
+             / F.var_pop(xs)).alias("slope"),
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["n"] == w["n"]
+        if w["slope"] is not None:
+            assert abs(got[k]["slope"] - w["slope"]) <= 1e-6 * max(
+                1.0, abs(w["slope"]))
