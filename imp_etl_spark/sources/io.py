@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-READ_FORMATS = ("parquet", "csv", "json", "text")
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def read_source(spark: SparkSession, fmt: str, path: str,
@@ -63,6 +63,25 @@ def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "error",
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def overwrite_partitions(df: DataFrame, fmt: str, path: str,
+                         partition_by: list[str], **options) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions the
+    batch touches, leaving the rest of the table untouched. This is the
+    idiomatic incremental-rewrite sink at scale — a daily restatement of
+    3 partitions must not rewrite (or even list) the other 10,000.
+
+    Static ``mode='overwrite'`` + ``partitionBy`` truncates the whole
+    table first; the ``partitionOverwriteMode=dynamic`` write option
+    scopes the overwrite to partitions present in ``df``.
+    """
+    (df.write.format(fmt)
+     .mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(*partition_by)
+     .options(**options)
+     .save(path))
 
 
 def compact_parquet(spark: SparkSession, path: str,

@@ -47,6 +47,36 @@ def test_json_round_trip_and_partitioning(spark, tmp_path):
     assert "PartitionFilters" in plan and "r_regionkey" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
+def test_orc_round_trip(spark, tmp_path):
+    nation = read_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_sink(nation, "orc", out, mode="overwrite")
+    back = read_source(spark, "orc", out)
+    assert sorted(back.columns) == sorted(nation.columns)
+    a = {tuple(r) for r in nation.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from imp_etl_spark.sources.io import overwrite_partitions
+
+    nation = read_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_dyn")
+    write_sink(nation, "parquet", out, mode="overwrite",
+               partition_by=["n_regionkey"])
+    # restate ONE region's rows; the other partitions must survive
+    restated = (nation.filter(F.col("n_regionkey") == 2)
+                .withColumn("n_name", F.lit("RESTATED")))
+    overwrite_partitions(restated, "parquet", out, ["n_regionkey"])
+    back = read_source(spark, "parquet", out)
+    assert back.count() == nation.count()
+    assert back.filter((F.col("n_regionkey") == 2)
+                       & (F.col("n_name") != "RESTATED")).count() == 0
+    assert back.filter(F.col("n_regionkey") != 2).count() == \
+        nation.filter(F.col("n_regionkey") != 2).count()
+
+
 def test_text_round_trip(spark, tmp_path):
     p = tmp_path / "log.txt"
     p.write_text("alpha\nbeta\n")
