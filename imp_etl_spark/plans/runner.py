@@ -49,12 +49,23 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
 
     # MERGE first: the writes execute both branches, and the observe()
     # metrics attached in build_pipeline record the processed/skipped
-    # counters during that same pass — zero dedicated count jobs (A2/A3)
-    merge_upsert(spark, voucher_path, result.voucher.valid,
-                 voucher_key or ["voucher_id", "reference_no"], order_col)
-    merge_upsert(spark, txn_path, result.transaction.valid,
-                 transaction_key or ["voucher_details_id", "reference_no"],
-                 order_col)
+    # counters during that same pass — zero dedicated count jobs (A2/A3).
+    # The two branches are independent DAGs writing disjoint paths, so
+    # submit them as concurrent Spark jobs: their scan/shuffle/write
+    # phases interleave across the cluster instead of serializing (the
+    # reference runs its two branch upserts sequentially per batch,
+    # etlService.js:545-556).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv = pool.submit(
+            merge_upsert, spark, voucher_path, result.voucher.valid,
+            voucher_key or ["voucher_id", "reference_no"], order_col)
+        ft = pool.submit(
+            merge_upsert, spark, txn_path, result.transaction.valid,
+            transaction_key or ["voucher_details_id", "reference_no"],
+            order_col)
+        fv.result(), ft.result()
     processed_voucher = result.voucher.processed_count()
     skipped_voucher = result.voucher.skipped_count()
     processed_txn = result.transaction.processed_count()
