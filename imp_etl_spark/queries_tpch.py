@@ -644,3 +644,117 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
         F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year — the widest feasible
+# join tree (lineitem + part + supplier + orders + nation). Adapted: the
+# fixture has no partsupp, so supply cost is synthesized as 10% of
+# p_retailprice (the shape under test is the 5-way join + two-key rollup,
+# not the cost model).
+# ---------------------------------------------------------------------------
+
+@register("q9_product_profit", """
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%ring%'
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dimension sides broadcast; the only shuffles are the
+    lineitem<->orders equi join and the final (nation, year) rollup.
+    The p_name filter lands on the broadcast build side, so the big
+    probe scan skips non-matching parts row-by-row without a shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = read_table(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("long").alias("o_year"),
+                profit.alias("_profit"))
+        .groupBy("nation", "o_year")
+        .agg(_dec_sum(F.col("_profit"), "sum_profit", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: per-group sum filtered against a GLOBAL scalar threshold.
+# Adapted: no partsupp, so the "important stock" becomes per-nation
+# customer balance vs 4% of the worldwide balance. The scalar subquery
+# becomes a broadcast nested-loop join of a 1-row aggregate — the
+# distributed idiom for HAVING SUM(x) > (SELECT f(total)).
+# ---------------------------------------------------------------------------
+
+@register("q11_important_balance", """
+SELECT n.n_name, CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+     > CAST((SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+            AS DOUBLE) * CAST(0.04 AS DOUBLE)
+""")
+def q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both the per-group sums and the global sum are decimal-exact, so
+    the threshold comparison is deterministic across engines. One scan
+    feeds both aggregates' shuffles; the 1-row global total rides a
+    broadcast cross join (no driver-side collect)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    total = c.agg(_dec_sum(F.col("c_acctbal"), "_total", 2))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("c_acctbal"), "bal", 2))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("bal") > F.col("_total") * F.lit(0.04))
+        .select("n_name", "bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: grouped COUNT(DISTINCT ...) with dimension exclusion lists.
+# Adapted: the supplier-complaint exclusion needs s_comment (absent), so
+# the exclusions are the brand/type/size predicates only.
+# ---------------------------------------------------------------------------
+
+@register("q16_supplier_variety", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact distinct — Spark expands this to a two-phase
+    aggregate (distinct shuffle on (group, suppkey), then count); the
+    filtered part side broadcasts so lineitem never shuffles on the
+    join key at all."""
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
