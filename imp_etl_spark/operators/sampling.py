@@ -1,0 +1,102 @@
+"""Dataset splitting and sampling — the train/val/test machinery a
+training-data pipeline runs in front of every model job.
+
+The reference has no sampling surface (its closest analog is the
+warning-sample `slice(0,5)`, ``services/etlService.js:499-510``); this
+module is part of the SURVEY.md §7.8 north-star extension set.
+
+Design rules for 100 TB:
+
+- **Splits must be a pure function of a stable row identity.** A split
+  computed by ``rand()`` changes on every retry/backfill and leaks rows
+  across train/test between runs. ``xxhash64(id, salt)`` is reproducible
+  across runs, machines, and Spark versions, and is computed row-local
+  (narrow — no shuffle, no state).
+- **Sampling is a filter, not a shuffle.** Every operator here is a
+  one-pass predicate the scan can evaluate; nothing materializes a
+  global ordering or count first.
+- ``split_by_mod`` exists as the SQL-portable variant (modulus on the
+  raw id) so the semantics stay DuckDB-checkable; production pipelines
+  should prefer ``split_by_hash`` — sequential ids correlate with crawl
+  order / time, and a modulus split would stripe that correlation into
+  the folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def _bucketize(splits: dict[str, float],
+               buckets: int) -> list[tuple[str, int]]:
+    """Cumulative bucket upper-bounds per split name."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bounds, acc = [], 0.0
+    for name, w in splits.items():
+        acc += w
+        bounds.append((name, round(acc * buckets)))
+    bounds[-1] = (bounds[-1][0], buckets)  # absorb rounding
+    return bounds
+
+
+def _assign(bucket: Column, splits: dict[str, float],
+            buckets: int) -> Column:
+    expr: Column | None = None
+    for name, hi in _bucketize(splits, buckets):
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    return expr
+
+
+def split_by_hash(df: DataFrame, id_col: str,
+                  splits: dict[str, float], salt: str = "",
+                  out_col: str = "split",
+                  buckets: int = BUCKETS) -> DataFrame:
+    """Assign each row to a named split by ``xxhash64(id, salt)`` bucket.
+
+    Deterministic, stable under retries and appends (a new row's split
+    never depends on what else is in the dataset), and uncorrelated with
+    id order. ``salt`` derives independent re-splits from the same ids
+    (e.g. per-experiment folds).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)),
+                    F.lit(buckets))
+    return df.withColumn(out_col, _assign(bucket, splits, buckets))
+
+
+def split_by_mod(df: DataFrame, id_col: str, splits: dict[str, float],
+                 out_col: str = "split",
+                 buckets: int = BUCKETS) -> DataFrame:
+    """SQL-portable split: bucket = id % BUCKETS. Only sound when ids are
+    dense and uncorrelated with content; kept as the oracle-checkable
+    mirror of ``split_by_hash`` (same bucketing arithmetic)."""
+    bucket = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    return df.withColumn(out_col, _assign(bucket, splits, buckets))
+
+
+def sample_by_hash(df: DataFrame, id_col: str, fraction: float,
+                   salt: str = "", buckets: int = BUCKETS) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose id-hash bucket
+    falls below the cutoff. Unlike ``df.sample()`` the result is
+    identical across runs and partitionings, and composable — a 1%
+    sample is a strict subset of the 10% sample with the same salt."""
+    cut = round(fraction * buckets)
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)),
+                    F.lit(buckets))
+    return df.filter(bucket < F.lit(cut))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 7) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): rebalance skewed
+    strata (e.g. downsample the dominant language) in one narrow pass.
+    Seeded for reproducibility at fixed partitioning; for run-stable
+    sampling regardless of partitioning use ``sample_by_hash`` per
+    stratum."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -484,3 +484,57 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").limit(200)
     media = attach_media(docs, "text", "image", "raw", "doc_id")
     return extract_features(media, fake=True)
+
+
+@register("split_train_counts", """
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS docs,
+       SUM(n_chars) AS chars
+FROM documents
+GROUP BY split
+""")
+def split_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py
+    split_by_mod, the SQL-portable mirror of split_by_hash) rolled up to
+    per-split volume — the narrow, shuffle-free split a training job
+    reads."""
+    from imp_etl_spark.operators.sampling import split_by_mod
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        split_by_mod(docs, "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}, buckets=100)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+@register("split_hash_counts", None)
+def split_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production split path: xxhash64-bucketed assignment (stable under
+    retries/appends, uncorrelated with id order). Rows-only — DuckDB has
+    no xxhash64; determinism, disjointness and proportion bounds are
+    pinned in tests/test_sampling.py."""
+    from imp_etl_spark.operators.sampling import split_by_hash
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+@register("stratified_sample_langs", None)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sample (sampleBy): downsample the
+    dominant stratum, keep the rest. Rows-only (seeded Bernoulli);
+    per-stratum rate bounds are pinned in tests/test_sampling.py."""
+    from imp_etl_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0})
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))

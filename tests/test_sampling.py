@@ -1,0 +1,90 @@
+"""Dataset split / sampling invariants (operators/sampling.py).
+
+The oracle-checkable mod-split is covered by test_oracle
+(split_train_counts); these tests pin the properties the hash paths
+promise: determinism across runs and partitionings, exhaustive +
+disjoint assignment, proportion bounds, and nested-sample
+composability.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators.sampling import (
+    sample_by_hash,
+    split_by_hash,
+    stratified_sample,
+)
+from imp_etl_spark.sources.parquet import read_table
+from tests.conftest import ORACLE_SF_DIR
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, ORACLE_SF_DIR, "documents")
+
+
+def test_split_exhaustive_and_deterministic(spark, docs):
+    out = split_by_hash(docs, "doc_id", SPLITS)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    # re-run under a different partitioning: identical assignment
+    out2 = split_by_hash(docs.repartition(7), "doc_id", SPLITS)
+    b = {(r["doc_id"], r["split"]) for r in out2.select("doc_id", "split").collect()}
+    assert a == b
+    # every doc appears exactly once (assignment, not sampling)
+    assert len(a) == docs.count()
+
+
+def test_split_proportions(spark, docs):
+    n = docs.count()
+    counts = dict(
+        (r["split"], r["c"])
+        for r in split_by_hash(docs, "doc_id", SPLITS)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect())
+    assert set(counts) == set(SPLITS)
+    for name, frac in SPLITS.items():
+        # binomial tolerance: +/- 5 sigma on n Bernoulli(frac)
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts[name] - n * frac) <= 5 * sigma, (name, counts)
+
+
+def test_split_salt_derives_independent_folds(spark, docs):
+    a = split_by_hash(docs, "doc_id", SPLITS, salt="exp1")
+    b = split_by_hash(docs, "doc_id", SPLITS, salt="exp2")
+    joined = a.select("doc_id", F.col("split").alias("sa")).join(
+        b.select("doc_id", F.col("split").alias("sb")), "doc_id")
+    differing = joined.filter(F.col("sa") != F.col("sb")).count()
+    assert differing > 0  # different salts really re-deal the folds
+
+
+def test_sample_by_hash_nested_and_stable(spark, docs):
+    s10 = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.10).collect()}
+    s50 = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 0.50).collect()}
+    assert s10 <= s50  # smaller fraction is a strict subset (same salt)
+    again = {r["doc_id"] for r in
+             sample_by_hash(docs.repartition(5), "doc_id", 0.10).collect()}
+    assert s10 == again  # partitioning-independent
+    n = docs.count()
+    assert abs(len(s50) - 0.5 * n) <= 5 * (n * 0.25) ** 0.5
+
+
+def test_stratified_sample_rates(spark, docs):
+    fracs = {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    base = dict((r["lang"], r["c"]) for r in docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+    got = dict((r["lang"], r["c"]) for r in
+               stratified_sample(docs, "lang", fracs).groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("c")).collect())
+    # fraction-1.0 strata come through whole; the downsampled stratum
+    # lands within 5 sigma of its target rate
+    for lang in ("de", "fr", "es", "zh"):
+        assert got[lang] == base[lang]
+    n_en = base["en"]
+    sigma = (n_en * 0.2 * 0.8) ** 0.5
+    assert abs(got.get("en", 0) - 0.2 * n_en) <= 5 * sigma
