@@ -132,3 +132,27 @@ def fingerprint64(col: Column | str) -> Column:
         lambda acc, t: acc * F.lit(31).cast("long")
         + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
+
+
+def chunk_array(col: Column | str, size: int, overlap: int) -> Column:
+    """Split a document into fixed-``size`` character windows that
+    overlap by ``overlap`` — the pre-tokenization chunking step of an
+    LLM training pipeline. Returns ``array<string>``; pair with
+    ``posexplode`` for (chunk_id, chunk) rows.
+
+    Pure Column arithmetic (sequence + transform + substring): row-local
+    and codegen'd, no UDF, no shuffle — each 100 TB scan task chunks its
+    own rows in place. Chunk i covers [i*step, i*step+size) with
+    step = size - overlap; every character lands in >=1 chunk and short
+    docs yield exactly one chunk.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    c = F.col(col) if isinstance(col, str) else col
+    step = size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(c) - F.lit(overlap)) / F.lit(step)).cast("int"))
+    return F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.substring(c, i * F.lit(step) + F.lit(1), size))

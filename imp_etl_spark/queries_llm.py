@@ -538,3 +538,26 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = stratified_sample(
         docs, "lang", {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0})
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
+
+
+@register("chunk_documents", """
+SELECT doc_id, i AS chunk_id, substr(text, i * 224 + 1, 256) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+             GREATEST(1, CAST(CEIL((LENGTH(text) - 32) / 224.0) AS INT)) - 1
+         )) AS i
+  FROM documents
+)
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (functions/text.py chunk_array:
+    256-char windows, 32 overlap) exploded to one row per chunk — the
+    narrow, UDF-free pre-tokenization pass."""
+    from imp_etl_spark.functions.text import chunk_array
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_array("text", 256, 32)).alias("chunk_id", "chunk"),
+    ).select("doc_id", F.col("chunk_id").cast("long"), "chunk")

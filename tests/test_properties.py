@@ -88,3 +88,30 @@ def test_merge_preview_batch_beats_target(spark, rows):
             assert out[k].startswith("b:")
         else:
             assert out[k] == "t"
+
+
+TEXTS = st.lists(st.text(alphabet="ab c", min_size=1, max_size=600),
+                 min_size=1, max_size=10)
+
+
+@given(texts=TEXTS)
+@_PROPS
+def test_chunking_covers_text_exactly(spark, texts):
+    """chunk_array invariants for ANY text: stitching chunks back
+    together (dropping each chunk's leading overlap) reconstructs the
+    document exactly; every chunk is <= size; short docs give 1 chunk."""
+    from imp_etl_spark.functions.text import chunk_array
+
+    size, overlap, step = 16, 4, 12
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id LONG, text STRING")
+    rows = (df.select("id", "text",
+                      chunk_array("text", size, overlap).alias("chunks"))
+            .collect())
+    for r in rows:
+        chunks = r["chunks"]
+        assert all(len(c) <= size for c in chunks)
+        if len(r["text"]) <= size:
+            assert chunks == [r["text"]]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == r["text"]
