@@ -31,6 +31,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_stats",
     "word_counts_top50",
+    "chunk_documents",
 ]
 
 
