@@ -100,3 +100,37 @@ def stratified_sample(df: DataFrame, strata_col: str,
     sampling regardless of partitioning use ``sample_by_hash`` per
     stratum."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
+                   fractions: dict[str, float], salt: str = "",
+                   method: str = "hash",
+                   buckets: int = BUCKETS) -> DataFrame:
+    """Corpus mixing: keep each stratum (source/language/domain) at its
+    own rate in ONE narrow pass — the deterministic version of the
+    training-data "mixture weights" step. Unlike ``stratified_sample``
+    (seeded Bernoulli) the kept set is a pure function of row identity:
+    stable across retries, partitionings, and appends, and nested (a
+    lower rate keeps a subset of a higher rate at the same salt).
+
+    ``method='hash'`` buckets by ``xxhash64(id, salt)`` (production);
+    ``method='mod'`` buckets by ``id % buckets`` (SQL-portable mirror,
+    sound only for dense content-uncorrelated ids).
+    """
+    bad = [k for k, v in fractions.items() if not 0 <= v <= 1]
+    if bad:
+        raise ValueError(f"fractions outside [0,1] for strata {bad}")
+    if method == "hash":
+        bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)),
+                        F.lit(buckets))
+    elif method == "mod":
+        bucket = F.pmod(F.col(id_col).cast("long"), F.lit(buckets))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cut: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        hi = F.lit(round(frac * buckets))
+        cut = F.when(cond, hi) if cut is None else cut.when(cond, hi)
+    # strata not named in `fractions` are dropped (weight 0)
+    return df.filter(bucket < cut.otherwise(F.lit(0)))

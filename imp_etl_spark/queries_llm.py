@@ -561,3 +561,27 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(chunk_array("text", 256, 32)).alias("chunk_id", "chunk"),
     ).select("doc_id", F.col("chunk_id").cast("long"), "chunk")
+
+
+@register("mixture_by_source", """
+SELECT source, COUNT(*) AS docs, SUM(n_chars) AS chars
+FROM documents
+WHERE doc_id % 100 < CASE source
+    WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+    ELSE 0 END
+GROUP BY source
+""")
+def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture (operators/sampling.py
+    mixture_sample, mod method — the SQL-portable mirror of the xxhash64
+    path): keep src0 whole, src1 at 50%, src2 at 25%, drop the rest."""
+    from imp_etl_spark.operators.sampling import mixture_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "source", "doc_id",
+                       {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                       method="mod", buckets=100)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )

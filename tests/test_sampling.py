@@ -88,3 +88,24 @@ def test_stratified_sample_rates(spark, docs):
     n_en = base["en"]
     sigma = (n_en * 0.2 * 0.8) ** 0.5
     assert abs(got.get("en", 0) - 0.2 * n_en) <= 5 * sigma
+
+
+def test_mixture_sample_hash_rates_and_nesting(spark, docs):
+    from imp_etl_spark.operators.sampling import mixture_sample
+
+    base = dict((r["lang"], r["c"]) for r in docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+    fr = {"en": 0.3, "de": 1.0}
+    kept = mixture_sample(docs, "lang", "doc_id", fr)
+    got = dict((r["lang"], r["c"]) for r in kept.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("c")).collect())
+    assert set(got) <= {"en", "de"}  # unnamed strata dropped
+    assert got["de"] == base["de"]
+    sigma = (base["en"] * 0.3 * 0.7) ** 0.5
+    assert abs(got.get("en", 0) - 0.3 * base["en"]) <= 5 * sigma
+    # nesting: a lower en-rate keeps a subset of the higher rate
+    low = {r["doc_id"] for r in mixture_sample(
+        docs, "lang", "doc_id", {"en": 0.1}).select("doc_id").collect()}
+    high = {r["doc_id"] for r in mixture_sample(
+        docs, "lang", "doc_id", {"en": 0.3}).select("doc_id").collect()}
+    assert low <= high
