@@ -114,23 +114,30 @@ def char_flag(col: Column | str) -> Column:
     return F.when(c == "1", F.lit("1")).otherwise(F.lit("0"))
 
 
-def truthy_int(col: Column | str, compat: bool = True) -> Column:
+def truthy_int(col: Column | str, compat: bool = True,
+               numeric: bool = False) -> Column:
     """T6 — JS truthiness -> 1/0 (etlService.js:270-274).
 
-    compat=True: only NULL, ``''`` and numeric 0 are falsy — the string
-    ``"0"`` coerces to 1 (quirk Q3). compat=False treats ``"0"`` and any
-    numeric-zero string as 0.
+    JS falsiness depends on the runtime type the MySQL driver hands over:
+    TINYINT columns arrive as numbers (``0`` is falsy -> 0), VARCHAR
+    columns as strings (only ``''`` is falsy — the string ``"0"`` coerces
+    to 1, quirk Q3). A Column expression can't branch on runtime type, so
+    callers pass ``numeric=True`` for statically-numeric columns
+    (``cleanse_transaction`` inspects the frame's dtypes; schemas.py
+    declares ishold/isremove/isretransact as INT, matching the TINYINTs).
+
+    compat=False is the clean-engine rule: any parseable zero ("0",
+    "0.0", 0) -> 0 regardless of type.
     """
     c = _c(col)
     s = c.cast("string")
-    falsy = c.isNull() | (s == "") | (c.try_cast("double") == 0.0)
     if compat:
-        # For string inputs JS only sees '' as falsy; cast("double")=="0"
-        # must not fire for the *string* "0". Recreate exact JS semantics:
-        # numeric types use ==0, strings use =='' only. We can't branch on
-        # runtime type in one Column, so compat uses the string rule and
-        # callers pass numeric columns through `zero_null`-style handling.
-        falsy = c.isNull() | (s == "")
+        if numeric:
+            falsy = c.isNull() | (c == 0)          # JS number falsiness
+        else:
+            falsy = c.isNull() | (s == "")         # JS string falsiness (Q3)
+    else:
+        falsy = c.isNull() | (s == "") | (c.try_cast("double") == 0.0)
     return F.when(falsy, F.lit(0)).otherwise(F.lit(1))
 
 

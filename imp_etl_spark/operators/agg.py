@@ -57,40 +57,58 @@ def progress_pct(offset: Column | int, total: Column | int) -> Column:
     return F.least(F.round(o / t * 100), F.lit(100).cast("double"))
 
 
+# x shift for the trend fit: 2024-01-01 UTC in epoch microseconds. Shifting
+# x by a constant leaves slope/intercept(mean-y)/r2 unchanged but keeps the
+# exact integer moments small enough for 128-bit accumulation in DuckDB.
+TREND_EPOCH_US = 1_704_067_200_000_000
+
+
 def per_group_trend(events, key: str = "user_id", x_col: str = "ts",
                     y_col: str = "value"):
-    """Per-key least-squares trend (slope/intercept/r2) via grouped-map
-    ``applyInPandas`` — the batch Pandas-API shape for per-group model
-    fitting that Column expressions can't express. Arrow moves each
-    group as one columnar batch; the shuffle is on ``key`` only, state
-    is O(1) per group.
+    """Per-key least-squares trend (slope at µs->y-per-second scale,
+    intercept = mean y, r2) via grouped-map ``applyInPandas`` — the batch
+    Pandas-API shape for per-group model fitting. Arrow moves each group
+    as one columnar batch; the shuffle is on ``key`` only, output is O(1)
+    per group.
 
-    (The closed-form slope IS expressible with covar_pop/var_pop
-    builtins — kept as the oracle check in tests; this operator is the
-    template for fits that have no closed form.)
+    Determinism (this op is oracle-checked, queries.py): all moments are
+    EXACT integers — x as epoch-µs offsets from ``TREND_EPOCH_US``, y
+    quantized to micro-units via decimal rounding (ties never occur on
+    binary doubles, so every nearest-rounding engine agrees) — and only
+    the final divisions run in IEEE double, one op per output. The same
+    formula in DuckDB HUGEINT arithmetic is bit-equal. Exact summation is
+    also numerically stronger than the float closed form (no
+    cancellation); the integer loop costs more CPU per row than a numpy
+    float fit — the price of a reproducible fit, still Arrow-batched and
+    fully distributed.
     """
-    import numpy as np
+    from decimal import ROUND_HALF_EVEN, Decimal
+
     import pandas as pd
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf[x_col].astype("int64").to_numpy(dtype=np.float64) / 1e9
-        y = pdf[y_col].to_numpy(dtype=np.float64)
-        x = x - x.mean()
-        n = len(pdf)
-        if n < 2 or np.allclose(x, 0):
-            slope, intercept, r2 = 0.0, float(y.mean()) if n else 0.0, 0.0
-        else:
-            slope = float((x * (y - y.mean())).sum() / (x * x).sum())
-            intercept = float(y.mean())
-            pred = intercept + slope * x
-            ss_res = float(((y - pred) ** 2).sum())
-            ss_tot = float(((y - y.mean()) ** 2).sum())
-            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+        xs = [int(v) - TREND_EPOCH_US
+              for v in pdf[x_col].astype("datetime64[us]").astype("int64")]
+        ys = [int((Decimal(float(v)).scaleb(6))
+                  .to_integral_value(rounding=ROUND_HALF_EVEN))
+              for v in pdf[y_col]]
+        n = len(xs)
+        sx = sum(xs); sy = sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs); syy = sum(y * y for y in ys)
+        a = n * sxy - sx * sy
+        b = n * sxx - sx * sx
+        c = n * syy - sy * sy
+        slope = 0.0 if (n < 2 or b == 0) else float(a) / float(b)
+        intercept = 0.0 if n == 0 else float(sy) / float(n * 1_000_000)
+        r2 = (0.0 if (n < 2 or b == 0 or c == 0)
+              else (float(a) * float(a)) / (float(b) * float(c)))
         return pd.DataFrame({key: [pdf[key].iloc[0]], "n": [n],
                              "slope": [slope], "intercept": [intercept],
                              "r2": [r2]})
 
     return (events.select(key, x_col, y_col)
+            .filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
             .groupBy(key)
             .applyInPandas(_fit, schema=f"{key} BIGINT, n BIGINT, "
                                         "slope DOUBLE, intercept DOUBLE, "

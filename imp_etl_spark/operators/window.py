@@ -36,6 +36,15 @@ def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (df.repartitionByRange(n, F.col(order_col).asc())
          .withColumn("__pid", F.spark_partition_id()))
+    # Two jobs consume d (the counts collect below, then the caller's
+    # output action). Persist so both see the SAME partition contents —
+    # without it the range boundaries and any nondeterministic upstream
+    # (sample(), changed input files) recompute between jobs and can
+    # duplicate or skip indices. ContextCleaner reclaims the blocks when
+    # the frame is garbage collected.
+    from pyspark.storagelevel import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {r["__pid"]: r["c"] for r in
               d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, 0

@@ -73,8 +73,24 @@ def cleanse_voucher(df: DataFrame, compat: bool = True) -> DataFrame:
     return out
 
 
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal")
+
+
+def _is_numeric_dtype(df: DataFrame, col: str) -> bool:
+    dt = dict(df.dtypes).get(col, "")
+    return dt.startswith(_NUMERIC_DTYPES)
+
+
 def cleanse_transaction(df: DataFrame, compat: bool = True) -> DataFrame:
-    """processTransactionData (etlService.js:259-297)."""
+    """processTransactionData (etlService.js:259-297).
+
+    The bool fields (ishold/isremove/isretransact) branch on the column's
+    *static* dtype: numeric sources (the reference's MySQL TINYINTs,
+    schemas.py declares them INT) use JS number falsiness (0 -> 0), string
+    sources keep quirk Q3 ("0" -> 1) — matching what the JS
+    ``record[field] ? 1 : 0`` sees from each driver type.
+    """
     cols = set(df.columns)
     out = df
     for f_ in cleanse.TXN_NUMERIC_FIELDS:
@@ -84,7 +100,8 @@ def cleanse_transaction(df: DataFrame, compat: bool = True) -> DataFrame:
         out = out.withColumn("payout", cleanse.char_flag("payout"))
     for f_ in cleanse.TXN_BOOL_FIELDS:
         if f_ in cols:
-            out = out.withColumn(f_, cleanse.truthy_int(f_, compat=compat))
+            out = out.withColumn(f_, cleanse.truthy_int(
+                f_, compat=compat, numeric=_is_numeric_dtype(df, f_)))
     for f_ in cleanse.TXN_DATE_FIELDS:
         if f_ in cols:
             out = out.withColumn(f_, cleanse.date_norm_utc(f_))
@@ -108,16 +125,24 @@ class BranchResult:
     # passes. obs_cleansed -> {"skipped": n}; obs_valid -> {"processed": n}.
     obs_cleansed: Observation | None = None
     obs_valid: Observation | None = None
+    # Observation.get blocks until SOME action executes the observed plan,
+    # so the free-counter path is only taken once the runner marks the
+    # branch executed (after the MERGE). Before that, fall back to one
+    # count() — which is itself an action on the observed plan, so it both
+    # returns the number and fulfills the observation for later reads.
+    executed: bool = False
 
     def processed_count(self) -> int:
-        """Post-dedup valid rows; reads the observation if an action has
-        already executed the branch, else falls back to one count()."""
-        if self.obs_valid is not None:
+        """Post-dedup valid rows: free from observe() once the merge has
+        run, else one count() (which also fulfills the observation)."""
+        if self.executed and self.obs_valid is not None:
             return int(self.obs_valid.get["processed"])
-        return self.valid.count()
+        n = self.valid.count()
+        self.executed = True
+        return n
 
     def skipped_count(self) -> int:
-        if self.obs_cleansed is not None:
+        if self.executed and self.obs_cleansed is not None:
             return int(self.obs_cleansed.get["skipped"] or 0)
         return self.skipped.count()
 

@@ -66,6 +66,9 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             transaction_key or ["voucher_details_id", "reference_no"],
             order_col)
         fv.result(), ft.result()
+    # the merges executed both observed plans — counter reads are now free
+    result.voucher.executed = True
+    result.transaction.executed = True
     processed_voucher = result.voucher.processed_count()
     skipped_voucher = result.voucher.skipped_count()
     processed_txn = result.transaction.processed_count()

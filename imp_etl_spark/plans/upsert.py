@@ -115,7 +115,13 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     merged.write.mode("overwrite").parquet(staging)
     final = os.path.join(path, f"{_VERSION_PREFIX}{new_v}")
     os.rename(staging, final)  # atomic flip on a posix fs
-    for old in vs[:-max(keep_versions - 1, 0)] if keep_versions > 0 else vs:
+    # retain the newest (keep_versions - 1) OLD versions alongside new_v;
+    # keep_versions=1 must delete every old version (vs[:-0] == [] bug)
+    if keep_versions >= 1:
+        drop = vs if keep_versions == 1 else vs[:-(keep_versions - 1)]
+    else:
+        drop = vs
+    for old in drop:
         shutil.rmtree(os.path.join(path, f"{_VERSION_PREFIX}{old}"),
                       ignore_errors=True)
     return new_v

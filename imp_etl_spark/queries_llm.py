@@ -474,16 +474,40 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   bits=48, max_hamming=6, bands=8)
 
 
-@register("multimodal_features", None)
+@register("multimodal_features", """
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 54 + ((((1 + doc_id % 64) * 3 + 3) // 4) * 4) * (1 + doc_id % 48)
+            ELSE 44 + 2 * (100 + doc_id % 50) END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format_detected,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 64 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 48 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS INT) AS bit_depth,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 END AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 END AS INT) AS sample_rate_hz,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(100 + doc_id % 50 AS DOUBLE) / CAST(8000 AS DOUBLE)
+            END AS duration_s
+FROM documents WHERE doc_id < 256
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: wrap text bytes as opaque media payloads,
-    extract deterministic fake features via Arrow-batched mapInPandas
-    (decode STUBBED — no codecs in this container)."""
-    from imp_etl_spark.operators.multimodal import attach_media, extract_features
+    """REAL multimodal decode, oracle-checked: synthesize genuine BMP/WAV
+    containers distributively (operators/multimodal.synthesize_media —
+    dims are closed-form in doc_id), then parse the actual file headers
+    back via Arrow-batched mapInPandas (decode_media). The oracle
+    recomputes the expected header fields (incl. BMP 4-byte row stride
+    and WAV duration = samples/rate) directly from the id formulas — so a
+    green row proves the writer AND the parser agree with the spec. The
+    byte-histogram feature column is exercised in tests; dropped here
+    (array columns aren't driver-hashable)."""
+    from imp_etl_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
 
-    docs = read_table(spark, sf_dir, "documents").limit(200)
-    media = attach_media(docs, "text", "image", "raw", "doc_id")
-    return extract_features(media, fake=True)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    media = synthesize_media(docs, "doc_id")
+    return extract_features(media).drop("features")
 
 
 @register("split_train_counts", """

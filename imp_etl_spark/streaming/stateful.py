@@ -26,26 +26,40 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = ("user_id BIGINT, events BIGINT, value_sum DOUBLE, "
+# value accumulates as EXACT micro-unit integers (value quantized at 1e-6
+# via decimal rounding), not a float sum: integer addition is associative,
+# so the running total is independent of batch/row order AND bit-equal to
+# any engine's exact decimal SUM — which makes the op oracle-checkable
+# (queries.py stateful_user_stats) despite being custom stateful code.
+OUTPUT_SCHEMA = ("user_id BIGINT, events BIGINT, value_sum_micro BIGINT, "
                  "last_event_us BIGINT")
-STATE_SCHEMA = "events BIGINT, value_sum DOUBLE, last_event_us BIGINT"
+STATE_SCHEMA = "events BIGINT, value_sum_micro BIGINT, last_event_us BIGINT"
+
+
+def _quantize_micro(vals) -> int:
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    return sum(
+        int(Decimal(float(v)).scaleb(6)
+            .to_integral_value(rounding=ROUND_HALF_EVEN))
+        for v in vals)
 
 
 def _update_user_stats(key: tuple[Any, ...],
                        pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
-    cnt, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+    cnt, vsum_micro, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         cnt += len(pdf)
         vals = pdf["value"].dropna()
-        vsum += float(vals.sum()) if len(vals) else 0.0
+        vsum_micro += _quantize_micro(vals) if len(vals) else 0
         if len(pdf):
             ts_max = pdf["ts"].max()
             last_us = max(last_us, int(pd.Timestamp(ts_max).value // 1000))
-    state.update((cnt, vsum, last_us))
+    state.update((cnt, vsum_micro, last_us))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "events": [cnt], "value_sum": [vsum],
-         "last_event_us": [last_us]}
+        {"user_id": [key[0]], "events": [cnt],
+         "value_sum_micro": [vsum_micro], "last_event_us": [last_us]}
     )
 
 

@@ -88,6 +88,29 @@ def test_truthy_int_clean(spark):
     assert _one(spark, cleanse.truthy_int("x", compat=False), "0") == 0
 
 
+@pytest.mark.parametrize("value,expected", [
+    (0, 0),      # MySQL TINYINT 0 is a falsy JS *number* -> 0
+    (1, 1), (2, 1), (None, 0),
+])
+def test_truthy_int_compat_numeric(spark, value, expected):
+    col = cleanse.truthy_int("x", compat=True, numeric=True)
+    assert _one(spark, col, value, dtype="int") == expected
+
+
+def test_cleanse_transaction_branches_on_static_dtype(spark):
+    """ishold as INT (reference's TINYINT): 0 -> 0; as STRING: '0' -> 1
+    (quirk Q3). The pipeline picks the rule from the frame's dtype."""
+    from imp_etl_spark.plans.pipeline import cleanse_transaction
+
+    ints = spark.createDataFrame([(0,), (1,), (None,)], "ishold INT")
+    got = sorted(r["ishold"] for r in cleanse_transaction(ints).collect())
+    assert got == [0, 0, 1]  # 0 -> 0, None -> 0, 1 -> 1
+
+    strs = spark.createDataFrame([("0",), ("",), ("1",)], "ishold STRING")
+    got_s = sorted(r["ishold"] for r in cleanse_transaction(strs).collect())
+    assert got_s == [0, 1, 1]  # '' -> 0; '0' -> 1 (Q3); '1' -> 1
+
+
 @pytest.mark.parametrize("value,numeric,expected", [
     (None, False, True), ("", False, True), ("0", False, False),
     ("V1", False, False),

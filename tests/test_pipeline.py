@@ -127,6 +127,48 @@ def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
     assert v1 == v0 + 1
 
 
+def test_upsert_retention_keep_one(spark, tmp_path):
+    """keep_versions=1 keeps ONLY the newest snapshot (round-1 advice:
+    vs[:-0] == [] made retention a no-op and versions accumulated)."""
+    import os
+
+    path = str(tmp_path / "keep1")
+    for i in range(3):
+        batch = spark.createDataFrame([(1, f"v{i}", i)], "k INT, v STRING, ord INT")
+        merge_upsert(spark, path, batch, ["k"], "ord", keep_versions=1)
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v_"))
+    assert vdirs == ["v_2"]
+    assert [r["v"] for r in read_target(spark, path).collect()] == ["v2"]
+
+
+def test_branch_counts_before_any_action_do_not_block(spark):
+    """processed_count()/skipped_count() called BEFORE the merge runs must
+    fall back to a count() instead of blocking on Observation.get
+    (round-1 advice: the unconditional .get hung the driver)."""
+    import threading
+
+    queue, voucher, txn = make_frames(spark)
+    res = build_pipeline(queue, voucher, txn,
+                         voucher_key=["voucher_id", "reference_no"],
+                         transaction_key=["voucher_details_id", "reference_no"])
+    out: dict[str, int] = {}
+
+    def _read():
+        out["p"] = res.voucher.processed_count()
+        out["s"] = res.voucher.skipped_count()
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "count read blocked without an action"
+    assert out == {"p": 3, "s": 2}
+    # after the fallback action ran, the observation path agrees
+    assert res.voucher.processed_count() == 3
+    for b in (res.voucher, res.transaction):
+        if b.cleansed is not None:
+            b.cleansed.unpersist()
+
+
 def test_upsert_schema_evolution(spark, tmp_path):
     """A batch with a NEW column merges cleanly: historical rows backfill
     null, updated rows carry the new value, and no column is lost."""

@@ -86,21 +86,24 @@ def test_stateful_running_user_stats(spark, tmp_path):
 
     # update mode appends one row per (user, batch); last one wins
     got = {
-        r["user_id"]: (r["events"], round(r["value_sum"], 6))
+        r["user_id"]: (r["events"], r["value_sum_micro"])
         for r in spark.sql("""
-            SELECT user_id, events, value_sum FROM (
+            SELECT user_id, events, value_sum_micro FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY events DESC) AS rn FROM user_stats
             ) WHERE rn = 1
         """).collect()
     }
+    # exact-integer state: equality against the decimal batch sum is
+    # EXACT, not approximate (see streaming/stateful.py)
     batch = (
         read_table(spark, SF_DIR, "events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("events"),
-             F.sum("value").alias("value_sum"))
+             (F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+             .cast("long").alias("value_sum_micro"))
     )
-    want = {r["user_id"]: (r["events"], round(r["value_sum"] or 0.0, 6))
+    want = {r["user_id"]: (r["events"], r["value_sum_micro"] or 0)
             for r in batch.collect()}
     assert got == want
 
