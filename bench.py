@@ -23,8 +23,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q18_large_volume",
     "dedup_latest_per_key",
+    "dedup_pipeline_survivors",
     "win_topn_per_group",
     "events_session_10m",
     "minhash_lsh_pairs",

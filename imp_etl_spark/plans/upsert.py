@@ -5,22 +5,31 @@ The reference's sink is MySQL ``INSERT ... ON DUPLICATE KEY UPDATE``
 new keys insert, re-runs are harmless. The idiomatic Spark equivalent is
 ``MERGE INTO`` on a transactional table format (Delta/Iceberg); this
 container has plain parquet only, so the sink implements the documented
-fallback: **snapshot merge** — union(target, batch) -> last-writer-wins
-dedup -> write a new immutable snapshot version -> flip the version
-pointer. Readers always see a complete snapshot; a crashed writer leaves
-only an orphaned staging directory.
+fallback: **bucketed snapshot merge**.
 
-Scale notes: rewriting the full target per merge is how MERGE-on-parquet
-must behave without a log; at 100 TB you deploy the same call on Delta
-(`MERGE INTO`) where only touched files rewrite. The union+window plan
-shuffles once on the PK; with the target pre-partitioned (bucketed) on
-the same key the exchange on the target side is avoided entirely
-(`partition_by` below writes key-hash subdirectories so subsequent
-merges join co-partitioned data).
+Layout: each snapshot version is hash-bucketed on the merge key
+(``__bucket = pmod(xxhash64(key), n_buckets)`` subdirectories). A merge
+computes the set of buckets its batch touches, rewrites ONLY those
+buckets (union touched-target + batch -> last-writer-wins dedup), and
+HARD-LINKS every untouched bucket's files from the previous version into
+the new one — no data copied, no rewrite. The new version directory is
+staged and atomically renamed into place; readers always see a complete
+snapshot; a crashed writer leaves only an orphaned staging directory.
+
+Scale notes: this is the MERGE cost model that survives 100 TB — a batch
+touching b of N buckets rewrites b/N of the table (plus the batch), not
+100% of it, exactly like Delta/Iceberg rewrite only the files whose keys
+match. The bucket scan is partition-PRUNED (``__bucket`` is a partition
+column, so untouched buckets are never read), and the bucket id is a
+pure function of the key, so the same exchange partitioning is reusable
+across merges. Schema-evolving batches (new columns) fall back to one
+full bucketed rewrite — mixing schemas across hard-linked buckets would
+force mergeSchema on every read.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -32,6 +41,8 @@ from pyspark.sql import functions as F
 from imp_etl_spark.operators.dedup import latest_per_key
 
 _VERSION_PREFIX = "v_"
+_SPEC_FILE = "_bucketspec.json"
+DEFAULT_BUCKETS = 16
 
 
 def _versions(path: str) -> list[int]:
@@ -52,20 +63,34 @@ def current_snapshot_path(path: str) -> str | None:
     return os.path.join(path, f"{_VERSION_PREFIX}{vs[-1]}") if vs else None
 
 
+def _read_spec(snap: str) -> dict | None:
+    """Bucket spec of a snapshot dir ({n_buckets, key}), or None for
+    legacy flat snapshots."""
+    try:
+        with open(os.path.join(snap, _SPEC_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def read_target(spark: SparkSession, path: str,
                 version: int | None = None) -> DataFrame | None:
     """Read the current snapshot, or a retained older one (time travel —
     ``version`` from the ``merge_upsert`` return value; how many stay
-    readable is ``keep_versions``)."""
+    readable is ``keep_versions``). The internal ``__bucket`` partition
+    column is dropped — callers see exactly the table schema."""
     if version is not None:
         if version not in _versions(path):
             raise ValueError(
                 f"version {version} not retained at {path}; "
                 f"have {_versions(path)}")
-        return spark.read.parquet(
-            os.path.join(path, f"{_VERSION_PREFIX}{version}"))
-    snap = current_snapshot_path(path)
-    return spark.read.parquet(snap) if snap else None
+        snap = os.path.join(path, f"{_VERSION_PREFIX}{version}")
+    else:
+        snap = current_snapshot_path(path)
+        if snap is None:
+            return None
+    df = spark.read.parquet(snap)
+    return df.drop("__bucket") if "__bucket" in df.columns else df
 
 
 def _clean_orphan_staging(path: str) -> None:
@@ -78,41 +103,118 @@ def _clean_orphan_staging(path: str) -> None:
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def _bucket_expr(key: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key]),
+                  F.lit(n_buckets)).cast("int")
+
+
+def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
+                    staging: str) -> None:
+    """Write a (partial or full) snapshot hash-bucketed on the key.
+    One shuffle on the bucket id; each bucket lands as its own
+    ``__bucket=k`` partition directory (partition-prunable on read)."""
+    out = df.withColumn("__bucket", _bucket_expr(key, n_buckets))
+    # co-locate each bucket into one task -> one file per bucket (at
+    # 100 TB you'd widen this to hash(key) % files_per_bucket as well)
+    out.repartition("__bucket").write.mode("overwrite") \
+       .partitionBy("__bucket").parquet(staging)
+
+
+def _write_spec(staging: str, key: Sequence[str], n_buckets: int) -> None:
+    with open(os.path.join(staging, _SPEC_FILE), "w") as f:
+        json.dump({"n_buckets": n_buckets, "key": list(key)}, f)
+
+
+def _link_untouched_buckets(prev_snap: str, staging: str,
+                            touched: set[int]) -> int:
+    """Hard-link every untouched ``__bucket=k`` directory from the
+    previous snapshot into the staging dir (same inodes — zero copy).
+    Returns the number of linked buckets."""
+    linked = 0
+    for entry in os.listdir(prev_snap):
+        if not entry.startswith("__bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        if b in touched:
+            continue
+        src = os.path.join(prev_snap, entry)
+        dst = os.path.join(staging, entry)
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            s, t = os.path.join(src, fn), os.path.join(dst, fn)
+            try:
+                os.link(s, t)
+            except OSError:        # cross-device or fs without links
+                shutil.copy2(s, t)
+        linked += 1
+    return linked
+
+
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  key: Sequence[str], order_col: str | None = None,
-                 keep_versions: int = 2) -> int:
-    """Upsert ``batch`` into the snapshot table at ``path`` on ``key``.
+                 keep_versions: int = 2,
+                 n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
+    ``key``.
 
     Last-writer-wins within the batch (ordered by ``order_col`` when
     given, mirroring the reference's VALUES-order semantics — SURVEY.md
     §2.7); batch rows beat target rows on key collision (the UPDATE arm
-    of ON DUPLICATE KEY). Returns the new snapshot version number.
+    of ON DUPLICATE KEY). Rewrites only the buckets the batch touches
+    (see module doc); returns the new snapshot version number.
     """
     key = list(key)
-    # unique source keys first — MERGE semantics require it
     order = [order_col] if order_col else key
     batch_unique = latest_per_key(batch, key, order, desc=True)
 
-    target = read_target(spark, path)
-    if target is None:
-        merged = batch_unique
-    else:
-        # priority column: batch (1) beats target (0) per key. Schema
-        # evolution: the union keeps ALL columns from both sides — a new
-        # batch column backfills null on historical rows, a dropped one
-        # stays (null on updated rows), so readers never break mid-stream
-        b = batch_unique.withColumn("__prio", F.lit(1))
-        t = target.withColumn("__prio", F.lit(0))
-        merged = latest_per_key(
-            b.unionByName(t, allowMissingColumns=True),
-            key, ["__prio"], desc=True
-        ).drop("__prio")
-
+    prev_snap = current_snapshot_path(path)
     _clean_orphan_staging(path)
     vs = _versions(path)
     new_v = (vs[-1] + 1) if vs else 0
     staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(staging)
+
+    if prev_snap is None:
+        _write_bucketed(batch_unique, key, n_buckets, staging)
+        _write_spec(staging, key, n_buckets)
+    else:
+        target = read_target(spark, path)
+        spec = _read_spec(prev_snap)
+        new_cols = set(batch.columns) - set(target.columns)
+        partial_ok = (spec is not None
+                      and spec.get("n_buckets") == n_buckets
+                      and spec.get("key") == key
+                      and not new_cols)
+        b = batch_unique.withColumn("__prio", F.lit(1))
+        if partial_ok:
+            # touched buckets: tiny distinct over the (deduped) batch
+            touched = {
+                r["b"] for r in batch_unique.select(
+                    _bucket_expr(key, n_buckets).alias("b"))
+                .distinct().collect()
+            }
+            bucketed = spark.read.parquet(prev_snap)
+            t = (bucketed.filter(F.col("__bucket").isin(*touched))
+                 .drop("__bucket")          # partition-pruned scan
+                 .withColumn("__prio", F.lit(0))) if touched else None
+            merged = (b if t is None else latest_per_key(
+                b.unionByName(t, allowMissingColumns=True),
+                key, ["__prio"], desc=True)).drop("__prio")
+            _write_bucketed(merged, key, n_buckets, staging)
+            _write_spec(staging, key, n_buckets)
+            _link_untouched_buckets(prev_snap, staging, touched)
+        else:
+            # legacy/flat snapshot, bucket-count change, or schema
+            # evolution: one full rewrite into the bucketed layout.
+            # Schema evolution keeps ALL columns from both sides — a new
+            # batch column backfills null on historical rows, a dropped
+            # one stays (null on updated rows), so readers never break.
+            t = target.withColumn("__prio", F.lit(0))
+            merged = latest_per_key(
+                b.unionByName(t, allowMissingColumns=True),
+                key, ["__prio"], desc=True).drop("__prio")
+            _write_bucketed(merged, key, n_buckets, staging)
+            _write_spec(staging, key, n_buckets)
+
     final = os.path.join(path, f"{_VERSION_PREFIX}{new_v}")
     os.rename(staging, final)  # atomic flip on a posix fs
     # retain the newest (keep_versions - 1) OLD versions alongside new_v;

@@ -141,6 +141,63 @@ def test_upsert_retention_keep_one(spark, tmp_path):
     assert [r["v"] for r in read_target(spark, path).collect()] == ["v2"]
 
 
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB merge cost model: a batch touching one key rewrites the
+    key's bucket only; every other bucket's files are HARD-LINKED (same
+    inode) from the previous version — no data copied or rewritten."""
+    import os
+
+    path = str(tmp_path / "bucketed")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(200)], "k INT, v STRING, ord INT")
+    v0 = merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8,
+                      keep_versions=5)
+    snap0 = os.path.join(path, "v_0")
+    buckets0 = sorted(d for d in os.listdir(snap0) if d.startswith("__bucket="))
+    assert len(buckets0) == 8
+
+    inode0 = {
+        d: {fn: os.stat(os.path.join(snap0, d, fn)).st_ino
+            for fn in os.listdir(os.path.join(snap0, d))}
+        for d in buckets0
+    }
+    one = spark.createDataFrame([(7, "updated", 999)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, one, ["k"], "ord", n_buckets=8, keep_versions=5)
+    snap1 = os.path.join(path, "v_1")
+
+    rewritten, linked = [], []
+    for d in buckets0:
+        files1 = {fn: os.stat(os.path.join(snap1, d, fn)).st_ino
+                  for fn in os.listdir(os.path.join(snap1, d))}
+        (linked if files1 == inode0[d] else rewritten).append(d)
+    assert len(rewritten) == 1, f"expected 1 rewritten bucket, got {rewritten}"
+    assert len(linked) == 7
+
+    # semantics unchanged: the update landed, everything else intact
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[7] == "updated" and state[3] == "v3" and len(state) == 200
+    # and time travel still reads the pre-update bucketed snapshot
+    old = {r["k"]: r["v"] for r in read_target(spark, path, version=v0).collect()}
+    assert old[7] == "v7"
+
+
+def test_bucketed_merge_bucket_count_change_full_rewrite(spark, tmp_path):
+    """Changing n_buckets can't silently mix layouts: the merge detects
+    the spec mismatch and does one full rewrite into the new layout."""
+    import os
+
+    path = str(tmp_path / "rebucket")
+    base = spark.createDataFrame(
+        [(k, "a", k) for k in range(50)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
+    upd = spark.createDataFrame([(1, "b", 99)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=8)
+    snap = os.path.join(path, "v_1")
+    assert len([d for d in os.listdir(snap) if d.startswith("__bucket=")]) == 8
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[1] == "b" and len(state) == 50
+
+
 def test_branch_counts_before_any_action_do_not_block(spark):
     """processed_count()/skipped_count() called BEFORE the merge runs must
     fall back to a count() instead of blocking on Observation.get
