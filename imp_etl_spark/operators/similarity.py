@@ -89,17 +89,37 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def _probe_buckets(bucket: Column, planes: int, flip_bits: int) -> Column:
+    """Multi-probe bucket set: the exact bucket plus (for flip_bits>=1)
+    every bucket one plane-flip away. A vector near a hyperplane falls on
+    the wrong side of exactly that plane's bit, so probing Hamming-1
+    neighbors recovers most near-boundary misses at (1+planes)x the
+    candidate cost — still O(N/2^planes) per probe, never all-pairs."""
+    probes = [bucket]
+    if flip_bits >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    return F.array(*probes)
+
+
 def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                     planes: int = 8, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    query_id_col: str = "query_id") -> DataFrame:
+                    query_id_col: str = "query_id",
+                    probe_bits: int = 0) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket, re-ranked by
-    exact cosine. Recall grows as ``planes`` shrinks (coarser buckets)."""
+    exact cosine. Recall grows as ``planes`` shrinks (coarser buckets) or
+    as ``probe_bits`` rises (multi-probe: probe_bits=1 also probes every
+    Hamming-1 bucket — see SCALING.md for measured recall@k)."""
     cb = spread_small_scan(corpus).withColumn(
         "__bkt", _srp_bucket(F.col(vec_col), planes, dim))
     qb = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).withColumn("__bkt", _srp_bucket(F.col("__qvec"), planes, dim))
+    ).withColumn(
+        "__bkt",
+        F.explode(_probe_buckets(_srp_bucket(F.col("__qvec"), planes, dim),
+                                 planes, probe_bits)))
+    # a corpus vector owns ONE bucket and the probe set is distinct, so
+    # each (query, corpus) candidate appears at most once — no dedup pass
     cand = cb.join(F.broadcast(qb), on="__bkt")
     scored = cand.withColumn("cos", cosine(F.col(vec_col), F.col("__qvec")))
     w = Window.partitionBy(query_id_col).orderBy(
@@ -270,18 +290,28 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
 
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
                              planes: int = 8, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             probe_bits: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
     Bucketed self-join (SRP) then exact cosine — near-identical vectors
-    land in the same bucket with high probability; at 100 TB add
-    multi-probe (flip one bit) to raise recall without widening the join.
+    land in the same bucket with high probability; ``probe_bits=1``
+    additionally probes every Hamming-1 bucket on one side of the join
+    (sufficient: a pair split across neighboring buckets is found from
+    whichever side probes), raising recall without an all-pairs join.
     """
     b = spread_small_scan(corpus.select(
         F.col(id_col), F.col(vec_col)
-    )).withColumn("__bkt", _srp_bucket(F.col(vec_col), planes, dim))
-    a = b.alias("a")
-    c = b.alias("c")
+    )).withColumn("__bkt0", _srp_bucket(F.col(vec_col), planes, dim))
+    a = b.withColumn(
+        "__bkt", F.explode(_probe_buckets(F.col("__bkt0"), planes,
+                                          probe_bits))).drop("__bkt0") \
+         .alias("a")
+    c = b.withColumnRenamed("__bkt0", "__bkt").alias("c")
+    # pairs stay unique without a dedup pass: c owns exactly one bucket
+    # and a's probe set holds distinct values, so each (a,c) orientation
+    # matches at most one probe; the id_a < id_b filter then keeps one
+    # orientation of every pair
     return (
         a.join(c, on="__bkt")
         .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
@@ -290,3 +320,20 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"c.{id_col}").alias("id_b"), "cos")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_id_col: str = "query_id",
+                id_col: str = "vec_id") -> float:
+    """Measured recall@k: |approx ∩ exact| / |exact| per query, averaged
+    over queries. ``exact`` is the brute-force top-k frame. Driver-side
+    scalar (one tiny agg) — measurement utility, not a pipeline op."""
+    hits = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col), on=[query_id_col, id_col],
+        how="left_semi").groupBy(query_id_col).count()
+    totals = exact.groupBy(query_id_col).count().withColumnRenamed(
+        "count", "total")
+    per_q = totals.join(hits, on=query_id_col, how="left").select(
+        (F.coalesce(F.col("count"), F.lit(0)) / F.col("total")).alias("r"))
+    row = per_q.agg(F.avg("r").alias("recall")).collect()[0]
+    return float(row["recall"])

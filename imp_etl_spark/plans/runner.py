@@ -20,6 +20,7 @@ warnings sample). Improvements kept from SURVEY §7.6:
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +29,36 @@ from pyspark.sql import functions as F
 from imp_etl_spark.plans.pipeline import build_pipeline
 from imp_etl_spark.plans.upsert import merge_upsert
 
+#: ST8 parity (services/etlService.js:13-14): 3 attempts, 1000 ms apart
+RETRY_LIMIT = 3
+RETRY_DELAY_S = 1.0
+
+
+def retry_with_delay(fn: Callable[[], Any], label: str,
+                     warnings_out: list[str],
+                     limit: int = RETRY_LIMIT,
+                     delay_s: float = RETRY_DELAY_S,
+                     sleep: Callable[[float], None] = time.sleep,
+                     ) -> tuple[int, Any | None, bool]:
+    """ST8 — the reference's sink retry loop (etlService.js:78-99): up to
+    ``limit`` attempts with a fixed ``delay_s`` between them; on final
+    failure push the reference-shaped warning and return failure instead
+    of raising (the run continues — rows get accounted as skipped by the
+    caller). Returns (attempts_made, result, succeeded)."""
+    attempts = 0
+    while attempts < limit:
+        try:
+            result = fn()
+            return attempts + 1, result, True
+        except Exception as err:  # noqa: BLE001 — sink errors are data
+            attempts += 1
+            if attempts == limit:
+                warnings_out.append(
+                    f"Failed to process {label} after {limit} retries: {err}")
+                return attempts, None, False
+            sleep(delay_s)
+    return attempts, None, False
+
 
 def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             transaction: DataFrame, voucher_path: str, txn_path: str,
@@ -35,7 +66,10 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             transaction_key: list[str] | None = None,
             order_col: str = "reference_no",
             watermark: int | None = None,
-            compat: bool = True) -> dict[str, Any]:
+            compat: bool = True,
+            retry_limit: int = RETRY_LIMIT,
+            retry_delay_s: float = RETRY_DELAY_S,
+            _sleep: Callable[[float], None] = time.sleep) -> dict[str, Any]:
     """Run one ETL epoch; returns the reference-shaped run summary
     (etlService.js:576-583) plus the new high-watermark."""
     started = time.time()
@@ -57,22 +91,42 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
     # etlService.js:545-556).
     from concurrent.futures import ThreadPoolExecutor
 
+    retry_warnings: list[str] = []
     with ThreadPoolExecutor(max_workers=2) as pool:
         fv = pool.submit(
-            merge_upsert, spark, voucher_path, result.voucher.valid,
-            voucher_key or ["voucher_id", "reference_no"], order_col)
+            retry_with_delay,
+            lambda: merge_upsert(
+                spark, voucher_path, result.voucher.valid,
+                voucher_key or ["voucher_id", "reference_no"], order_col),
+            "voucher records", retry_warnings,
+            limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
         ft = pool.submit(
-            merge_upsert, spark, txn_path, result.transaction.valid,
-            transaction_key or ["voucher_details_id", "reference_no"],
-            order_col)
-        fv.result(), ft.result()
-    # the merges executed both observed plans — counter reads are now free
-    result.voucher.executed = True
-    result.transaction.executed = True
+            retry_with_delay,
+            lambda: merge_upsert(
+                spark, txn_path, result.transaction.valid,
+                transaction_key or ["voucher_details_id", "reference_no"],
+                order_col),
+            "transaction records", retry_warnings,
+            limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
+        _, _, v_ok = fv.result()
+        _, _, t_ok = ft.result()
+    # a successful merge executed the branch's observed plan — counter
+    # reads are free; a failed branch falls back to one count() (needed
+    # to account its rows as skipped, matching etlService.js:86-92)
+    result.voucher.executed = v_ok
+    result.transaction.executed = t_ok
     processed_voucher = result.voucher.processed_count()
     skipped_voucher = result.voucher.skipped_count()
     processed_txn = result.transaction.processed_count()
     skipped_txn = result.transaction.skipped_count()
+    if not v_ok:
+        # ST8 final-failure accounting: would-be-processed rows count as
+        # skipped, nothing counts as processed
+        skipped_voucher += processed_voucher
+        processed_voucher = 0
+    if not t_ok:
+        skipped_txn += processed_txn
+        processed_txn = 0
 
     warnings = (
         result.voucher.missing_refs.withColumn(
@@ -83,8 +137,10 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
                 F.lit("No transaction data found for reference: "),
                 F.col("reference_no"))))
     )
-    # sample 5, as the reference logs slice(0,5) (etlService.js:499-510)
-    warning_sample = [r["warning"] for r in warnings.limit(5).collect()]
+    # sample 5, as the reference logs slice(0,5) (etlService.js:499-510);
+    # sink-retry failures (ST8) surface ahead of missing-ref warnings
+    warning_sample = (retry_warnings
+                      + [r["warning"] for r in warnings.limit(5).collect()])[:5]
 
     for branch in (result.voucher, result.transaction):
         if branch.cleansed is not None:

@@ -437,11 +437,24 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup", None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only;
-    the exact pair scorer ann_cosine_topk is the oracle-checked sibling)."""
+    """Embedding-cosine near-duplicate pairs via SRP buckets with
+    Hamming-1 multi-probe (rows-only; the exact pair scorer
+    ann_cosine_topk is the oracle-checked sibling). The fixture vectors
+    are near-random (no organic pairs at cos>=0.99), so the query plants
+    one deterministically-perturbed copy per vector (cos~0.999) and
+    detects the planted pairs — measured recall table in SCALING.md."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.9, dim=64,
-                                               planes=4)
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.01 * F.when(
+                F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+        ).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return similarity.embedding_near_dup_pairs(corpus, threshold=0.99,
+                                               dim=64, planes=8,
+                                               probe_bits=1)
 
 
 @register("simhash_docs", None)

@@ -95,6 +95,66 @@ def test_run_etl_summary_and_watermark(spark, tmp_path):
     assert read_target(spark, str(tmp_path / "v")).count() == 3
 
 
+def test_st8_retry_transient_failure_then_success(spark, tmp_path, monkeypatch):
+    """ST8 (etlService.js:78-99): a sink write that fails twice then
+    succeeds is retried with the fixed delay and the run ends normally."""
+    import imp_etl_spark.plans.runner as runner
+
+    real = runner.merge_upsert
+    calls = {"n": 0}
+
+    def flaky(spark_, path, batch, key, order_col=None, **kw):
+        if path.endswith("/v"):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise RuntimeError("transient sink outage")
+        return real(spark_, path, batch, key, order_col, **kw)
+
+    monkeypatch.setattr(runner, "merge_upsert", flaky)
+    sleeps: list[float] = []
+    queue, voucher, txn = make_frames(spark)
+    summary = run_etl(spark, queue, voucher, txn,
+                      str(tmp_path / "v"), str(tmp_path / "t"),
+                      retry_delay_s=0.01, _sleep=sleeps.append)
+    assert calls["n"] == 3                      # 2 failures + 1 success
+    assert sleeps == [0.01, 0.01]               # fixed delay between tries
+    assert summary["processedVoucherCount"] == 3
+    assert summary["skippedVoucherCount"] == 2
+    assert read_target(spark, str(tmp_path / "v")).count() == 3
+
+
+def test_st8_retry_final_failure_counts_skipped_with_warning(
+        spark, tmp_path, monkeypatch):
+    """ST8 final-failure parity: after 3 failed attempts the branch's
+    would-be-processed rows count as SKIPPED, a reference-shaped warning
+    surfaces, and the other branch still commits."""
+    import imp_etl_spark.plans.runner as runner
+
+    real = runner.merge_upsert
+    attempts = {"n": 0}
+
+    def dead(spark_, path, batch, key, order_col=None, **kw):
+        if path.endswith("/v"):
+            attempts["n"] += 1
+            raise RuntimeError("sink is down")
+        return real(spark_, path, batch, key, order_col, **kw)
+
+    monkeypatch.setattr(runner, "merge_upsert", dead)
+    queue, voucher, txn = make_frames(spark)
+    summary = run_etl(spark, queue, voucher, txn,
+                      str(tmp_path / "v"), str(tmp_path / "t"),
+                      retry_delay_s=0.0, _sleep=lambda _s: None)
+    assert attempts["n"] == 3
+    assert summary["processedVoucherCount"] == 0
+    # 2 falsy-key skips + the 3 valid rows the dead sink never took
+    assert summary["skippedVoucherCount"] == 5
+    assert any("after 3 retries" in w and "voucher" in w
+               for w in summary["warningSample"])
+    # transaction branch unaffected
+    assert summary["processedTransactionCount"] == 3
+    assert read_target(spark, str(tmp_path / "t")).count() == 3
+
+
 def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
     """Retained snapshot versions stay readable (time travel); orphaned
     staging dirs from crashed writers are swept on the next merge."""

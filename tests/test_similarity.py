@@ -43,6 +43,38 @@ def test_ivf_nprobe_full_scan_is_exact(spark):
     assert full == exact
 
 
+def test_srp_multiprobe_improves_recall_and_stays_subset_exact(spark):
+    """probe_bits=1 candidates strictly include the probe_bits=0 ones
+    (exact bucket is always probed), so multi-probe recall can only go
+    up; and on planted near-identical duplicates it must recover
+    >=90% of pairs while single-probe is theory-bound near 0.89."""
+    emb = read_table(spark, ORACLE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    r0 = similarity.recall_at_k(
+        similarity.srp_bucket_topk(emb, q, k=10, dim=64, planes=6), exact)
+    r1 = similarity.recall_at_k(
+        similarity.srp_bucket_topk(emb, q, k=10, dim=64, planes=6,
+                                   probe_bits=1), exact)
+    assert r1 >= r0
+
+    # planted duplicates: one slightly perturbed copy per vector
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.01 * F.when(
+                F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+        ).alias("embedding"))
+    corpus2 = emb.select("vec_id", "embedding").unionByName(planted)
+    n = emb.count()
+    got = similarity.embedding_near_dup_pairs(
+        corpus2, 0.99, dim=64, planes=8, probe_bits=1)
+    hits = got.filter(F.col("id_b") - F.col("id_a") == 1_000_000).count()
+    assert hits / n >= 0.90, f"multi-probe planted recall {hits/n}"
+
+
 def test_simhash_near_dup_matches_brute_force(spark):
     """Pigeonhole banding (bands > max_hamming) must find EXACTLY the
     brute-force hamming-ball pairs — no recall loss, no extras."""
