@@ -156,3 +156,52 @@ def chunk_array(col: Column | str, size: int, overlap: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), n - F.lit(1)),
         lambda i: F.substring(c, i * F.lit(step) + F.lit(1), size))
+
+
+# --- PII scrubbing (training-pipeline stage: redact before training) ----
+
+#: (pattern, replacement) pairs, applied in order. Email first so its
+#: digits can't be half-eaten by the phone rule; the phone charset has no
+#: dots so IPv4s survive for their own rule. Patterns stick to the regex
+#: subset that Java (Spark) and RE2 (DuckDB) interpret identically, so
+#: the op is oracle-checkable.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Redact emails, phone-ish number runs, and IPv4 literals with
+    typed placeholder tokens. Chained regexp_replace — codegen'd,
+    linear in input bytes, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+# --- Repetition signals (Gopher-style quality rules) --------------------
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line — the 'duplicate line fraction' filter from published LLM
+    data-quality rules. Exact integer counts -> one IEEE division, so
+    the value is bit-equal across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda ln: ln != "")
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(col: Column | str) -> Column:
+    """Fraction of non-empty lines starting with a bullet marker."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda ln: ln != "")
+    n = F.size(lines)
+    bullets = F.size(F.filter(
+        lines, lambda ln: ln.startswith("-") | ln.startswith("*")))
+    return F.when(n > 0, bullets / n).otherwise(F.lit(0.0))

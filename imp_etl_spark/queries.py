@@ -1150,9 +1150,9 @@ _DRIVER_WINDOW_FIRST = [
     # -- changed this round (re-verify): array serialization fix, exact
     #    trend/stateful oracles, stream dedup oracle, merge + pagination
     "nested_types_suite", "per_group_trend", "stateful_user_stats",
-    "stream_dedup_events", "j4_merge_preview", "t_cleanse_suite",
-    # -- representative core kept inside the window
-    "q1_pricing_summary", "s2_paginated_scan",
+    "stream_dedup_events", "j4_merge_preview", "s2_paginated_scan",
+    # -- new this round (first driver signal): PII scrub + Gopher rules
+    "pii_redact_docs", "text_quality_gopher",
 ]
 
 

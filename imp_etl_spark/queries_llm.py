@@ -464,15 +464,30 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(tokens(F.col("text")), bits=32).alias("simhash"))
 
 
-@register("multimodal_frame_sample", None)
+@register("multimodal_frame_sample", """
+SELECT doc_id AS media_id,
+       CAST(f AS BIGINT) AS frame_no,
+       CAST(f * 64 AS BIGINT) AS byte_offset
+FROM (
+  SELECT doc_id,
+         unnest(generate_series(
+           0, least(strlen(text) // 64, 7))) AS f
+  FROM documents WHERE doc_id < 200
+)
+""")
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over opaque media payloads (video shape):
-    byte-offset samples via pure built-ins, no codec required."""
+    byte-offset samples via pure built-ins, no codec required. Oracle
+    recomputes the offsets from the payload byte length (frames every
+    64 bytes, capped at 8)."""
     from imp_etl_spark.operators.multimodal import attach_media, frame_sample
 
-    docs = read_table(spark, sf_dir, "documents").limit(200)
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = attach_media(docs, "text", "video", "raw", "doc_id")
-    return frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frame_sample(media, every_n_bytes=64, max_frames=8).select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"))
 
 
 @register("simhash_near_dup", None)
@@ -621,4 +636,84 @@ def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                        method="mod", buckets=100)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition quality rules (training-pipeline stages)
+# ---------------------------------------------------------------------------
+
+@register("pii_redact_docs", r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+     text || ' Contact user' || doc_id || '@example.com or +1 555-01'
+          || (doc_id % 100) || ' at 10.0.0.' || (doc_id % 256) || '.',
+     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+     '\+?[0-9][0-9\- ]{7,}[0-9]', '<PHONE>', 'g'),
+     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+   AS redacted
+FROM documents
+""")
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.pii_redact): plant a deterministic
+    email + phone + IPv4 per document (the fixture text has no organic
+    PII), then redact with typed placeholders. The oracle chains the
+    identical regexes with DuckDB's 'g' flag — a green row pins that the
+    Java and RE2 engines agree on these patterns byte-for-byte."""
+    from imp_etl_spark.functions.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1 555-01"),
+        (F.col("doc_id") % 100).cast("string"), F.lit(" at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."))
+    return docs.select("doc_id", pii_redact(planted).alias("redacted"))
+
+
+@register("text_quality_gopher", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(lines) > 0
+       THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(lines) > 0
+       THEN CAST(len(list_filter(lines,
+              x -> starts_with(x, '-') OR starts_with(x, '*'))) AS DOUBLE)
+            / CAST(len(lines) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+  CASE WHEN len(toks) > 0
+       THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mean_word_len
+FROM t
+""")
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/shape quality rules from published LLM data-quality
+    filters (duplicate-line fraction, bullet-line fraction, mean word
+    length). All counts are exact integers; each ratio is ONE IEEE
+    division of exact operands -> bit-equal across engines."""
+    from imp_etl_spark.functions.text import (
+        bullet_line_fraction,
+        dup_line_fraction,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    mean_wl = F.when(
+        F.size(toks) > 0,
+        sum_len.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        dup_line_fraction("text").alias("dup_line_frac"),
+        bullet_line_fraction("text").alias("bullet_line_frac"),
+        mean_wl.alias("mean_word_len"),
     )
