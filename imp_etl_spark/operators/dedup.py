@@ -204,13 +204,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Without ``candidates`` this computes Jaccard via an inverted index
     (explode n-grams -> co-occurrence counts -> |A∩B| / (|A|+|B|-|A∩B|)),
     which shuffles (ngram, id) postings — the classic set-similarity-join
-    shape. Pair it with ``minhash_lsh_candidates`` output at scale so only
-    candidate pairs are scored.
+    shape. With ``candidates``, the posting lists are first pruned to the
+    docs that appear in ANY candidate pair (broadcast semi join), so the
+    co-occurrence self-join — the expensive part — runs over candidate
+    docs only, and the final pair semi-join drops non-candidate pairs
+    among them. At LSH-like candidate rates that collapses the posting
+    join from O(corpus²-per-gram) to O(candidates).
     """
     grams = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("g"),
     )
+    if candidates is not None:
+        cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                    .unionByName(candidates.select(F.col("id_b").alias("id")))
+                    .distinct())
+        # per-doc gram sets are self-contained, so pruning postings to
+        # candidate docs changes no surviving pair's |A|, |B| or |A∩B|
+        grams = grams.join(F.broadcast(cand_ids), on="id", how="left_semi")
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("ga")
     b = grams.alias("gb")

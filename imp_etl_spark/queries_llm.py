@@ -333,14 +333,21 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from band-bucket collisions, verification touches candidate
     pairs only, and the final anti join broadcasts the (small) removal
     set against the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
     from imp_etl_spark.operators.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
+    # the candidate frame feeds BOTH the posting-list prune and the pair
+    # semi-join inside ngram_jaccard_pairs; persist so the MinHash
+    # signature pass runs once (tiny frame — pairs only). The cache
+    # manager dedupes by logical plan, so repeated invocations reuse it.
     cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_k=5,
-                                   num_hashes=12, bands=4)
+                                   num_hashes=12, bands=4) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                                    threshold=0.5, candidates=cands)
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
