@@ -134,3 +134,30 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
         cut = F.when(cond, hi) if cut is None else cut.when(cond, hi)
     # strata not named in `fractions` are dropped (weight 0)
     return df.filter(bucket < cut.otherwise(F.lit(0)))
+
+
+def pack_greedy(df: DataFrame, id_col: str, weight_col: str, budget: int,
+                shards: int = 32, shard_col: str = "shard",
+                bin_col: str = "bin") -> DataFrame:
+    """Sequence packing: assign each row to a fixed-``budget`` bin (the
+    batch-construction step that packs documents into fixed-token
+    training sequences). A row opens a new bin when the running weight
+    BEFORE it crosses a budget boundary, so bins fill greedily in id
+    order and assignment is fully deterministic.
+
+    Scale: a single global running sum would funnel all rows through one
+    task, so rows are first sharded by ``id % shards`` (deterministic)
+    and packed per shard — one shuffle on the shard key, a window per
+    shard, no global sort. Bins are (shard, bin) pairs; at 1000
+    executors raise ``shards`` to keep shards ~executor-sized.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % shards).cast("long")
+    w = (Window.partitionBy(shard_col).orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.withColumn(shard_col, shard)
+    cum = F.sum(F.col(weight_col)).over(w)
+    return out.withColumn(
+        bin_col,
+        F.floor((cum - F.col(weight_col)) / float(budget)).cast("long"))

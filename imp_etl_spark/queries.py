@@ -1153,6 +1153,8 @@ _DRIVER_WINDOW_FIRST = [
     "stream_dedup_events", "j4_merge_preview", "s2_paginated_scan",
     # -- new this round (first driver signal): PII scrub + Gopher rules
     "pii_redact_docs", "text_quality_gopher",
+    # -- position 51+: next in line if the driver's budget exceeds 50
+    "pack_sequences",
 ]
 
 

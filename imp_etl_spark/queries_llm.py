@@ -724,3 +724,39 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         bullet_line_fraction("text").alias("bullet_line_frac"),
         mean_wl.alias("mean_word_len"),
     )
+
+
+@register("pack_sequences", """
+WITH w AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, SUM(n_tok) AS tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY shard, bin
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.pack_greedy): documents
+    packed into 512-token bins per deterministic shard — the
+    batch-construction step of an LLM training pipeline. The oracle
+    recomputes the same running-sum bin assignment; exact integer
+    counts make the rollup hash-stable."""
+    from imp_etl_spark.operators.sampling import pack_greedy
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok"))
+    packed = pack_greedy(docs, "doc_id", "n_tok", budget=512, shards=32)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
