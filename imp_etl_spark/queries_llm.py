@@ -403,11 +403,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("srp_bucket_topk", None)
 def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: SRP-LSH bucketed ANN (xxhash64 planes -> rows-only)."""
+    """Scale path: SRP-LSH bucketed ANN with Hamming-1 multi-probe
+    (xxhash64 planes -> rows-only; measured recall in SCALING.md)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.srp_bucket_topk(emb, queries, k=10, dim=64, planes=4)
+    return similarity.srp_bucket_topk(emb, queries, k=10, dim=64, planes=4,
+                                      probe_bits=1)
 
 
 @register("ivf_cosine_topk", None)
