@@ -552,7 +552,7 @@ SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
             WHEN doc_id % 100 < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS docs,
-       SUM(n_chars) AS chars
+       CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents
 GROUP BY split
 """)
@@ -625,7 +625,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("mixture_by_source", """
-SELECT source, COUNT(*) AS docs, SUM(n_chars) AS chars
+SELECT source, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents
 WHERE doc_id % 100 < CASE source
     WHEN 'src0' THEN 100 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
@@ -741,7 +741,7 @@ WITH w AS (
   FROM w
 )
 SELECT shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
-       COUNT(*) AS n_docs, SUM(n_tok) AS tokens,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM c GROUP BY shard, bin
 """)

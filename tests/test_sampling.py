@@ -109,3 +109,31 @@ def test_mixture_sample_hash_rates_and_nesting(spark, docs):
     high = {r["doc_id"] for r in mixture_sample(
         docs, "lang", "doc_id", {"en": 0.3}).select("doc_id").collect()}
     assert low <= high
+
+
+def test_pack_greedy_invariants(spark, docs):
+    """Packing invariants: deterministic across invocations; ids within a
+    (shard, bin) are contiguous in shard order (greedy fill); a bin's
+    weight minus its LAST row stays under budget (a row only spills into
+    the next bin once the running weight crosses the boundary)."""
+    from imp_etl_spark.functions.text import token_count
+    from imp_etl_spark.operators.sampling import pack_greedy
+
+    d = docs.select("doc_id", token_count("text").alias("n_tok"))
+    packed = pack_greedy(d, "doc_id", "n_tok", budget=512, shards=8)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    again = pack_greedy(d, "doc_id", "n_tok", budget=512, shards=8) \
+        .orderBy("shard", "doc_id").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    by_bin: dict[tuple[int, int], list] = {}
+    for r in rows:
+        assert r["shard"] == r["doc_id"] % 8
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (_shard, _bin), members in by_bin.items():
+        total = sum(m["n_tok"] for m in members)
+        assert total - members[-1]["n_tok"] < 512
+    # bins are consecutive per shard starting at 0
+    for s in range(8):
+        bins = sorted(b for (sh, b) in by_bin if sh == s)
+        assert bins == list(range(len(bins)))
