@@ -205,18 +205,22 @@ WITH toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
 )
 SELECT doc_id,
-       list_transform(t[1:4], x -> upper(x)) AS head_upper,
-       list_filter(t, x -> length(x) > 4) AS long_toks,
+       array_to_string(list_transform(t[1:4], x -> upper(x)), '|') AS head_upper,
+       array_to_string(list_filter(t, x -> length(x) > 4), '|') AS long_toks,
        len(list_filter(t, x -> length(x) > 4)) > 0 AS has_long,
        len(list_filter(t, x -> length(x) <= 20)) = len(t) AS all_short,
        list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
                    (a, b) -> a + b) AS char_total,
-       list_sort(list_distinct(t[1:7])) AS head_vocab
+       array_to_string(list_sort(list_distinct(t[1:7])), '|') AS head_vocab
 FROM toks
 """)
 def hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform/filter/exists/forall/
-    aggregate/slice/distinct — all codegen lambdas, zero UDFs."""
+    aggregate/slice/distinct — all codegen lambdas, zero UDFs. The array
+    results are '|'-serialized for the comparison surface (the driver's
+    pandas canonicalizer can't hash Python lists — same treatment as
+    nested_types_suite); the HOF pipeline itself still runs on real
+    arrays."""
     from imp_etl_spark.functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents").filter(
@@ -224,11 +228,14 @@ def hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(F.col("text"))
     return docs.select(
         "doc_id",
-        F.transform(F.slice(t, 1, 4), lambda x: F.upper(x)).alias("head_upper"),
-        F.filter(t, lambda x: F.length(x) > 4).alias("long_toks"),
+        F.array_join(F.transform(F.slice(t, 1, 4), lambda x: F.upper(x)), "|")
+        .alias("head_upper"),
+        F.array_join(F.filter(t, lambda x: F.length(x) > 4), "|")
+        .alias("long_toks"),
         F.exists(t, lambda x: F.length(x) > 4).alias("has_long"),
         F.forall(t, lambda x: F.length(x) <= 20).alias("all_short"),
         F.aggregate(t, F.lit(0).cast("bigint"),
                     lambda acc, x: acc + F.length(x)).alias("char_total"),
-        F.array_sort(F.array_distinct(F.slice(t, 1, 7))).alias("head_vocab"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(t, 1, 7))), "|")
+        .alias("head_vocab"),
     )
