@@ -124,3 +124,36 @@ def test_global_index_is_distributed_and_correct(spark):
     # coalesce the tiny local exchange, which is fine)
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bucketed_merge_scan_is_partition_pruned(spark, tmp_path):
+    """The partial merge must read the previous snapshot with a
+    PARTITION filter on __bucket — untouched bucket directories are
+    pruned at the scan, the plan-level twin of the inode test in
+    test_pipeline."""
+    from pyspark.sql import functions as F2
+
+    from imp_etl_spark.plans.upsert import (
+        _bucket_expr,
+        current_snapshot_path,
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "prune")
+    base = spark.createDataFrame(
+        [(k, "a", k) for k in range(100)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8)
+
+    # replicate the touched-bucket scan the merge performs for a 1-key
+    # batch and pin the partition filter in its executed plan
+    snap = current_snapshot_path(path)
+    one = spark.createDataFrame([(7, "b", 99)], "k INT, v STRING, ord INT")
+    touched = [r["b"] for r in one.select(
+        _bucket_expr(["k"], 8).alias("b")).distinct().collect()]
+    scan = spark.read.parquet(snap).filter(F2.col("__bucket").isin(*touched))
+    scan.collect()
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    # and the scan location covers only the touched subset of 8 buckets
+    assert len(touched) == 1
