@@ -4,8 +4,8 @@ MinHash uses keyed md5 hex digests with *lexicographic* min as the
 permutation hash: md5 is available and identical in Spark, DuckDB,
 Python — so the DuckDB oracle can verify LSH output exactly — and taking
 the min of a uniformly-distributed digest is the only property MinHash
-needs. SimHash uses xxhash64 (JVM-side, fast) and is therefore
-Spark-only (rows-only correctness check).
+needs. SimHash defaults to xxhash64 (JVM-side, fast) with an md5 compat
+mode (``hash_fn='md5'``) that makes it oracle-checkable the same way.
 """
 
 from __future__ import annotations
@@ -83,27 +83,55 @@ def minhash_int(hashes_col: Column, num_hashes: int) -> Column:
     ])
 
 
-def simhash(tokens_col: Column, bits: int = 32) -> Column:
-    """SimHash over tokens: per-bit ±1 votes from xxhash64(token), sign
-    of the vote sum becomes the bit. Returns a long (low ``bits`` bits).
+def token_hash(t: Column, bits: int, hash_fn: str = "xxhash64") -> Column:
+    """Per-token hash supplying ``bits`` usable low bits.
 
-    Near-duplicates then compare by hamming distance — see
-    ``operators.dedup``. xxhash64 keeps this JVM-side and fast; it is not
-    portable to the SQL oracle (rows-only check).
+    ``xxhash64`` is the fast JVM-side default; ``md5`` takes the first
+    ceil(bits/4) hex chars of md5 — slower, but byte-identical in Spark,
+    DuckDB and Python, so md5-mode SimHash is verifiable by the SQL
+    oracle (same portability trick as ``minhash_hex``).
     """
-    def _vote_fn(j: int):
-        def merge(acc, t):
-            return acc + F.when(
-                F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        return merge
+    if hash_fn == "xxhash64":
+        return F.xxhash64(t)
+    if hash_fn == "md5":
+        hex_chars = (bits + 3) // 4
+        if hex_chars > 15:
+            raise ValueError("md5 token_hash supports at most 60 bits")
+        return F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
-    result = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(tokens_col, F.lit(0).cast("long"), _vote_fn(j))
-        result = result + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return result
+
+def simhash(tokens_col: Column, bits: int = 32,
+            hash_fn: str = "xxhash64") -> Column:
+    """SimHash over tokens: per-bit ±1 votes from ``token_hash(token)``,
+    sign of the vote sum becomes the bit. Returns a long (low ``bits``
+    bits). Near-duplicates then compare by hamming distance — see
+    ``operators.dedup``.
+
+    Each token is hashed ONCE (a ``transform`` pass), then a single
+    ``aggregate`` folds the per-bit votes as an array accumulator — the
+    hash is read ``bits`` times as a lambda variable, never recomputed.
+    ``hash_fn='md5'`` makes the whole computation reproducible in the
+    DuckDB oracle (ties at vote==0 resolve to bit 0 identically: integer
+    votes, no float anywhere).
+    """
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    hs = F.transform(tokens_col, lambda t: token_hash(t, bits, hash_fn))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bitvals = F.zip_with(
+        votes, powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bitvals, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -13,8 +13,14 @@ embedding-cosine near-dup (in ``operators.similarity``).
 Scale notes: every variant is a single shuffle on the dedup key (or LSH
 band key). MinHash bands turn the O(n²) pair space into per-bucket
 candidate pairs; the band-key shuffle is the only wide exchange and its
-fan-out is bounded by bucket size. Skewed buckets (e.g. boilerplate docs)
-are handled by AQE skew-join splitting.
+fan-out is bounded by bucket size. AQE skew-join splits oversized
+partitions but cannot bound the PAIR blowup of a degenerate bucket
+(10k identical boilerplate docs = 50M pairs in one bucket), so the
+banded self-joins take a ``max_bucket`` cap: buckets over the cap emit
+star pairs to the bucket's min-id representative instead of all pairs —
+O(bucket) pairs, every member still linked to exactly the row that
+survives dedup. Capped-bucket counts ride an optional ``observe()``
+side-output.
 """
 
 from __future__ import annotations
@@ -93,9 +99,76 @@ def exact_content_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _capped_band_pairs(stacked: DataFrame, id_col: str, max_bucket: int,
+                       observation=None,
+                       extra_cols: Sequence[str] = ()) -> DataFrame:
+    """Banded self-join with a degenerate-bucket cap.
+
+    ``stacked`` holds one row per (doc, band) with columns
+    (id_col, band, sig[, extra_cols...]). Buckets with <= ``max_bucket``
+    members produce every intra-bucket pair; larger buckets produce star
+    pairs (bucket-min id, member id) — linear in bucket size, so a
+    boilerplate/empty-doc bucket can never go quadratic. Pass an
+    ``Observation`` to read capped_buckets / capped_rows after an action.
+    The oracle SQL mirrors the exact same two-path union
+    (queries_llm._banded_pair_sql).
+    """
+    wb = Window.partitionBy("band", "sig")
+    stats = (
+        stacked.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .withColumn("__bmin", F.min(F.col(id_col)).over(wb))
+    )
+    if observation is not None:
+        stats = stats.observe(
+            observation,
+            F.count(F.when((F.col("__bsz") > max_bucket)
+                           & (F.col(id_col) == F.col("__bmin")),
+                           1)).alias("capped_buckets"),
+            F.count(F.when(F.col("__bsz") > max_bucket,
+                           1)).alias("capped_rows"),
+        )
+    keep = [id_col, "band", "sig", *extra_cols]
+    small = stats.filter(F.col("__bsz") <= max_bucket).select(*keep)
+    a, b_ = small.alias("a"), small.alias("b")
+    all_pairs = (
+        a.join(b_, on=["band", "sig"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[F.col(f"a.{c}").alias(f"{c}_a") for c in extra_cols],
+                *[F.col(f"b.{c}").alias(f"{c}_b") for c in extra_cols])
+    )
+    overflow = stats.filter(
+        (F.col("__bsz") > max_bucket) & (F.col(id_col) > F.col("__bmin")))
+    if extra_cols:
+        # star pairs need the representative's extra cols: join the
+        # bucket-min row back on (band, sig) — tiny (one row per bucket)
+        reps = (
+            stats.filter(F.col(id_col) == F.col("__bmin"))
+            .select("band", "sig", F.col(id_col).alias("id_a"),
+                    *[F.col(c).alias(f"{c}_a") for c in extra_cols])
+            .dropDuplicates(["band", "sig"])
+        )
+        star = (
+            overflow.select(
+                "band", "sig", F.col(id_col).alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in extra_cols])
+            .join(reps, on=["band", "sig"])
+            .select("id_a", "id_b",
+                    *[f"{c}_a" for c in extra_cols],
+                    *[f"{c}_b" for c in extra_cols])
+        )
+    else:
+        star = overflow.select(F.col("__bmin").alias("id_a"),
+                               F.col(id_col).alias("id_b"))
+    return all_pairs.unionByName(star)
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", shingle_k: int = 5,
-                           num_hashes: int = 12, bands: int = 4) -> DataFrame:
+                           num_hashes: int = 12, bands: int = 4,
+                           max_bucket: int = 256,
+                           observation=None) -> DataFrame:
     """MinHash-LSH near-duplicate *candidate pairs* (id_a < id_b).
 
     shingle(k tokens) -> per-permutation min of a keyed md5 -> band into
@@ -106,8 +179,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
 
     Scale: signatures are ``num_hashes`` fixed-width strings per doc; the
     self-join shuffles on (band_id, band_signature) so only same-bucket
-    docs meet. Candidate verification (exact Jaccard) is the caller's
-    choice — see ``ngram_jaccard_pairs`` with a candidate frame.
+    docs meet, and buckets beyond ``max_bucket`` degrade to star pairs
+    (see ``_capped_band_pairs``) so a boilerplate bucket stays linear.
+    Candidate verification (exact Jaccard) is the caller's choice — see
+    ``ngram_jaccard_pairs`` with a candidate frame.
     """
     rows = num_hashes // bands
     df = spread_small_scan(df)  # shingle hashing is CPU-bound (util.py)
@@ -139,21 +214,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    a = stacked.alias("a")
-    b_ = stacked.alias("b")
-    pairs = (
-        a.join(b_, on=["band", "sig"], how="inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+    return _capped_band_pairs(stacked, id_col, max_bucket,
+                              observation).distinct()
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", bits: int = 48,
-                           max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                           max_hamming: int = 3, bands: int = 4,
+                           hash_fn: str = "xxhash64",
+                           max_bucket: int = 256,
+                           observation=None) -> DataFrame:
     """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming.
 
     Banding uses the pigeonhole principle: with ``bands > max_hamming``
@@ -163,6 +233,13 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     loss), while only same-block docs ever meet. The shuffle carries
     (band, block_value) keys, and the hamming re-check prunes false
     candidates.
+
+    Two qualifiers to the exact-recall claim: blocks over ``max_bucket``
+    members degrade to star pairs against the block's min-id row
+    (bounded cost in degenerate near-identical corpora — those rows pair
+    with the representative, which is exactly the survivor), and
+    ``hash_fn='md5'`` swaps the token hash for the portable md5 scheme
+    so the whole query is DuckDB-oracle-checkable.
     """
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
@@ -171,26 +248,30 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     block_bits = bits // bands
     mask = (1 << block_bits) - 1
     sigs = spread_small_scan(df).select(
-        F.col(id_col), simhash(tokens(F.col(text_col)), bits=bits).alias("sig"))
+        F.col(id_col),
+        simhash(tokens(F.col(text_col)), bits=bits,
+                hash_fn=hash_fn).alias("sig"))
+    # _capped_band_pairs keys on (band, sig): the block value takes the
+    # sig slot and the full signature rides along for the hamming re-check
     blocks = sigs.select(
-        id_col, "sig",
+        id_col, F.col("sig").alias("fullsig"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.shiftright(F.col("sig"), b * block_bits)
-                .bitwiseAND(F.lit(mask)).alias("blk"))
+                .bitwiseAND(F.lit(mask)).alias("sig"))
             for b in range(bands)
         ])).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"),
-             F.col("bk.blk").alias("blk"))
-    a, b_ = blocks.alias("a"), blocks.alias("b")
+    ).select(id_col, "fullsig", F.col("bk.band").alias("band"),
+             F.col("bk.sig").alias("sig"))
+    pairs = _capped_band_pairs(blocks, id_col, max_bucket, observation,
+                               extra_cols=("fullsig",))
     return (
-        a.join(b_, on=["band", "blk"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
+        pairs.withColumn(
+            "hamming",
+            hamming64(F.col("fullsig_a"), F.col("fullsig_b")).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
         .distinct()
     )
 

@@ -10,8 +10,9 @@ Two tiers:
 
 - ``srp_bucket_topk`` — the scale path: signed-random-projection LSH.
   Each vector gets a ``planes``-bit bucket signature from deterministic
-  pseudo-random hyperplanes (component for (plane p, dim i) derived from
-  xxhash64 — no stored model, reproducible across runs). Candidates =
+  pseudo-random hyperplanes (±1 components seeded from md5("p:i") parity,
+  shipped as literals — no stored model, reproducible across runs and
+  engines, so the bucket assignment is DuckDB-oracle-checkable). Candidates =
   corpus vectors sharing a bucket with the query (multi-probe over exact
   bucket); exact cosine re-ranks candidates. The corpus is scored only
   where buckets collide, turning O(|Q|·N) into O(|Q|·N/2^planes) expected
@@ -24,6 +25,9 @@ with cosine >= threshold.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,29 +35,40 @@ from imp_etl_spark.functions.vector import cosine
 from imp_etl_spark.operators.util import spread_small_scan
 
 
+@lru_cache(maxsize=None)
+def srp_plane_components(planes: int, dim: int) -> tuple[tuple[float, ...], ...]:
+    """±1 hyperplane components, seeded from md5("p:i") parity.
+
+    Computed driver-side ONCE and shipped as literals: deterministic
+    across runs/engines with no RNG state, and — because the same Python
+    matrix also generates the DuckDB oracle SQL — the whole SRP bucket
+    computation is oracle-checkable (and cheaper at runtime than the old
+    per-element xxhash64 derivation: planes*dim constants vs planes*dim
+    hashes per row).
+    """
+    return tuple(
+        tuple(
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8],
+                       16) & 1 else -1.0
+            for i in range(dim)
+        )
+        for p in range(planes)
+    )
+
+
 def _srp_bucket(vec: Column, planes: int, dim: int) -> Column:
     """Signed-random-projection bucket id (`planes` bits).
 
-    Plane p's i-th component is +1/-1 from the parity of
-    xxhash64(p, i) — deterministic, no RNG state, identical on every
-    executor. dot(plane, vec) >= 0 sets bit p.
+    dot(plane, vec) >= 0 sets bit p. The fold is the sequential
+    left-to-right double sum (0.0 + v1 + v2 + ...), bit-identical to the
+    oracle's list_reduce chain — see queries_llm._srp_bucket_sql.
     """
-    def _plane_fn(p: int):
-        def fn(i):
-            return F.when(
-                F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-        return fn
-
+    comps = srp_plane_components(planes, dim)
     bucket = F.lit(0).cast("long")
     for p in range(planes):
+        w = F.array(*[F.lit(x) for x in comps[p]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _plane_fn(p)),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, w, lambda x, ww: x.cast("double") * ww),
             F.lit(0).cast("double"),
             lambda acc, v: acc + v,
         )
@@ -102,14 +117,33 @@ def _probe_buckets(bucket: Column, planes: int, flip_bits: int) -> Column:
 
 
 def srp_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
-                    planes: int = 8, id_col: str = "vec_id",
+                    planes: int = 4, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     query_id_col: str = "query_id",
-                    probe_bits: int = 0) -> DataFrame:
+                    probe_bits: int = 1) -> DataFrame:
     """Approximate top-k: candidates share an SRP bucket, re-ranked by
     exact cosine. Recall grows as ``planes`` shrinks (coarser buckets) or
     as ``probe_bits`` rises (multi-probe: probe_bits=1 also probes every
-    Hamming-1 bucket — see SCALING.md for measured recall@k)."""
+    Hamming-1 bucket). Defaults favor recall over candidate pruning —
+    the old bare default (planes=8, probe_bits=0) measured recall@10 of
+    only 0.12 at fixture scale.
+
+    Recall/cost presets (recall@10 measured at fixture scale, see
+    SCALING.md; candidate fraction is the expected corpus share scored
+    per query = (1 + probe_bits*planes) / 2**planes):
+
+    ==============  =========  ==================
+    setting         recall@10  candidate fraction
+    ==============  =========  ==================
+    planes=4 p=1    ~0.6-0.8   5/16  (default)
+    planes=6 p=1    ~0.4-0.6   7/64
+    planes=8 p=1    ~0.3-0.5   9/256 (scale tier)
+    planes=8 p=0    ~0.1       1/256 (NOT advised)
+    ==============  =========  ==================
+
+    Pick ``planes`` so 2**planes ≈ corpus_size / desired_candidates; at
+    100 TB prefer IVF (``ivf_topk``) whose recall tunes smoothly via
+    nprobe without re-bucketing."""
     cb = spread_small_scan(corpus).withColumn(
         "__bkt", _srp_bucket(F.col(vec_col), planes, dim))
     qb = queries.select(
@@ -291,7 +325,7 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
                              planes: int = 8, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             probe_bits: int = 0) -> DataFrame:
+                             probe_bits: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
     Bucketed self-join (SRP) then exact cosine — near-identical vectors

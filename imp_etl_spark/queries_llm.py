@@ -6,9 +6,17 @@ Portability strategy per operator:
 - MinHash-LSH: md5-hex permutation hashes (functions/hashing.py) -> the
   *entire* LSH pipeline (shingle -> signature -> band -> bucket join) is
   reproduced in SQL and must match pair-for-pair.
-- SimHash / SRP-bucketed ANN / embedding near-dup: xxhash64-based
-  (JVM-only) -> rows-only checks; their exact counterparts
-  (brute-force cosine) are oracle-checked.
+- SimHash: md5 compat hash (``simhash(..., hash_fn='md5')``) -> per-doc
+  signatures AND the banded hamming pair query are reproduced in SQL.
+- SRP-bucketed ANN / embedding near-dup: hyperplane components are a
+  Python-side ±1 literal matrix (similarity.srp_plane_components) shared
+  by the Spark plan and the generated SQL -> bucket assignment, probing
+  and cosine re-rank are all oracle-checked (the fold order of every
+  double sum matches list_reduce's sequential chain).
+- IVF ANN: Lloyd training averages floats in partition order (avg() is
+  order-sensitive at the ulp level) -> legitimately rows-only; recall
+  and inline/persisted equality are pinned in tests/test_similarity.py.
+- approx sketches / libm transcendentals: rows-only by nature.
 """
 
 from __future__ import annotations
@@ -211,13 +219,21 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup: n-gram Jaccard on a deterministic sample of doc pairs
 # ---------------------------------------------------------------------------
 
+_JACCARD_SAMPLE_CAP = 64
+
 @register("jaccard_sampled_pairs", f"""
-WITH sub AS (
-  SELECT doc_id, list_distinct(list_transform(
-           range(1, greatest(len(t) - 2, 0) + 1),
-           i -> array_to_string(t[i:i+2], ' '))) AS grams
-  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
-        WHERE doc_id % 50 = 0)
+WITH sub0 AS (
+  SELECT doc_id, text FROM documents
+  ORDER BY md5(doc_id::VARCHAR), doc_id
+  LIMIT {_JACCARD_SAMPLE_CAP}
+), sub AS (
+  SELECT doc_id, list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+2], ' '))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END) AS grams
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM sub0)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS DOUBLE)
@@ -226,11 +242,22 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sub a JOIN sub b ON a.doc_id < b.doc_id
 """)
 def jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard over a deterministic doc sample (doc_id%50=0):
-    the verification stage that scores LSH candidates at scale. Integer
-    set sizes -> one double division -> bit-exact across engines."""
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 50 == 0)
+    """Exact 3-gram Jaccard over an ABSOLUTE-size doc sample: the 64
+    lowest docs by md5(doc_id) order (content-uncorrelated, portable,
+    deterministic). The all-pairs scorer is bounded at cap*(cap-1)/2
+    pairs REGARDLESS of corpus size — unlike a rate-based sample, whose
+    pair count grows quadratically with the corpus. The production
+    verification path is ``ngram_jaccard_pairs`` with an LSH candidate
+    frame (O(candidates)); this query is the bounded exact scorer.
+    Integer set sizes -> one double division -> bit-exact across
+    engines."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")).asc(),
+                 F.col("doc_id").asc())
+        .limit(_JACCARD_SAMPLE_CAP)
+    )
     grams = F.array_distinct(shingles(tokens(F.col("text")), 3))
     g = docs.select(F.col("doc_id"), grams.alias("grams"))
     a, b = g.alias("a"), g.alias("b")
@@ -243,6 +270,85 @@ def jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("id_b"),
                 (inter.cast("double") / union).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL builders for the portable-hash tier
+# ---------------------------------------------------------------------------
+
+def _banded_pair_sql(cap: int, fullsig: bool = False) -> str:
+    """SQL mirror of operators/dedup._capped_band_pairs: expects a CTE
+    named ``banded`` with (doc_id, band, sig[, fullsig]); emits ``bstat``
+    and ``rawpairs`` CTEs. Buckets <= cap yield all intra-bucket pairs,
+    larger buckets yield star pairs against the bucket-min row."""
+    fs_ab = ", a.fullsig AS fs_a, b.fullsig AS fs_b" if fullsig else ""
+    fs_star = ", r.fullsig AS fs_a, b.fullsig AS fs_b" if fullsig else ""
+    rep_cols = "band, sig, bmin" + (", fullsig" if fullsig else "")
+    return f"""bstat AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, sig) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS bmin
+  FROM banded
+), rawpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b{fs_ab}
+  FROM bstat a JOIN bstat b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id AND a.bsz <= {cap}
+  UNION ALL
+  SELECT r.bmin AS id_a, b.doc_id AS id_b{fs_star}
+  FROM bstat b JOIN (
+    SELECT DISTINCT {rep_cols} FROM bstat WHERE doc_id = bmin
+  ) r ON r.band = b.band AND r.sig = b.sig
+  WHERE b.bsz > {cap} AND b.doc_id > b.bmin
+)"""
+
+
+def _simhash_ctes(bits: int, src: str = "documents") -> str:
+    """Per-doc md5-mode SimHash as SQL (mirrors functions/hashing.simhash
+    with hash_fn='md5'): one md5 per token, integer ±1 votes per bit,
+    vote>0 sets the bit; docs with no tokens hash to 0 via the LEFT
+    JOIN (a false WHEN on NULL votes contributes 0)."""
+    hex_chars = (bits + 3) // 4
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits))
+    bitsum = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM {src}),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, {hex_chars}))::BIGINT AS h
+  FROM toks, UNNEST(toks.t) AS u(tok)
+), v AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+), sims AS (
+  SELECT toks.doc_id, CAST({bitsum} AS BIGINT) AS sim
+  FROM toks LEFT JOIN v ON toks.doc_id = v.doc_id
+)"""
+
+
+def _srp_bucket_sql(vec: str, planes: int, dim: int) -> str:
+    """SRP bucket id as SQL: the SAME ±1 plane matrix as the Spark plan
+    (similarity.srp_plane_components generates both sides), and the same
+    sequential double fold — ``0 + x1 - x2 + ...`` evaluated
+    left-to-right is bit-identical to zip_with-multiply + aggregate-add
+    from 0.0, because x*±1.0 and a±x are exact in IEEE."""
+    comps = similarity.srp_plane_components(planes, dim)
+    terms = []
+    for p in range(planes):
+        chain = " ".join(
+            f"{'+' if comps[p][i] > 0 else '-'} {vec}[{i + 1}]::DOUBLE"
+            for i in range(dim))
+        terms.append(f"CASE WHEN (0 {chain}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cos_sql(a: str, b: str, dim: int) -> str:
+    """Cosine as SQL with the exact fold order of functions/vector.cosine
+    (sequential left-to-right double sums — the ann_cosine_topk pattern)."""
+    def dot(x: str, y: str) -> str:
+        return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+                f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE), (x, y) -> x + y)")
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
 
 
 # ---------------------------------------------------------------------------
@@ -288,23 +394,22 @@ def _minhash_ctes(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
 )"""
 
 
-def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+                 cap: int = 256) -> str:
     return f"""
-WITH {_minhash_ctes(k, num_hashes, bands)}
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
-WHERE a.doc_id < b.doc_id
+WITH {_minhash_ctes(k, num_hashes, bands)},
+{_banded_pair_sql(cap)}
+SELECT DISTINCT id_a, id_b FROM rawpairs
 """
 
 
 def _dedup_pipeline_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
-                        threshold: float = 0.5) -> str:
+                        threshold: float = 0.5, cap: int = 256) -> str:
     return f"""
 WITH {_minhash_ctes(k, num_hashes, bands)},
+{_banded_pair_sql(cap)},
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT id_a, id_b FROM rawpairs
 ), gramsets AS (
   SELECT doc_id, list_distinct(shingles) AS gs FROM sh
 ), verified AS (
@@ -401,10 +506,37 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10)
 
 
-@register("srp_bucket_topk", None)
+def _srp_topk_sql(planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    bucket = _srp_bucket_sql("embedding", planes, dim)
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(planes)])
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+), q0 AS (
+  SELECT vec_id AS query_id, embedding AS qvec, {bucket} AS qb
+  FROM embeddings WHERE vec_id < 8
+), qp AS (
+  SELECT query_id, qvec, UNNEST([{probes}]) AS bkt FROM q0
+), scored AS (
+  SELECT qp.query_id, cb.vec_id,
+         {_cos_sql('cb.embedding', 'qp.qvec', dim)} AS cos
+  FROM cb JOIN qp ON cb.bkt = qp.bkt
+)
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+"""
+
+
+@register("srp_bucket_topk", _srp_topk_sql())
 def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: SRP-LSH bucketed ANN with Hamming-1 multi-probe
-    (xxhash64 planes -> rows-only; measured recall in SCALING.md)."""
+    """Scale path: SRP-LSH bucketed ANN with Hamming-1 multi-probe.
+    Fully oracle-checked: the ±1 plane literals, bucket bits, probe set
+    and cosine re-rank are reproduced in SQL from the same Python plane
+    matrix (measured recall vs brute force in SCALING.md)."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -444,21 +576,52 @@ def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, path, queries, k=10, nprobe=4)
 
 
-@register("embedding_near_dup", None)
+def _near_dup_sql(planes: int = 8, dim: int = 64,
+                  threshold: float = 0.99) -> str:
+    bucket = _srp_bucket_sql("v", planes, dim)
+    probes = ", ".join(["bkt0"]
+                       + [f"xor(bkt0, {1 << p})" for p in range(planes)])
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, {dim + 1}),
+             i -> v[i] + 0.01 * (CASE WHEN (i - 1) % 2 = 1
+                                      THEN 1.0 ELSE -1.0 END)) AS v
+  FROM base
+), corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM planted
+), bk AS (
+  SELECT vec_id, v, {bucket} AS bkt0 FROM corpus
+), aprobe AS (
+  SELECT vec_id, v, UNNEST([{probes}]) AS bkt FROM bk
+), pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         {_cos_sql('a.v', 'c.v', dim)} AS cos
+  FROM aprobe a JOIN bk c ON c.bkt0 = a.bkt AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
+@register("embedding_near_dup", _near_dup_sql())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP buckets with
-    Hamming-1 multi-probe (rows-only; the exact pair scorer
-    ann_cosine_topk is the oracle-checked sibling). The fixture vectors
-    are near-random (no organic pairs at cos>=0.99), so the query plants
-    one deterministically-perturbed copy per vector (cos~0.999) and
-    detects the planted pairs — measured recall table in SCALING.md."""
+    Hamming-1 multi-probe — fully oracle-checked (shared plane matrix,
+    identical fold order; see _srp_bucket_sql). The fixture vectors are
+    near-random (no organic pairs at cos>=0.99), so the query plants one
+    deterministically-perturbed copy per vector (alternating ±0.01 per
+    dimension, cos~0.999 — portable arithmetic, no RNG) and detects the
+    planted pairs — measured recall table in SCALING.md."""
     emb = read_table(spark, sf_dir, "embeddings")
     planted = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x + 0.01 * F.when(
-                F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+                i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
         ).alias("embedding"))
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     return similarity.embedding_near_dup_pairs(corpus, threshold=0.99,
@@ -466,11 +629,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                probe_bits=1)
 
 
-@register("simhash_docs", None)
+@register("simhash_docs", f"""
+WITH {_simhash_ctes(32)}
+SELECT doc_id, sim AS simhash FROM sims
+""")
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (32-bit) per document (xxhash64-based -> rows-only)."""
+    """SimHash (32-bit) per document, md5 compat mode — the signature
+    computation (one md5 per token, integer bit votes) is reproduced
+    bit-for-bit by the SQL oracle. Production corpora can flip to the
+    ~3x-cheaper xxhash64 token hash; only the hash primitive differs."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(tokens(F.col("text")), bits=32).alias("simhash"))
+    return docs.select(
+        "doc_id",
+        simhash(tokens(F.col("text")), bits=32,
+                hash_fn="md5").alias("simhash"))
 
 
 @register("multimodal_frame_sample", """
@@ -499,16 +671,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_offset").cast("long").alias("byte_offset"))
 
 
-@register("simhash_near_dup", None)
+def _simhash_near_dup_sql(bits: int = 48, max_hamming: int = 6,
+                          bands: int = 8, cap: int = 256) -> str:
+    block_bits = bits // bands
+    mask = (1 << block_bits) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH {_simhash_ctes(bits)},
+banded AS (
+  SELECT doc_id, sim AS fullsig, b.band AS band,
+         (sim >> (b.band * {block_bits})) & {mask} AS sig
+  FROM sims, UNNEST([{band_list}]) AS b(band)
+),
+{_banded_pair_sql(cap, fullsig=True)}
+SELECT DISTINCT id_a, id_b,
+       CAST(bit_count(xor(fs_a, fs_b)) AS BIGINT) AS hamming
+FROM rawpairs
+WHERE bit_count(xor(fs_a, fs_b)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_dup", _simhash_near_dup_sql())
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-ball near-dup pairs via pigeonhole banding
-    (operators/dedup.py) — exact recall vs brute force is pinned in
-    tests/test_similarity.py; xxhash64-based, hence rows-only here."""
+    (operators/dedup.py) in md5 compat mode — signatures, banded
+    bucket join, degenerate-bucket cap AND hamming re-check are all
+    reproduced by the SQL oracle. Exact recall vs brute force is pinned
+    in tests/test_similarity.py."""
     from imp_etl_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "text", "doc_id",
-                                  bits=48, max_hamming=6, bands=8)
+                                  bits=48, max_hamming=6, bands=8,
+                                  hash_fn="md5")
 
 
 @register("multimodal_features", """
@@ -572,32 +767,58 @@ def split_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("split_hash_counts", None)
+_MD5_BUCKET_SQL = ("('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+                   " % 10000")
+
+
+@register("split_hash_counts", f"""
+SELECT CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS docs
+FROM (SELECT {_MD5_BUCKET_SQL} AS b FROM documents)
+GROUP BY split
+""")
 def split_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production split path: xxhash64-bucketed assignment (stable under
-    retries/appends, uncorrelated with id order). Rows-only — DuckDB has
-    no xxhash64; determinism, disjointness and proportion bounds are
-    pinned in tests/test_sampling.py."""
+    """Production split path: id-hash-bucketed assignment (stable under
+    retries/appends, uncorrelated with id order), in md5 compat mode so
+    the bucket arithmetic is oracle-checked. xxhash64 is the cheaper
+    production default (identical split structure; determinism,
+    disjointness and proportion bounds pinned in tests/test_sampling.py
+    for both hashes)."""
     from imp_etl_spark.operators.sampling import split_by_hash
 
     docs = read_table(spark, sf_dir, "documents")
     return (
-        split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        split_by_hash(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                      hash_fn="md5")
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("docs"))
     )
 
 
-@register("stratified_sample_langs", None)
+@register("stratified_sample_langs", f"""
+SELECT lang, COUNT(*) AS docs
+FROM documents
+WHERE {_MD5_BUCKET_SQL} <
+      CASE lang WHEN 'en' THEN 2000 ELSE 10000 END
+GROUP BY lang
+""")
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-rebalanced corpus sample (sampleBy): downsample the
-    dominant stratum, keep the rest. Rows-only (seeded Bernoulli);
-    per-stratum rate bounds are pinned in tests/test_sampling.py."""
-    from imp_etl_spark.operators.sampling import stratified_sample
+    """Language-rebalanced corpus sample: downsample the dominant
+    stratum (en at 20%), keep the rest — via the DETERMINISTIC
+    per-stratum hash predicate (mixture_sample, md5 compat mode), so the
+    kept set is a pure function of row identity (retry/append-stable)
+    AND oracle-checked. The seeded-Bernoulli ``stratified_sample``
+    (sampleBy) stays available for API parity; its rate bounds are
+    pinned in tests/test_sampling.py."""
+    from imp_etl_spark.operators.sampling import mixture_sample
 
     docs = read_table(spark, sf_dir, "documents")
-    sampled = stratified_sample(
-        docs, "lang", {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0})
+    sampled = mixture_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
+        method="md5")
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
 
 

@@ -1,0 +1,73 @@
+"""Degenerate-bucket cap for the banded LSH self-joins.
+
+A boilerplate bucket (n identical docs in one band bucket) must yield
+O(n) star pairs against the surviving representative — never the O(n²)
+all-pairs blowup AQE cannot prevent — and must report the cap hit via
+the ``observe()`` side-output. Below the cap, behavior is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    simhash_near_dup_pairs,
+)
+from imp_etl_spark.sources.parquet import read_table
+from tests.conftest import ORACLE_SF_DIR
+
+
+def test_minhash_cap_bounds_identical_doc_bucket(spark):
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated in every single "
+              "document of this degenerate corpus").alias("text"))
+    obs = Observation("minhash_cap")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id",
+                                   max_bucket=256, observation=obs)
+    rows = pairs.collect()
+    # star pairs only: linear in bucket size, one pair per non-min doc
+    assert len(rows) == n - 1
+    # every member links to the representative that survives dedup
+    assert all(r.id_a == 0 for r in rows)
+    m = obs.get
+    assert m["capped_buckets"] == 4, m  # one capped bucket per band
+    assert m["capped_rows"] == 4 * n, m
+
+
+def test_simhash_cap_bounds_identical_doc_bucket(spark):
+    n = 2_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate body for the simhash cap").alias(
+            "text"))
+    obs = Observation("simhash_cap")
+    pairs = simhash_near_dup_pairs(docs, "text", "doc_id", bits=48,
+                                   max_hamming=6, bands=8,
+                                   max_bucket=128, observation=obs)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in rows)
+    assert obs.get["capped_buckets"] == 8  # all 8 blocks of the one sig
+
+
+def test_cap_inactive_below_threshold_matches_uncapped(spark):
+    docs = read_table(spark, ORACLE_SF_DIR, "documents")
+    got = {tuple(r) for r in minhash_lsh_candidates(
+        docs, max_bucket=256).collect()}
+    want = {tuple(r) for r in minhash_lsh_candidates(
+        docs, max_bucket=1 << 30).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_simhash_cap_inactive_matches_uncapped(spark):
+    docs = read_table(spark, ORACLE_SF_DIR, "documents").limit(150)
+    kwargs = dict(bits=48, max_hamming=6, bands=8, hash_fn="md5")
+    got = {tuple(r) for r in simhash_near_dup_pairs(
+        docs, max_bucket=256, **kwargs).collect()}
+    want = {tuple(r) for r in simhash_near_dup_pairs(
+        docs, max_bucket=1 << 30, **kwargs).collect()}
+    assert got == want

@@ -69,6 +69,17 @@ def test_semi_prune_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_jaccard_sample_is_absolutely_capped(spark):
+    """The oracle-verification Jaccard query must sample an ABSOLUTE
+    number of docs (top-64 by md5 order -> TakeOrderedAndProject), so
+    its all-pairs join is bounded at cap^2 regardless of corpus size —
+    a rate-based sample would grow the pair count quadratically."""
+    df = _run("jaccard_sampled_pairs", spark)
+    plan = _executed(df)
+    assert "TakeOrderedAndProject" in plan  # absolute LIMIT, not a rate
+    assert df.count() <= 64 * 63 // 2
+
+
 def test_unpivot_needs_no_shuffle(spark):
     plan = _executed(_run("unpivot_measures", spark))
     assert "Exchange" not in plan

@@ -54,6 +54,22 @@ def test_split_proportions(spark, docs):
         assert abs(counts[name] - n * frac) <= 5 * sigma, (name, counts)
 
 
+def test_split_md5_mode_exhaustive_disjoint_and_proportional(spark, docs):
+    """The md5 compat hash must give the same split GUARANTEES as
+    xxhash64: every row assigned exactly once, deterministic across
+    runs, proportions near the weights (it is a different hash, so the
+    actual assignment differs — only the structure is shared)."""
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(docs, "doc_id", w, hash_fn="md5")
+    n = docs.count()
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    again = split_by_hash(docs, "doc_id", w, hash_fn="md5")
+    assert out.exceptAll(again).count() == 0
+
+
 def test_split_salt_derives_independent_folds(spark, docs):
     a = split_by_hash(docs, "doc_id", SPLITS, salt="exp1")
     b = split_by_hash(docs, "doc_id", SPLITS, salt="exp2")

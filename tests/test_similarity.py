@@ -75,6 +75,19 @@ def test_srp_multiprobe_improves_recall_and_stays_subset_exact(spark):
     assert hits / n >= 0.90, f"multi-probe planted recall {hits/n}"
 
 
+def test_srp_bare_default_recall(spark):
+    """A bare srp_bucket_topk() call must be useful out of the box: the
+    defaults (planes=4, probe_bits=1) pin recall@10 >= 0.5 at fixture
+    scale (the old defaults planes=8/probe_bits=0 measured 0.12)."""
+    emb = read_table(spark, ORACLE_SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    r = similarity.recall_at_k(
+        similarity.srp_bucket_topk(emb, q, k=10, dim=64), exact)
+    assert r >= 0.5, f"bare-call SRP recall@10 {r}"
+
+
 def test_simhash_near_dup_matches_brute_force(spark):
     """Pigeonhole banding (bands > max_hamming) must find EXACTLY the
     brute-force hamming-ball pairs — no recall loss, no extras."""
