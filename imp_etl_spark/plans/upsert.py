@@ -5,26 +5,42 @@ The reference's sink is MySQL ``INSERT ... ON DUPLICATE KEY UPDATE``
 new keys insert, re-runs are harmless. The idiomatic Spark equivalent is
 ``MERGE INTO`` on a transactional table format (Delta/Iceberg); this
 container has plain parquet only, so the sink implements the documented
-fallback: **bucketed snapshot merge**.
+fallback: **bucketed snapshot merge with a manifest-pointer commit** —
+the same shape those formats use internally.
 
-Layout: each snapshot version is hash-bucketed on the merge key
-(``__bucket = pmod(xxhash64(key), n_buckets)`` subdirectories). A merge
-computes the set of buckets its batch touches, rewrites ONLY those
-buckets (union touched-target + batch -> last-writer-wins dedup), and
-HARD-LINKS every untouched bucket's files from the previous version into
-the new one — no data copied, no rewrite. The new version directory is
-staged and atomically renamed into place; readers always see a complete
-snapshot; a crashed writer leaves only an orphaned staging directory.
+Layout: each merge writes its new/rewritten buckets into a fresh
+``data_<uuid>/__bucket=k`` directory (hash-bucketed on the merge key,
+``__bucket = pmod(xxhash64(key), n_buckets)``). A snapshot version is a
+MANIFEST file (``_manifest_v{N}.json``) mapping every bucket id to the
+directory that holds its current files — untouched buckets are carried
+into the new manifest BY REFERENCE (a path string), touched buckets
+point at the freshly written directory. The commit is one atomic
+single-file publish of ``_latest.json`` (written LAST via
+write-temp-then-replace); readers resolve ``_latest.json`` ->
+manifest -> bucket paths and always see a complete snapshot.
 
-Scale notes: this is the MERGE cost model that survives 100 TB — a batch
-touching b of N buckets rewrites b/N of the table (plus the batch), not
-100% of it, exactly like Delta/Iceberg rewrite only the files whose keys
-match. The bucket scan is partition-PRUNED (``__bucket`` is a partition
-column, so untouched buckets are never read), and the bucket id is a
-pure function of the key, so the same exchange partitioning is reusable
-across merges. Schema-evolving batches (new columns) fall back to one
-full bucketed rewrite — mixing schemas across hard-linked buckets would
-force mergeSchema on every read.
+Why manifest-pointer instead of directory rename + hard links (the
+round-2 design): object stores — the realistic 100 TB substrate — have
+no atomic directory rename and no hard links, but a single-object PUT
+*is* atomic, which is exactly what the ``_latest.json`` flip needs.
+The protocol uses only (a) write new files, (b) overwrite one small
+object last; both are portable to S3/GCS/HDFS. Crash at any point
+before (b) leaves the previous version live; orphaned data dirs and
+dangling manifests are swept on the next merge. Writers are serialized
+by the scheduler's overlap guard (ST6, plans/control.py) — the
+single-writer assumption the reference's cron loop also makes.
+
+Scale notes: this is the MERGE cost model that survives 100 TB — a
+batch touching b of N buckets rewrites b/N of the table (plus the
+batch), not 100% of it, exactly like Delta/Iceberg rewrite only the
+files whose keys match. The merge reads ONLY the touched buckets'
+directories (path-level pruning — stronger than a partition filter:
+untouched dirs are never even listed), and the bucket id is a pure
+function of the key, so the same exchange partitioning is reusable
+across merges. Schema-evolving batches (added/removed/retyped columns
+— the dtype check catches silent type drift, not just new names) fall
+back to one full bucketed rewrite, so every directory a manifest
+references carries the identical schema.
 """
 
 from __future__ import annotations
@@ -40,37 +56,176 @@ from pyspark.sql import functions as F
 
 from imp_etl_spark.operators.dedup import latest_per_key
 
-_VERSION_PREFIX = "v_"
-_SPEC_FILE = "_bucketspec.json"
+_LEGACY_PREFIX = "v_"            # round-2 dir-rename layout (read-only)
+_LATEST = "_latest.json"
+_MANIFEST_FMT = "_manifest_v{}.json"
+_DATA_PREFIX = "data_"
 DEFAULT_BUCKETS = 16
 
 
-def _versions(path: str) -> list[int]:
+# ---------------------------------------------------------------------------
+# manifest plumbing
+# ---------------------------------------------------------------------------
+
+def _atomic_write_json(dest: str, obj) -> None:
+    """Single-file atomic publish: write a temp object, then one
+    replace. On POSIX this is ``os.replace``; on an object store the
+    equivalent is a single PUT — no directory rename, no links."""
+    tmp = f"{dest}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, dest)
+
+
+def _manifest_versions(path: str) -> list[int]:
     if not os.path.isdir(path):
         return []
     out = []
     for d in os.listdir(path):
-        if d.startswith(_VERSION_PREFIX):
+        if d.startswith("_manifest_v") and d.endswith(".json"):
             try:
-                out.append(int(d[len(_VERSION_PREFIX):]))
+                out.append(int(d[len("_manifest_v"):-len(".json")]))
             except ValueError:
                 pass
     return sorted(out)
 
 
-def current_snapshot_path(path: str) -> str | None:
-    vs = _versions(path)
-    return os.path.join(path, f"{_VERSION_PREFIX}{vs[-1]}") if vs else None
-
-
-def _read_spec(snap: str) -> dict | None:
-    """Bucket spec of a snapshot dir ({n_buckets, key}), or None for
-    legacy flat snapshots."""
+def _latest_version(path: str) -> int | None:
     try:
-        with open(os.path.join(snap, _SPEC_FILE)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+        with open(os.path.join(path, _LATEST)) as f:
+            return int(json.load(f)["version"])
+    except (OSError, ValueError, KeyError, TypeError):
         return None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, _MANIFEST_FMT.format(version))) as f:
+        return json.load(f)
+
+
+def _manifest_df(spark: SparkSession, path: str,
+                 manifest: dict) -> DataFrame:
+    """Resolve a manifest to a DataFrame (reads exactly the referenced
+    bucket directories; an empty manifest yields an empty frame with
+    the recorded schema)."""
+    rels = list(manifest["buckets"].values())
+    if not rels:
+        ddl = ", ".join(f"`{c}` {t}"
+                        for c, t in manifest.get("schema", {}).items())
+        return spark.createDataFrame([], schema=ddl or "__empty STRING")
+    df = spark.read.parquet(*[os.path.join(path, r) for r in rels])
+    return df.drop("__bucket") if "__bucket" in df.columns else df
+
+
+def _scan_bucket_dirs(path: str, data_rel: str) -> dict[str, str]:
+    """Bucket dirs actually written under ``data_rel`` (absent buckets
+    simply hold no rows), as {bucket_id: relative_path}."""
+    out: dict[str, str] = {}
+    d = os.path.join(path, data_rel)
+    if not os.path.isdir(d):
+        return out
+    for entry in os.listdir(d):
+        if entry.startswith("__bucket="):
+            out[entry.split("=", 1)[1]] = f"{data_rel}/{entry}"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# legacy (round-2 dir-rename) layout — read + migrate only
+# ---------------------------------------------------------------------------
+
+def _legacy_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith(_LEGACY_PREFIX):
+            try:
+                out.append(int(d[len(_LEGACY_PREFIX):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _read_legacy(spark: SparkSession, path: str, version: int) -> DataFrame:
+    df = spark.read.parquet(
+        os.path.join(path, f"{_LEGACY_PREFIX}{version}"))
+    return df.drop("__bucket") if "__bucket" in df.columns else df
+
+
+# ---------------------------------------------------------------------------
+# GC
+# ---------------------------------------------------------------------------
+
+def _referenced_data_dirs(path: str) -> set[str]:
+    refs: set[str] = set()
+    for v in _manifest_versions(path):
+        try:
+            man = _read_manifest(path, v)
+        except (OSError, ValueError):
+            continue
+        refs |= {rel.split("/", 1)[0] for rel in man["buckets"].values()}
+    return refs
+
+
+def _gc_orphans(path: str, latest: int | None) -> None:
+    """Sweep debris from crashed writers: legacy staging dirs, manifests
+    written after the last successful ``_latest.json`` flip, and data
+    dirs no manifest references. Safe under the single-writer rule."""
+    if not os.path.isdir(path):
+        return
+    for d in os.listdir(path):
+        if d.startswith("_staging_"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for v in _manifest_versions(path):
+        if latest is None or v > latest:
+            try:
+                os.remove(os.path.join(path, _MANIFEST_FMT.format(v)))
+            except OSError:
+                pass
+    refs = _referenced_data_dirs(path)
+    for d in os.listdir(path):
+        if d.startswith(_DATA_PREFIX) and d not in refs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _apply_retention(path: str, new_v: int, keep_versions: int,
+                     legacy_vs: list[int]) -> None:
+    """Keep the newest ``keep_versions`` snapshot versions (always
+    including the one just committed), then drop unreferenced data."""
+    keep = keep_versions if keep_versions >= 1 else 1
+    all_vs = sorted(set(_manifest_versions(path)) | set(legacy_vs)
+                    | {new_v})
+    retained = set(all_vs[-keep:]) | {new_v}
+    for v in legacy_vs:
+        if v not in retained:
+            shutil.rmtree(os.path.join(path, f"{_LEGACY_PREFIX}{v}"),
+                          ignore_errors=True)
+    for v in _manifest_versions(path):
+        if v not in retained:
+            try:
+                os.remove(os.path.join(path, _MANIFEST_FMT.format(v)))
+            except OSError:
+                pass
+    refs = _referenced_data_dirs(path)
+    for d in os.listdir(path):
+        if d.startswith(_DATA_PREFIX) and d not in refs:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# public surface
+# ---------------------------------------------------------------------------
+
+def bucket_paths(path: str, version: int | None = None) -> dict[int, str]:
+    """Absolute bucket-id -> directory map of a snapshot (the current
+    one by default). Exposed for plan tests and debugging."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        return {}
+    man = _read_manifest(path, v)
+    return {int(b): os.path.join(path, rel)
+            for b, rel in man["buckets"].items()}
 
 
 def read_target(spark: SparkSession, path: str,
@@ -78,29 +233,23 @@ def read_target(spark: SparkSession, path: str,
     """Read the current snapshot, or a retained older one (time travel —
     ``version`` from the ``merge_upsert`` return value; how many stay
     readable is ``keep_versions``). The internal ``__bucket`` partition
-    column is dropped — callers see exactly the table schema."""
-    if version is not None:
-        if version not in _versions(path):
-            raise ValueError(
-                f"version {version} not retained at {path}; "
-                f"have {_versions(path)}")
-        snap = os.path.join(path, f"{_VERSION_PREFIX}{version}")
-    else:
-        snap = current_snapshot_path(path)
-        if snap is None:
-            return None
-    df = spark.read.parquet(snap)
-    return df.drop("__bucket") if "__bucket" in df.columns else df
-
-
-def _clean_orphan_staging(path: str) -> None:
-    """Remove staging dirs left by crashed writers (never the live
-    versions — a crash before the rename flip leaves only these)."""
-    if not os.path.isdir(path):
-        return
-    for d in os.listdir(path):
-        if d.startswith("_staging_"):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    column never escapes — callers see exactly the table schema."""
+    latest = _latest_version(path)
+    mvs = set(_manifest_versions(path))
+    legacy = _legacy_versions(path)
+    if version is None:
+        if latest is not None:
+            return _manifest_df(spark, path, _read_manifest(path, latest))
+        if legacy:
+            return _read_legacy(spark, path, legacy[-1])
+        return None
+    if version in mvs and (latest is None or version <= latest):
+        return _manifest_df(spark, path, _read_manifest(path, version))
+    if version in legacy:
+        return _read_legacy(spark, path, version)
+    have = sorted(mvs | set(legacy))
+    raise ValueError(
+        f"version {version} not retained at {path}; have {have}")
 
 
 def _bucket_expr(key: Sequence[str], n_buckets: int):
@@ -109,45 +258,15 @@ def _bucket_expr(key: Sequence[str], n_buckets: int):
 
 
 def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
-                    staging: str) -> None:
+                    data_dir: str) -> None:
     """Write a (partial or full) snapshot hash-bucketed on the key.
     One shuffle on the bucket id; each bucket lands as its own
-    ``__bucket=k`` partition directory (partition-prunable on read)."""
+    ``__bucket=k`` directory (individually addressable by manifests)."""
     out = df.withColumn("__bucket", _bucket_expr(key, n_buckets))
     # co-locate each bucket into one task -> one file per bucket (at
     # 100 TB you'd widen this to hash(key) % files_per_bucket as well)
     out.repartition("__bucket").write.mode("overwrite") \
-       .partitionBy("__bucket").parquet(staging)
-
-
-def _write_spec(staging: str, key: Sequence[str], n_buckets: int) -> None:
-    with open(os.path.join(staging, _SPEC_FILE), "w") as f:
-        json.dump({"n_buckets": n_buckets, "key": list(key)}, f)
-
-
-def _link_untouched_buckets(prev_snap: str, staging: str,
-                            touched: set[int]) -> int:
-    """Hard-link every untouched ``__bucket=k`` directory from the
-    previous snapshot into the staging dir (same inodes — zero copy).
-    Returns the number of linked buckets."""
-    linked = 0
-    for entry in os.listdir(prev_snap):
-        if not entry.startswith("__bucket="):
-            continue
-        b = int(entry.split("=", 1)[1])
-        if b in touched:
-            continue
-        src = os.path.join(prev_snap, entry)
-        dst = os.path.join(staging, entry)
-        os.makedirs(dst, exist_ok=True)
-        for fn in os.listdir(src):
-            s, t = os.path.join(src, fn), os.path.join(dst, fn)
-            try:
-                os.link(s, t)
-            except OSError:        # cross-device or fs without links
-                shutil.copy2(s, t)
-        linked += 1
-    return linked
+       .partitionBy("__bucket").parquet(data_dir)
 
 
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
@@ -160,30 +279,46 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     Last-writer-wins within the batch (ordered by ``order_col`` when
     given, mirroring the reference's VALUES-order semantics — SURVEY.md
     §2.7); batch rows beat target rows on key collision (the UPDATE arm
-    of ON DUPLICATE KEY). Rewrites only the buckets the batch touches
-    (see module doc); returns the new snapshot version number.
+    of ON DUPLICATE KEY). Rewrites only the buckets the batch touches;
+    untouched buckets carry into the new manifest by reference (module
+    doc). Partial merges additionally require the batch's column set
+    AND dtypes to match the target exactly — a same-name column with a
+    changed type would otherwise split the snapshot across two physical
+    schemas. Returns the new snapshot version number.
     """
     key = list(key)
     order = [order_col] if order_col else key
     batch_unique = latest_per_key(batch, key, order, desc=True)
 
-    prev_snap = current_snapshot_path(path)
-    _clean_orphan_staging(path)
-    vs = _versions(path)
-    new_v = (vs[-1] + 1) if vs else 0
-    staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    latest = _latest_version(path)
+    legacy_vs = _legacy_versions(path)
+    _gc_orphans(path, latest)
+    prev = latest if latest is not None else (
+        legacy_vs[-1] if legacy_vs else None)
+    new_v = prev + 1 if prev is not None else 0
+    data_rel = f"{_DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    data_dir = os.path.join(path, data_rel)
 
-    if prev_snap is None:
-        _write_bucketed(batch_unique, key, n_buckets, staging)
-        _write_spec(staging, key, n_buckets)
+    carried: dict[str, str] = {}
+    if prev is None:
+        merged = batch_unique
     else:
-        target = read_target(spark, path)
-        spec = _read_spec(prev_snap)
-        new_cols = set(batch.columns) - set(target.columns)
-        partial_ok = (spec is not None
-                      and spec.get("n_buckets") == n_buckets
-                      and spec.get("key") == key
-                      and not new_cols)
+        if latest is not None:
+            man = _read_manifest(path, latest)
+            target = _manifest_df(spark, path, man)
+            tgt_dtypes = dict(man.get("schema") or target.dtypes)
+            bat_dtypes = dict(batch_unique.dtypes)
+            # exact column-set + dtype equality: anything else (new,
+            # dropped, or RETYPED columns) forces the full rewrite so
+            # all referenced dirs share one physical schema
+            partial_ok = (man.get("n_buckets") == n_buckets
+                          and man.get("key") == key
+                          and bat_dtypes == tgt_dtypes)
+        else:
+            # legacy dir-rename snapshot: migrate via one full rewrite
+            target = _read_legacy(spark, path, legacy_vs[-1])
+            partial_ok = False
         b = batch_unique.withColumn("__prio", F.lit(1))
         if partial_ok:
             # touched buckets: tiny distinct over the (deduped) batch
@@ -192,16 +327,19 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                     _bucket_expr(key, n_buckets).alias("b"))
                 .distinct().collect()
             }
-            bucketed = spark.read.parquet(prev_snap)
-            t = (bucketed.filter(F.col("__bucket").isin(*touched))
-                 .drop("__bucket")          # partition-pruned scan
-                 .withColumn("__prio", F.lit(0))) if touched else None
+            touched_rels = [man["buckets"][s]
+                            for s in (str(t) for t in touched)
+                            if s in man["buckets"]]
+            # path-level pruning: ONLY touched bucket dirs are read
+            t = (spark.read.parquet(
+                    *[os.path.join(path, r) for r in touched_rels])
+                 .withColumn("__prio", F.lit(0))
+                 if touched_rels else None)
             merged = (b if t is None else latest_per_key(
-                b.unionByName(t, allowMissingColumns=True),
-                key, ["__prio"], desc=True)).drop("__prio")
-            _write_bucketed(merged, key, n_buckets, staging)
-            _write_spec(staging, key, n_buckets)
-            _link_untouched_buckets(prev_snap, staging, touched)
+                b.unionByName(t), key, ["__prio"], desc=True)
+            ).drop("__prio")
+            carried = {s: rel for s, rel in man["buckets"].items()
+                       if int(s) not in touched}
         else:
             # legacy/flat snapshot, bucket-count change, or schema
             # evolution: one full rewrite into the bucketed layout.
@@ -212,20 +350,19 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
             merged = latest_per_key(
                 b.unionByName(t, allowMissingColumns=True),
                 key, ["__prio"], desc=True).drop("__prio")
-            _write_bucketed(merged, key, n_buckets, staging)
-            _write_spec(staging, key, n_buckets)
 
-    final = os.path.join(path, f"{_VERSION_PREFIX}{new_v}")
-    os.rename(staging, final)  # atomic flip on a posix fs
-    # retain the newest (keep_versions - 1) OLD versions alongside new_v;
-    # keep_versions=1 must delete every old version (vs[:-0] == [] bug)
-    if keep_versions >= 1:
-        drop = vs if keep_versions == 1 else vs[:-(keep_versions - 1)]
-    else:
-        drop = vs
-    for old in drop:
-        shutil.rmtree(os.path.join(path, f"{_VERSION_PREFIX}{old}"),
-                      ignore_errors=True)
+    _write_bucketed(merged, key, n_buckets, data_dir)
+    manifest = {
+        "n_buckets": n_buckets,
+        "key": key,
+        "schema": dict(merged.dtypes),
+        "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
+    }
+    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
+                       manifest)
+    # THE commit point: one atomic single-object publish, written last
+    _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
+    _apply_retention(path, new_v, keep_versions, legacy_vs)
     return new_v
 
 

@@ -173,11 +173,18 @@ def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
     upd = spark.range(2).select(
         F.col("id").alias("k"), F.lit("b").alias("v"),
         (F.col("id") + 10).alias("ord"))
-    # simulate a crashed writer before merging again
+    # simulate crashed writers before merging again: a legacy staging
+    # dir, an unreferenced data dir, and a manifest written after the
+    # last _latest.json flip (crash between manifest and commit)
     os.makedirs(os.path.join(path, "_staging_deadbeef"))
+    os.makedirs(os.path.join(path, "data_deadbeef"))
+    with open(os.path.join(path, "_manifest_v99.json"), "w") as f:
+        f.write('{"n_buckets": 16, "key": ["k"], "buckets": {}}')
     v1 = merge_upsert(spark, path, upd, ["k"], "ord")
 
     assert not [d for d in os.listdir(path) if d.startswith("_staging_")]
+    assert not os.path.isdir(os.path.join(path, "data_deadbeef"))
+    assert not os.path.exists(os.path.join(path, "_manifest_v99.json"))
     cur = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
     assert cur[0] == "b" and cur[4] == "a"
     old = {r["k"]: r["v"] for r in read_target(spark, path, version=v0).collect()}
@@ -188,50 +195,48 @@ def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
 
 
 def test_upsert_retention_keep_one(spark, tmp_path):
-    """keep_versions=1 keeps ONLY the newest snapshot (round-1 advice:
-    vs[:-0] == [] made retention a no-op and versions accumulated)."""
+    """keep_versions=1 keeps ONLY the newest snapshot: one manifest
+    file, and no data directory that isn't referenced by it."""
     import os
+
+    from imp_etl_spark.plans.upsert import _manifest_versions, _read_manifest
 
     path = str(tmp_path / "keep1")
     for i in range(3):
         batch = spark.createDataFrame([(1, f"v{i}", i)], "k INT, v STRING, ord INT")
         merge_upsert(spark, path, batch, ["k"], "ord", keep_versions=1)
-    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v_"))
-    assert vdirs == ["v_2"]
+    assert _manifest_versions(path) == [2]
+    referenced = {rel.split("/")[0] for rel in
+                  _read_manifest(path, 2)["buckets"].values()}
+    data_dirs = {d for d in os.listdir(path) if d.startswith("data_")}
+    assert data_dirs == referenced
     assert [r["v"] for r in read_target(spark, path).collect()] == ["v2"]
 
 
 def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
-    """The 100 TB merge cost model: a batch touching one key rewrites the
-    key's bucket only; every other bucket's files are HARD-LINKED (same
-    inode) from the previous version — no data copied or rewritten."""
-    import os
+    """The 100 TB merge cost model: a batch touching one key rewrites
+    the key's bucket only; every other bucket carries into the new
+    MANIFEST by reference — the same path string as the previous
+    version, no data copied, rewritten, or linked."""
+    from imp_etl_spark.plans.upsert import _read_manifest
 
     path = str(tmp_path / "bucketed")
     base = spark.createDataFrame(
         [(k, f"v{k}", k) for k in range(200)], "k INT, v STRING, ord INT")
     v0 = merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8,
                       keep_versions=5)
-    snap0 = os.path.join(path, "v_0")
-    buckets0 = sorted(d for d in os.listdir(snap0) if d.startswith("__bucket="))
-    assert len(buckets0) == 8
+    man0 = _read_manifest(path, v0)["buckets"]
+    assert len(man0) == 8
 
-    inode0 = {
-        d: {fn: os.stat(os.path.join(snap0, d, fn)).st_ino
-            for fn in os.listdir(os.path.join(snap0, d))}
-        for d in buckets0
-    }
     one = spark.createDataFrame([(7, "updated", 999)], "k INT, v STRING, ord INT")
-    merge_upsert(spark, path, one, ["k"], "ord", n_buckets=8, keep_versions=5)
-    snap1 = os.path.join(path, "v_1")
+    v1 = merge_upsert(spark, path, one, ["k"], "ord", n_buckets=8,
+                      keep_versions=5)
+    man1 = _read_manifest(path, v1)["buckets"]
 
-    rewritten, linked = [], []
-    for d in buckets0:
-        files1 = {fn: os.stat(os.path.join(snap1, d, fn)).st_ino
-                  for fn in os.listdir(os.path.join(snap1, d))}
-        (linked if files1 == inode0[d] else rewritten).append(d)
+    rewritten = [b for b in man0 if man1[b] != man0[b]]
+    carried = [b for b in man0 if man1[b] == man0[b]]
     assert len(rewritten) == 1, f"expected 1 rewritten bucket, got {rewritten}"
-    assert len(linked) == 7
+    assert len(carried) == 7
 
     # semantics unchanged: the update landed, everything else intact
     state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
@@ -241,19 +246,81 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert old[7] == "v7"
 
 
+def test_merge_commit_needs_no_rename_or_links(spark, tmp_path,
+                                               monkeypatch):
+    """Object-store portability: the whole merge+commit protocol must
+    work on a filesystem with NO hard links and NO atomic rename —
+    only new-file writes and single-FILE replace (= one PUT). The shim
+    makes os.link/os.rename raise and restricts os.replace to files."""
+    import os
+
+    real_replace = os.replace
+
+    def no_link(*a, **kw):
+        raise OSError("links not supported (object store)")
+
+    def no_rename(*a, **kw):
+        raise OSError("rename not supported (object store)")
+
+    def file_only_replace(src, dst, **kw):
+        if os.path.isdir(src):
+            raise OSError("directory rename not supported (object store)")
+        return real_replace(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", no_link)
+    monkeypatch.setattr(os, "rename", no_rename)
+    monkeypatch.setattr(os, "replace", file_only_replace)
+
+    path = str(tmp_path / "objstore")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(50)], "k INT, v STRING, ord INT")
+    v0 = merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
+    one = spark.createDataFrame([(3, "upd", 99)], "k INT, v STRING, ord INT")
+    v1 = merge_upsert(spark, path, one, ["k"], "ord", n_buckets=4)
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[3] == "upd" and len(state) == 50 and v1 == v0 + 1
+
+
+def test_partial_merge_rejects_retyped_column(spark, tmp_path):
+    """A batch whose column keeps its NAME but changes TYPE must not
+    take the partial path (mixed physical schemas across referenced
+    dirs); the full rewrite unifies the type for every bucket."""
+    from imp_etl_spark.plans.upsert import _read_manifest
+
+    path = str(tmp_path / "retype")
+    base = spark.createDataFrame(
+        [(k, k, k) for k in range(40)], "k INT, v INT, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
+    widened = spark.createDataFrame(
+        [(1, 2.5, 99)], "k INT, v DOUBLE, ord INT")
+    v1 = merge_upsert(spark, path, widened, ["k"], "ord", n_buckets=4)
+
+    man1 = _read_manifest(path, v1)
+    # full rewrite: every bucket points into ONE fresh data dir
+    parents = {rel.split("/")[0] for rel in man1["buckets"].values()}
+    assert len(parents) == 1
+    assert man1["schema"]["v"] == "double"
+    out = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert out[1] == 2.5 and out[2] == 2.0 and len(out) == 40
+
+
 def test_bucketed_merge_bucket_count_change_full_rewrite(spark, tmp_path):
     """Changing n_buckets can't silently mix layouts: the merge detects
     the spec mismatch and does one full rewrite into the new layout."""
     import os
+
+    from imp_etl_spark.plans.upsert import _read_manifest
 
     path = str(tmp_path / "rebucket")
     base = spark.createDataFrame(
         [(k, "a", k) for k in range(50)], "k INT, v STRING, ord INT")
     merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
     upd = spark.createDataFrame([(1, "b", 99)], "k INT, v STRING, ord INT")
-    merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=8)
-    snap = os.path.join(path, "v_1")
-    assert len([d for d in os.listdir(snap) if d.startswith("__bucket=")]) == 8
+    v1 = merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=8)
+    man = _read_manifest(path, v1)
+    assert man["n_buckets"] == 8 and len(man["buckets"]) == 8
+    # full rewrite into the new layout: one fresh data dir holds all
+    assert len({rel.split("/")[0] for rel in man["buckets"].values()}) == 1
     state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
     assert state[1] == "b" and len(state) == 50
 

@@ -137,16 +137,15 @@ def test_global_index_is_distributed_and_correct(spark):
     assert "SinglePartition" not in plan
 
 
-def test_bucketed_merge_scan_is_partition_pruned(spark, tmp_path):
-    """The partial merge must read the previous snapshot with a
-    PARTITION filter on __bucket — untouched bucket directories are
-    pruned at the scan, the plan-level twin of the inode test in
-    test_pipeline."""
-    from pyspark.sql import functions as F2
-
+def test_bucketed_merge_scan_reads_only_touched_bucket_dirs(spark,
+                                                            tmp_path):
+    """The partial merge prunes at the PATH level: it reads exactly the
+    touched buckets' directories from the manifest — untouched bucket
+    dirs are never even listed (stronger than a partition filter), the
+    plan-level twin of the manifest-reference test in test_pipeline."""
     from imp_etl_spark.plans.upsert import (
         _bucket_expr,
-        current_snapshot_path,
+        bucket_paths,
         merge_upsert,
     )
 
@@ -156,15 +155,16 @@ def test_bucketed_merge_scan_is_partition_pruned(spark, tmp_path):
     merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8)
 
     # replicate the touched-bucket scan the merge performs for a 1-key
-    # batch and pin the partition filter in its executed plan
-    snap = current_snapshot_path(path)
+    # batch: only the touched bucket's directory feeds the reader
     one = spark.createDataFrame([(7, "b", 99)], "k INT, v STRING, ord INT")
     touched = [r["b"] for r in one.select(
         _bucket_expr(["k"], 8).alias("b")).distinct().collect()]
-    scan = spark.read.parquet(snap).filter(F2.col("__bucket").isin(*touched))
-    scan.collect()
-    plan = scan._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "__bucket" in plan.split(
-        "PartitionFilters")[1].split("]")[0]
-    # and the scan location covers only the touched subset of 8 buckets
     assert len(touched) == 1
+    paths = bucket_paths(path)
+    assert len(paths) == 8
+    scan = spark.read.parquet(*[paths[b] for b in touched])
+    files = scan.inputFiles()
+    assert files, "scan read no files"
+    want_dir = paths[touched[0]].rstrip("/")
+    assert all(f"__bucket={touched[0]}" in f for f in files)
+    assert all(want_dir.split("/")[-2] in f for f in files)
