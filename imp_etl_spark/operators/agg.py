@@ -73,8 +73,11 @@ def per_group_trend(events, key: str = "user_id", x_col: str = "ts",
 
     Determinism (this op is oracle-checked, queries.py): all moments are
     EXACT integers — x as epoch-µs offsets from ``TREND_EPOCH_US``, y
-    quantized to micro-units via decimal rounding (ties never occur on
-    binary doubles, so every nearest-rounding engine agrees) — and only
+    quantized to micro-units from the double's SHORTEST decimal repr
+    with halves rounded away from zero (the rule DuckDB's
+    double->DECIMAL cast applies, including on exact .5 ties like
+    0.0078125 -> 7812.5; parity pinned in tests/test_quantize.py) —
+    and only
     the final divisions run in IEEE double, one op per output. The same
     formula in DuckDB HUGEINT arithmetic is bit-equal. Exact summation is
     also numerically stronger than the float closed form (no
@@ -82,15 +85,15 @@ def per_group_trend(events, key: str = "user_id", x_col: str = "ts",
     float fit — the price of a reproducible fit, still Arrow-batched and
     fully distributed.
     """
-    from decimal import ROUND_HALF_EVEN, Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
         xs = [int(v) - TREND_EPOCH_US
               for v in pdf[x_col].astype("datetime64[us]").astype("int64")]
-        ys = [int((Decimal(float(v)).scaleb(6))
-                  .to_integral_value(rounding=ROUND_HALF_EVEN))
+        ys = [int((Decimal(repr(float(v))).scaleb(6))
+                  .to_integral_value(rounding=ROUND_HALF_UP))
               for v in pdf[y_col]]
         n = len(xs)
         sx = sum(xs); sy = sum(ys)

@@ -73,13 +73,15 @@ def cleanse_voucher(df: DataFrame, compat: bool = True) -> DataFrame:
     return out
 
 
-_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
-                   "double", "decimal")
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float",
+                   "double", "decimal"}
 
 
 def _is_numeric_dtype(df: DataFrame, col: str) -> bool:
+    # match the BASE type exactly — a prefix test would classify
+    # 'interval day to second' as numeric via startswith('int')
     dt = dict(df.dtypes).get(col, "")
-    return dt.startswith(_NUMERIC_DTYPES)
+    return dt.split("(")[0] in _NUMERIC_DTYPES
 
 
 def cleanse_transaction(df: DataFrame, compat: bool = True) -> DataFrame:

@@ -973,7 +973,14 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     must contain each event_id exactly once — i.e. exactly the original
     events table, which IS the oracle (the duplicates are identical rows,
     so first-arrival-wins and the batch DISTINCT agree on every column).
-    First-arrival-wins semantics are pinned in tests/test_etl_stream.py."""
+    First-arrival-wins semantics are pinned in tests/test_etl_stream.py.
+
+    Invariant the oracle depends on: ``within`` (90 days) EXCEEDS the
+    events table's full time span (~30 days), so even if the file source
+    splits the two files into separate micro-batches, no event's dedup
+    state is watermark-evicted before its duplicate arrives — the
+    row-for-row match does not hinge on both files landing in one batch.
+    State is one entry per event_id either way."""
     import tempfile
 
     from imp_etl_spark.streaming.etl_stream import dedup_stream
@@ -985,7 +992,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.coalesce(1).write.parquet(src, mode="overwrite")
     ev.coalesce(1).write.parquet(src, mode="append")
     stream = stream_events(spark, src, spark.read.parquet(src).schema)
-    q = (dedup_stream(stream, ["event_id"], "ts", within="2 hours")
+    q = (dedup_stream(stream, ["event_id"], "ts", within="90 days")
          .writeStream.format("memory").queryName(name)
          .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
          .trigger(availableNow=True).start())

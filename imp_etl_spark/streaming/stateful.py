@@ -37,11 +37,18 @@ STATE_SCHEMA = "events BIGINT, value_sum_micro BIGINT, last_event_us BIGINT"
 
 
 def _quantize_micro(vals) -> int:
-    from decimal import ROUND_HALF_EVEN, Decimal
+    # Quantize from the double's SHORTEST decimal representation
+    # (repr), rounding halves away from zero — empirically bit-equal to
+    # DuckDB's double->DECIMAL(18,6) cast, including on exact .5 ties
+    # (0.0078125 -> 7812.5 -> 7813) and on values where the exact
+    # binary expansion sits just below the tie (3.5e-6 is really
+    # 3.4999...e-6, yet both engines read the shortest form "3.5e-6"
+    # and round to 4). Parity pinned in tests/test_quantize.py.
+    from decimal import ROUND_HALF_UP, Decimal
 
     return sum(
-        int(Decimal(float(v)).scaleb(6)
-            .to_integral_value(rounding=ROUND_HALF_EVEN))
+        int(Decimal(repr(float(v))).scaleb(6)
+            .to_integral_value(rounding=ROUND_HALF_UP))
         for v in vals)
 
 

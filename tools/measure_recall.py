@@ -35,30 +35,40 @@ def main() -> None:
     print("| method | config | recall@10 | candidates/query |")
     print("|---|---|---|---|")
 
-    def cand_per_q(df) -> float:
-        # candidate volume proxy: rows scored before ranking ~ bucket hits
-        return df.count() / nq
-
     for planes in (4, 6, 8):
         for probe_bits in (0, 1):
-            t0 = time.time()
             approx = sim.srp_bucket_topk(emb, queries, k, dim=dim,
                                          planes=planes,
                                          probe_bits=probe_bits)
             r = sim.recall_at_k(approx, exact)
+            # MEASURED candidates scored per query (pre-ranking bucket
+            # collisions), not the theoretical (1+probes)/2^planes
+            cb = emb.withColumn(
+                "b", sim._srp_bucket(F.col("embedding"), planes, dim))
+            qb = queries.select("query_id", F.explode(sim._probe_buckets(
+                sim._srp_bucket(F.col("embedding"), planes, dim),
+                planes, probe_bits)).alias("b"))
+            cand = cb.join(qb, "b").count() / nq
             probes = 1 + (planes if probe_bits else 0)
             frac = probes / 2 ** planes
             print(f"| SRP | planes={planes} probe_bits={probe_bits} "
                   f"(~{frac:.1%} of corpus/query) | {r:.3f} | "
-                  f"{time.time()-t0:.1f}s |")
+                  f"{cand:.1f} |")
 
+    cents = sim.train_ivf_centroids(emb, nlist=16, kmeans_iters=2)
+    sizes = sim.assign_ivf_lists(emb, cents).groupBy("__list").agg(
+        F.count(F.lit(1)).alias("sz"))
     for nprobe in (1, 2, 4, 8):
-        t0 = time.time()
         approx = sim.ivf_topk(emb, queries, k, nlist=16, nprobe=nprobe)
         r = sim.recall_at_k(approx, exact)
+        qlists = queries.select("query_id", F.explode(sim._probe_lists(
+            sim._cent_scores(F.col("embedding"), sim._lits(cents)),
+            16, nprobe)).alias("__list"))
+        cand = (qlists.join(sizes, "__list").agg(
+            F.sum("sz")).collect()[0][0] or 0) / nq
         print(f"| IVF | nlist=16 nprobe={nprobe} "
               f"(~{nprobe/16:.0%} of corpus/query) | {r:.3f} | "
-              f"{time.time()-t0:.1f}s |")
+              f"{cand:.1f} |")
 
     # near-dup pair recall on PLANTED duplicates (the real use case: the
     # fixture vectors are near-random, so no organic pairs exist at high
@@ -69,7 +79,7 @@ def main() -> None:
         F.transform(
             "embedding",
             lambda x, i: x + 0.01 * F.when(
-                F.xxhash64(i).bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+                i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
         ).alias("embedding"))
     corpus2 = emb.select("vec_id", "embedding").unionByName(planted).cache()
     n_pairs = emb.count()
