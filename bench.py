@@ -34,6 +34,13 @@ HEADLINE = [
     "text_stats",
     "word_counts_top50",
     "chunk_documents",
+    # round-2/3 operator families (tracked round-over-round)
+    "pii_redact_docs",
+    "text_quality_gopher",
+    "multimodal_features",
+    "pack_sequences",
+    "srp_bucket_topk",
+    "simhash_near_dup",
 ]
 
 

@@ -1134,34 +1134,41 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # -- round-1 driver-unverified: TPC-H family (queries_tpch.py)
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_balance", "q13_customer_distribution", "q14_promo_effect",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
-    "q18_large_volume", "q19_disjunctive_bands", "q21_sole_late_supplier",
-    "q22_dormant_customers", "j1_lookup_inner", "agg_distinct_customers",
-    "agg_exact_median", "agg_approx_stats", "pivot_status_counts",
-    "unpivot_measures",
-    # -- round-1 driver-unverified: scalar-function suites
-    "string_funcs_suite", "date_funcs_suite", "math_funcs_suite",
-    "math_transcendental", "null_cond_suite", "regex_funcs_suite",
-    "hof_array_suite",
-    # -- round-1 driver-unverified: sampling / chunking / mixture tier
-    "split_train_counts", "split_hash_counts", "stratified_sample_langs",
-    "chunk_documents", "mixture_by_source",
-    # -- round-1 driver-unverified: approximate similarity + multimodal
-    "srp_bucket_topk", "ivf_cosine_topk", "ivf_indexed_topk",
-    "embedding_near_dup", "simhash_docs", "simhash_near_dup",
-    "multimodal_frame_sample", "multimodal_features",
-    # -- changed this round (re-verify): array serialization fix, exact
-    #    trend/stateful oracles, stream dedup oracle, merge + pagination
-    "nested_types_suite", "per_group_trend", "stateful_user_stats",
-    "stream_dedup_events", "j4_merge_preview", "s2_paginated_scan",
-    # -- new this round (first driver signal): PII scrub + Gopher rules
-    "pii_redact_docs", "text_quality_gopher",
-    # -- position 51+: next in line if the driver's budget exceeds 50
-    "pack_sequences",
+    # round-3 window. Priority inside the 50-slot budget:
+    # (1) never driver-rowed; (2) stale after round-2's d549719 rewrites
+    # (truthy_int / pipeline counters); (3) semantics changed THIS round
+    # (quantizer tie rule, dedup-stream watermark, manifest-commit sink,
+    # md5 compat hashes, LSH bucket caps, capped Jaccard sample);
+    # (4) round-1-green entries the round-2 window never re-ran.
+    # -- (1)+(2): the four the round-2 verdict put at the front
+    "pack_sequences", "t_cleanse_suite", "a2_processed_skipped",
+    "s1_workqueue_count",
+    # -- (3): behavior/protocol changed in round 3
+    "per_group_trend", "stateful_user_stats", "stream_dedup_events",
+    "j4_merge_preview", "jaccard_sampled_pairs", "minhash_lsh_pairs",
+    "dedup_pipeline_survivors",
+    # -- (3): flipped from rows-only to oracle-backed (md5 compat tier)
+    "simhash_docs", "simhash_near_dup", "srp_bucket_topk",
+    "embedding_near_dup", "split_hash_counts", "stratified_sample_langs",
+    # -- (4): round-1-only greens rotated in (33 fit; the 5 lowest-risk
+    #    r1-green entries whose implementing files are untouched this
+    #    round sit at position 51+)
+    "agg_cube", "agg_grouping_sets", "agg_rollup", "ann_cosine_topk",
+    "bpe_token_count", "dedup_exact_content", "dedup_exact_group",
+    "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
+    "events_session_10m", "events_sliding_1h_30m", "events_tumbling_1h",
+    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
+    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
+    "log_parse_tail", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "setops_suite", "stream_interval_join",
+    "t_time_format_suite", "text_stats", "topk_orders", "win_lag_lead",
+    "win_rank_dense", "win_running_sum", "win_topn_per_group",
+    "word_counts_top50",
+    # -- position 51+: run only if the driver's budget exceeds 50.
+    #    r1-green, implementation and implementing helpers untouched in
+    #    round 3 (temporal.py / skew & dq / json paths).
+    "asof_click_before_purchase", "range_clicks_before_purchase",
+    "json_extract_props", "dq_rule_violations", "salted_skew_agg",
 ]
 
 

@@ -1,0 +1,192 @@
+"""5x fact scale-up experiment (SCALING.md's table).
+
+Duplicates the sf0.1 fact tables 5x with key offsets (orders/lineitem/
+events/documents/embeddings; dimensions held fixed), then times the
+headline queries at 1x vs 5x on the same warm session (best of 2), plus
+the bucketed-merge partial-rewrite path: a 1-key batch merged into the
+1x and 5x tables, reporting wall time and the rewritten-bucket fraction.
+
+Run from the repo root:
+    PYTHONPATH=. python tools/scale_experiment.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.session import get_spark
+from imp_etl_spark.sources.parquet import read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = 5
+OFFSET = 100_000_000
+QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q18_large_volume",
+    "dedup_latest_per_key", "win_topn_per_group", "ann_cosine_topk",
+    "minhash_lsh_pairs", "dedup_pipeline_survivors", "srp_bucket_topk",
+    "simhash_near_dup",
+]
+# fact table -> columns shifted by the copy offset (joins stay aligned:
+# orderkey moves on both sides; custkey/user_id reference fixed dims)
+FACTS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_5x(spark, out_dir: str) -> None:
+    for t, keys in FACTS.items():
+        base = read_table(spark, SF_DIR, t)
+        parts = [base]
+        for i in range(1, COPIES):
+            shifted = base
+            for k in keys:
+                shifted = shifted.withColumn(
+                    k, F.col(k) + F.lit(i * OFFSET))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t in DIMS:
+        read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet")
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def time_etl(spark, sf_dir: str) -> tuple[float, int]:
+    from imp_etl_spark.plans.runner import run_etl
+
+    queue = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("log_id"),
+        F.col("o_custkey").cast("string").alias("reference_no"),
+        F.lit("voucher").alias("table"))
+    voucher = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("voucher_id"),
+        F.col("c_custkey").cast("string").alias("reference_no"),
+        F.col("c_name").alias("first_name"),
+        F.col("c_mktsegment").alias("voucher_status"),
+        F.col("c_acctbal").cast("string").alias("farm_area"))
+    txn = (read_table(spark, sf_dir, "lineitem")
+           .join(read_table(spark, sf_dir, "orders")
+                 .select("o_orderkey", "o_custkey"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .select(F.concat_ws("-", "l_orderkey", "l_linenumber")
+                   .alias("voucher_details_id"),
+                   F.col("o_custkey").cast("string").alias("reference_no"),
+                   F.col("l_quantity").cast("string").alias("quantity"),
+                   F.col("l_returnflag").alias("payout"),
+                   F.col("l_linestatus").alias("ishold"),
+                   F.col("l_shipdate").cast("string").alias("transac_date")))
+    out = tempfile.mkdtemp(prefix="scale_etl_")
+    t0 = time.perf_counter()
+    summary = run_etl(spark, queue, voucher, txn,
+                      os.path.join(out, "voucher"),
+                      os.path.join(out, "txn"))
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    recs = (summary["processedVoucherCount"]
+            + summary["processedTransactionCount"])
+    return dt, recs
+
+
+def time_partial_merge(spark, sf_dir: str) -> tuple[float, float, str]:
+    """Initial full merge of lineitem-as-table, then a 1-key batch:
+    wall of the partial merge + fraction of buckets rewritten."""
+    from imp_etl_spark.plans.upsert import (
+        _read_manifest,
+        merge_upsert,
+        read_target,
+    )
+
+    path = tempfile.mkdtemp(prefix="scale_merge_") + "/t"
+    base = read_table(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+        F.col("l_quantity").alias("v"),
+        F.col("l_orderkey").alias("ord"))
+    t0 = time.perf_counter()
+    v0 = merge_upsert(spark, path, base, ["k"], "ord")
+    full_s = time.perf_counter() - t0
+    # one-key batch with dtypes IDENTICAL to the target (else the dtype
+    # guard correctly forces a full rewrite and we'd measure that)
+    dt = dict(base.dtypes)
+    one = base.limit(1).select(
+        "k", (F.col("v") * 0 + 999).cast(dt["v"]).alias("v"),
+        (F.col("ord") * 0 + 10 ** 9).cast(dt["ord"]).alias("ord"))
+    t0 = time.perf_counter()
+    v1 = merge_upsert(spark, path, one, ["k"], "ord")
+    part_s = time.perf_counter() - t0
+    m0, m1 = _read_manifest(path, v0), _read_manifest(path, v1)
+    rewritten = sum(1 for b in m1["buckets"]
+                    if m0["buckets"].get(b) != m1["buckets"][b])
+    frac = f"{rewritten}/{len(m1['buckets'])}"
+    n = read_target(spark, path).count()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return full_s, part_s, f"{frac} buckets, {n} rows"
+
+
+def main() -> None:
+    from imp_etl_spark.queries import REGISTRY
+
+    spark = get_spark("scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = tempfile.mkdtemp(prefix="scale5x_")
+    build_5x(spark, big)
+    # warm
+    read_table(spark, SF_DIR, "lineitem").limit(1000).write.format(
+        "noop").mode("overwrite").save()
+
+    print(f"| query | 1x (s) | {COPIES}x (s) | ratio |")
+    print("|---|---|---|---|")
+    tot1 = tot5 = 0.0
+    for name in QUERIES:
+        fn, _ = REGISTRY[name]
+        s1 = time_query(fn, spark, SF_DIR)
+        s5 = time_query(fn, spark, big)
+        tot1 += s1
+        tot5 += s5
+        print(f"| {name} | {s1:.2f} | {s5:.2f} | {s5 / s1:.2f} |")
+    e1, r1 = time_etl(spark, SF_DIR)
+    e5, r5 = time_etl(spark, big)
+    tot1 += e1
+    tot5 += e5
+    print(f"| etl_pipeline ({r1} -> {r5} recs) | {e1:.2f} | {e5:.2f} "
+          f"| {e5 / e1:.2f} |")
+    print(f"| **total** | **{tot1:.2f}** | **{tot5:.2f}** "
+          f"| **{tot5 / tot1:.2f}** |")
+
+    f1, p1, note1 = time_partial_merge(spark, SF_DIR)
+    f5, p5, note5 = time_partial_merge(spark, big)
+    print()
+    print("| merge path | 1x (s) | 5x (s) | ratio | rewritten |")
+    print("|---|---|---|---|---|")
+    print(f"| initial full write | {f1:.2f} | {f5:.2f} | {f5 / f1:.2f} "
+          f"| 16/16 |")
+    print(f"| 1-key partial merge | {p1:.2f} | {p5:.2f} | {p5 / p1:.2f} "
+          f"| {note1} vs {note5} |")
+
+    shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
