@@ -182,30 +182,44 @@ def _argmax(scores: Column) -> Column:
 def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
                         kmeans_iters: int = 2, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> list[list[float]]:
-    """Distributed Lloyd training: ``nlist`` centroids seeded from a
-    deterministic corpus sample (lowest xxhash64(id)), refined with
-    ``kmeans_iters`` steps. Assign = codegen argmax over centroid
-    literals; update = per-dimension mean via posexplode — only
-    nlist*dim rows ever reach the driver. At 100 TB, train on a sample."""
+    """Distributed Lloyd training, EXACTLY deterministic: ``nlist``
+    centroids seeded from a deterministic corpus sample (lowest
+    md5(id) — portable ordering), refined with ``kmeans_iters`` steps.
+    Assign = codegen argmax over centroid literals; update = per-
+    dimension EXACT INTEGER micro-unit sums (components quantized via
+    the double->decimal(18,6) cast, summed as longs — integer addition
+    is associative, so the centroid is independent of partitioning and
+    row order, unlike a float ``avg()`` which drifts at the ulp level)
+    followed by one IEEE division per component. Only nlist*dim rows
+    ever reach the driver, and — because DuckDB's decimal cast applies
+    the identical shortest-repr half-away rounding (tests/
+    test_quantize.py) — the whole training loop is reproducible in the
+    SQL oracle (queries_llm._ivf_sql). At 100 TB, train on a sample."""
     cents = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
+                 F.col(id_col).asc())
         .limit(nlist)
         .collect()
     )
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: (x.cast("double").cast("decimal(18,6)")
+                   * 1_000_000).cast("long"))
     for _ in range(kmeans_iters):
         assigned = corpus.withColumn(
             "__list", _argmax(_cent_scores(F.col(vec_col), _lits(cent_vecs))))
-        means = (
-            assigned.select("__list", F.posexplode(F.col(vec_col)))
+        sums = (
+            assigned.select("__list", F.posexplode(micro))
             .groupBy("__list", "pos")
-            .agg(F.avg("col").alias("m"))
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         by_list: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_list.setdefault(r["__list"], {})[r["pos"]] = r["m"]
+        for r in sums:
+            by_list.setdefault(r["__list"], {})[r["pos"]] = (
+                float(r["s"]) / float(r["n"] * 1_000_000))
         cent_vecs = [
             [by_list[i][p] for p in range(len(cent_vecs[i]))]
             if i in by_list else cent_vecs[i]  # empty list keeps its seed

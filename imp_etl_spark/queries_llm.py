@@ -13,10 +13,12 @@ Portability strategy per operator:
   by the Spark plan and the generated SQL -> bucket assignment, probing
   and cosine re-rank are all oracle-checked (the fold order of every
   double sum matches list_reduce's sequential chain).
-- IVF ANN: Lloyd training averages floats in partition order (avg() is
-  order-sensitive at the ulp level) -> legitimately rows-only; recall
-  and inline/persisted equality are pinned in tests/test_similarity.py.
-- approx sketches / libm transcendentals: rows-only by nature.
+- IVF ANN: the Lloyd update step uses EXACT integer micro-unit sums
+  (shared double->decimal(18,6) quantization, tests/test_quantize.py)
+  and md5-ordered seeds, so training itself is reproduced in SQL
+  (_ivf_sql) -> the full train/assign/probe/re-rank is oracle-checked.
+- approx sketches / libm transcendentals: rows-only by nature (the
+  only two left).
 """
 
 from __future__ import annotations
@@ -544,11 +546,99 @@ def srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       probe_bits=1)
 
 
-@register("ivf_cosine_topk", None)
+def _ivf_sql(nlist: int = 10, nprobe: int = 3, iters: int = 2,
+             k: int = 10, dim: int = 64, qmax: int = 8) -> str:
+    """Full IVF — seed sample, ``iters`` Lloyd steps, probe, re-rank —
+    as one generated SQL query. Reproducible because the Spark trainer
+    (similarity.train_ivf_centroids) is exact: md5-ordered seeds,
+    integer micro-unit sums for the update step (the decimal(18,6)
+    quantization rule both engines share — tests/test_quantize.py), and
+    single IEEE divisions; every cosine uses the sequential fold of
+    _cos_sql, so centroids, assignments, probe lists and the final
+    ranking are all bit-identical."""
+    def assign(prev_c: str, name: str) -> str:
+        return f"""{name}_s AS (
+  SELECT corpus.vec_id, {prev_c}.idx,
+         {_cos_sql('corpus.v', f'{prev_c}.v', dim)} AS cos
+  FROM corpus, {prev_c}
+), {name} AS (
+  SELECT vec_id, idx AS lst FROM (
+    SELECT vec_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, idx ASC) AS rn
+    FROM {name}_s
+  ) WHERE rn = 1
+)"""
+
+    def update(a: str, prev_c: str, name: str) -> str:
+        return f"""{name}_m AS (
+  SELECT {a}.lst, p.i AS pos, SUM(micro.m[p.i]) AS s, COUNT(*) AS n
+  FROM {a} JOIN micro USING (vec_id),
+       (SELECT unnest(range(1, {dim + 1})) AS i) p
+  GROUP BY {a}.lst, p.i
+), {name} AS (
+  SELECT {prev_c}.idx, COALESCE(nc.v, {prev_c}.v) AS v
+  FROM {prev_c} LEFT JOIN (
+    SELECT lst AS idx,
+           list(s::DOUBLE / (n * 1000000)::DOUBLE ORDER BY pos) AS v
+    FROM {name}_m GROUP BY lst
+  ) nc ON nc.idx = {prev_c}.idx
+)"""
+
+    parts = [f"""corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), micro AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS m
+  FROM corpus
+), c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS idx, v
+  FROM (SELECT vec_id, v FROM corpus
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {nlist})
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(assign(prev, f"a{it}"))
+        parts.append(update(f"a{it}", prev, f"c{it}"))
+        prev = f"c{it}"
+    parts.append(assign(prev, "af"))
+    parts.append(f"""q AS (
+  SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < {qmax}
+), qs AS (
+  SELECT q.query_id, q.qv, {prev}.idx,
+         {_cos_sql('q.qv', f'{prev}.v', dim)} AS cos
+  FROM q, {prev}
+), qp AS (
+  SELECT query_id, qv, idx FROM (
+    SELECT query_id, qv, idx,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, idx ASC) AS rn
+    FROM qs
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT qp.query_id, af.vec_id,
+         {_cos_sql('corpus.v', 'qp.qv', dim)} AS cos
+  FROM qp JOIN af ON af.lst = qp.idx
+  JOIN corpus ON corpus.vec_id = af.vec_id
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, vec_id, cos, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {k}
+""")
+
+
+@register("ivf_cosine_topk", _ivf_sql(nlist=10, nprobe=3))
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scale path: centroid-bucketed ANN, nprobe=3 of nlist=10 lists
-    scored per query (deterministic seed sample + 2 Lloyd steps ->
-    rows-only; recall vs brute force pinned in tests/test_similarity.py)."""
+    scored per query. Oracle-checked end to end INCLUDING the k-means
+    training (exact-integer Lloyd updates reproduce bit-for-bit in SQL
+    — see _ivf_sql); recall vs brute force pinned in
+    tests/test_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -556,11 +646,12 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                kmeans_iters=2)
 
 
-@register("ivf_indexed_topk", None)
+@register("ivf_indexed_topk", _ivf_sql(nlist=16, nprobe=4))
 def ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disk-backed IVF: build the partitioned index, probe with
-    partition-pruned scans (equality with the inline IVF is pinned in
-    tests/test_similarity.py; rows-only here)."""
+    partition-pruned scans. Same oracle as the inline IVF at these
+    params (the index roundtrip must not change a single bit of the
+    answer — also pinned in tests/test_similarity.py)."""
     import tempfile
 
     from imp_etl_spark.operators.similarity import (
