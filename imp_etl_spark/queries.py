@@ -1166,9 +1166,11 @@ _DRIVER_WINDOW_FIRST = [
     "word_counts_top50",
     # -- position 51+: run only if the driver's budget exceeds 50.
     #    r1-green, implementation and implementing helpers untouched in
-    #    round 3 (temporal.py / skew & dq / json paths).
+    #    round 3 (temporal.py / skew & dq / json paths), then the IVF
+    #    pair newly flipped to oracle-backed (exact-integer training).
     "asof_click_before_purchase", "range_clicks_before_purchase",
     "json_extract_props", "dq_rule_violations", "salted_skew_agg",
+    "ivf_cosine_topk", "ivf_indexed_topk",
 ]
 
 

@@ -281,6 +281,44 @@ def test_merge_commit_needs_no_rename_or_links(spark, tmp_path,
     assert state[3] == "upd" and len(state) == 50 and v1 == v0 + 1
 
 
+def test_legacy_dir_snapshot_reads_and_migrates(spark, tmp_path):
+    """A round-2 dir-rename layout (v_N dirs + _bucketspec.json) stays
+    readable, and its next merge migrates it into the manifest layout
+    via one full rewrite with the version counter continuing."""
+    import json
+    import os
+
+    from imp_etl_spark.plans.upsert import (
+        _bucket_expr,
+        _read_manifest,
+        merge_upsert,
+        read_target,
+    )
+
+    path = str(tmp_path / "legacy")
+    snap = os.path.join(path, "v_3")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(30)], "k INT, v STRING, ord INT")
+    base.withColumn("__bucket", _bucket_expr(["k"], 4)) \
+        .repartition("__bucket").write.partitionBy("__bucket").parquet(snap)
+    with open(os.path.join(snap, "_bucketspec.json"), "w") as f:
+        json.dump({"n_buckets": 4, "key": ["k"]}, f)
+
+    # readable as-is
+    assert read_target(spark, path).count() == 30
+
+    upd = spark.createDataFrame([(1, "new", 99)], "k INT, v STRING, ord INT")
+    v4 = merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=4,
+                      keep_versions=1)
+    assert v4 == 4  # version counter continues past the legacy max
+    man = _read_manifest(path, v4)
+    assert len({rel.split("/")[0] for rel in man["buckets"].values()}) == 1
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[1] == "new" and len(state) == 30
+    # keep_versions=1: the legacy dir is gone after the migrating merge
+    assert not os.path.isdir(snap)
+
+
 def test_partial_merge_rejects_retyped_column(spark, tmp_path):
     """A batch whose column keeps its NAME but changes TYPE must not
     take the partial path (mixed physical schemas across referenced
