@@ -258,21 +258,35 @@ def _bucket_expr(key: Sequence[str], n_buckets: int):
 
 
 def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
-                    data_dir: str) -> None:
+                    data_dir: str, files_per_bucket: int = 1) -> None:
     """Write a (partial or full) snapshot hash-bucketed on the key.
     One shuffle on the bucket id; each bucket lands as its own
-    ``__bucket=k`` directory (individually addressable by manifests)."""
+    ``__bucket=k`` directory (individually addressable by manifests).
+
+    ``files_per_bucket > 1`` widens each bucket to that many writer
+    tasks/files (sub-partitioned by a second key hash) — the knob that
+    keeps task size bounded when a bucket holds gigabytes at 100 TB.
+    Readers are unaffected (a bucket is a directory either way), and
+    the merge cost model is unchanged: touched BUCKETS rewrite whole.
+    """
     out = df.withColumn("__bucket", _bucket_expr(key, n_buckets))
-    # co-locate each bucket into one task -> one file per bucket (at
-    # 100 TB you'd widen this to hash(key) % files_per_bucket as well)
-    out.repartition("__bucket").write.mode("overwrite") \
-       .partitionBy("__bucket").parquet(data_dir)
+    if files_per_bucket > 1:
+        sub = F.pmod(F.xxhash64(*[F.col(k) for k in key], F.lit("sub")),
+                     F.lit(files_per_bucket))
+        out = (out.withColumn("__sub", sub)
+               .repartition(n_buckets * files_per_bucket,
+                            "__bucket", "__sub")
+               .drop("__sub"))
+    else:
+        out = out.repartition("__bucket")
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
 
 
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  key: Sequence[str], order_col: str | None = None,
                  keep_versions: int = 2,
-                 n_buckets: int = DEFAULT_BUCKETS) -> int:
+                 n_buckets: int = DEFAULT_BUCKETS,
+                 files_per_bucket: int = 1) -> int:
     """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
     ``key``.
 
@@ -351,7 +365,7 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                 b.unionByName(t, allowMissingColumns=True),
                 key, ["__prio"], desc=True).drop("__prio")
 
-    _write_bucketed(merged, key, n_buckets, data_dir)
+    _write_bucketed(merged, key, n_buckets, data_dir, files_per_bucket)
     manifest = {
         "n_buckets": n_buckets,
         "key": key,

@@ -281,6 +281,32 @@ def test_merge_commit_needs_no_rename_or_links(spark, tmp_path,
     assert state[3] == "upd" and len(state) == 50 and v1 == v0 + 1
 
 
+def test_files_per_bucket_widens_write_parallelism(spark, tmp_path):
+    """files_per_bucket=4 must produce multiple data files per bucket
+    dir (bounded task size at 100 TB) without changing semantics or the
+    manifest's bucket-level addressing."""
+    import os
+
+    from imp_etl_spark.plans.upsert import bucket_paths
+
+    path = str(tmp_path / "wide")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(2000)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4,
+                 files_per_bucket=4)
+    paths = bucket_paths(path)
+    assert len(paths) == 4
+    files = [f for f in os.listdir(paths[0]) if f.endswith(".parquet")]
+    assert len(files) > 1, "expected multiple files in one bucket"
+    assert read_target(spark, path).count() == 2000
+
+    one = spark.createDataFrame([(7, "upd", 9999)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, one, ["k"], "ord", n_buckets=4,
+                 files_per_bucket=4)
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[7] == "upd" and len(state) == 2000
+
+
 def test_legacy_dir_snapshot_reads_and_migrates(spark, tmp_path):
     """A round-2 dir-rename layout (v_N dirs + _bucketspec.json) stays
     readable, and its next merge migrates it into the manifest layout
