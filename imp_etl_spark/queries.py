@@ -1171,6 +1171,8 @@ _DRIVER_WINDOW_FIRST = [
     "asof_click_before_purchase", "range_clicks_before_purchase",
     "json_extract_props", "dq_rule_violations", "salted_skew_agg",
     "ivf_cosine_topk", "ivf_indexed_topk",
+    # -- new in round 3 (oracle-backed, first driver signal next round)
+    "doc_token_rarity", "contamination_overlap", "tfidf_top_term",
 ]
 
 

@@ -221,6 +221,125 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup: n-gram Jaccard on a deterministic sample of doc pairs
 # ---------------------------------------------------------------------------
 
+@register("doc_token_rarity", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(t) AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+), cnts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts
+), per AS (
+  SELECT t.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks t JOIN cnts c USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, s AS tok_count_sum, n AS n_toks,
+       s::DOUBLE / (n * total) AS familiarity
+FROM per, tot
+""")
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency familiarity score — the log-free unigram-LM
+    quality signal (rare-token-heavy docs score low, boilerplate scores
+    high). Exactness: the per-doc sum of corpus token counts and the
+    token totals are INTEGERS, and familiarity is one double division
+    of exact integers — bit-equal across engines with no transcendental
+    anywhere (a true logprob would hit libm ulp drift; see
+    math_transcendental). Scale shape: one explode -> count shuffle on
+    the token, one posting join on the token (the word-count exchange is
+    reused), one 1-row broadcast total."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("total"))
+    per = (toks.join(cnts, "tok")
+           .groupBy("doc_id")
+           .agg(F.sum("cnt").alias("tok_count_sum"),
+                F.count(F.lit(1)).alias("n_toks")))
+    return per.crossJoin(F.broadcast(total)).select(
+        "doc_id", "tok_count_sum", "n_toks",
+        (F.col("tok_count_sum").cast("double")
+         / (F.col("n_toks") * F.col("total"))).alias("familiarity"))
+
+
+@register("contamination_overlap", f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 5
+                THEN list_transform(range(1, len(t) - 3),
+                                    i -> array_to_string(t[i:i+4], ' '))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END)) AS g
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+FROM grams JOIN bench USING (g)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+""")
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus docs sharing any
+    5-gram with the held-out set (docs with doc_id % 97 == 0 stand in
+    for the benchmark), with the distinct-shared-gram count. The join
+    is an inverted index on the gram with the (small) benchmark gram
+    set broadcast — candidate docs never pair with each other, so cost
+    is O(corpus grams), not O(corpus x benchmark)."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            shingles(tokens(F.col("text")), 5))).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (grams.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("hits")))
+
+
+@register("tfidf_top_term", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(t) AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+)
+SELECT doc_id, tok AS top_term, tf, df, score FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf::DOUBLE / df.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf::DOUBLE / df.df DESC,
+                                     tf.tok ASC) AS rn
+  FROM tf JOIN df USING (tok)
+) WHERE rn = 1
+""")
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by tf/df ratio (log-free
+    tf-idf: same argmax as tf*idf under any monotone idf, without libm
+    drift — tf and df are exact integers, the score is one double
+    division, ties break on the term). The per-doc argmax is a window
+    over the tf join; both aggregations partial-combine before their
+    single exchange."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "tok").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("tok").alias("top_term"),
+                    "tf", "df", "score"))
+
+
 _JACCARD_SAMPLE_CAP = 64
 
 @register("jaccard_sampled_pairs", f"""
