@@ -41,6 +41,8 @@ HEADLINE = [
     "pack_sequences",
     "srp_bucket_topk",
     "simhash_near_dup",
+    "doc_token_rarity",
+    "tfidf_top_term",
 ]
 
 
