@@ -524,10 +524,12 @@ SELECT DISTINCT id_a, id_b FROM rawpairs
 """
 
 
-def _dedup_pipeline_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+def _verified_pair_ctes(k: int = 5, num_hashes: int = 12, bands: int = 4,
                         threshold: float = 0.5, cap: int = 256) -> str:
-    return f"""
-WITH {_minhash_ctes(k, num_hashes, bands)},
+    """CTE chain through ``verified`` (id_a, id_b): MinHash banding ->
+    capped bucket pairs -> exact n-gram-Jaccard verification. Shared by
+    the survivor, cluster-assignment and pipeline queries."""
+    return f"""{_minhash_ctes(k, num_hashes, bands)},
 {_banded_pair_sql(cap)},
 cand AS (
   SELECT DISTINCT id_a, id_b FROM rawpairs
@@ -542,9 +544,42 @@ cand AS (
         / (len(ga.gs) + len(gb.gs)
            - len(list_filter(ga.gs, x -> list_contains(gb.gs, x))))
         >= {threshold}
-), removed AS (SELECT DISTINCT id_b FROM verified)
+)"""
+
+
+def _dedup_pipeline_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5, cap: int = 256) -> str:
+    return f"""
+WITH {_verified_pair_ctes(k, num_hashes, bands, threshold, cap)},
+removed AS (SELECT DISTINCT id_b FROM verified)
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id_b = d.doc_id)
+"""
+
+
+def _dedup_cluster_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+                       threshold: float = 0.5, cap: int = 256) -> str:
+    """Cluster oracle: transitive closure of the verified pair graph via
+    a recursive CTE (reach set per node), label = min reachable id.
+    Exponential in nothing here — components are tiny — but the CLOSURE
+    formulation is oracle-only; the Spark side propagates min labels in
+    O(diameter) rounds without materializing reach sets."""
+    return f"""
+WITH RECURSIVE {_verified_pair_ctes(k, num_hashes, bands, threshold, cap)},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b AS a, id_a AS b FROM verified
+), walk AS (
+  SELECT a AS node, b AS reach FROM edges
+  UNION
+  SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach
+), labels AS (
+  SELECT node, LEAST(node, MIN(reach)) AS cluster_id
+  FROM walk GROUP BY node
+)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 """
 
 
@@ -579,6 +614,36 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(F.broadcast(removed), on="doc_id", how="left_anti").select(
         "doc_id", "n_chars")
+
+
+@register("dedup_cluster_assign", _dedup_cluster_sql())
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: LSH candidates -> exact Jaccard
+    verification -> connected components (operators/graph.py, iterative
+    min-label propagation) -> every doc labeled with its component's min
+    doc_id (its own id for singletons). Cluster-aware dedup then keeps
+    one row per cluster_id — correct on chains a~b~c where pair-based
+    survivor picks can disagree.
+
+    Scale: the pair graph is the (small) near-dup subset; per CC round
+    the shuffle carries 16-byte (node,label) rows; the final corpus join
+    broadcasts the component map."""
+    from pyspark.storagelevel import StorageLevel
+
+    from imp_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from imp_etl_spark.operators.graph import cluster_assignments
+
+    docs = read_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", shingle_k=5,
+                                   num_hashes=12, bands=4) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                                   threshold=0.5, candidates=cands)
+    return cluster_assignments(docs.select("doc_id"), verified,
+                               id_col="doc_id")
 
 
 @register("minhash_lsh_pairs", _minhash_sql())

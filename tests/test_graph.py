@@ -1,0 +1,77 @@
+"""connected_components / cluster_assignments unit + property tests."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from imp_etl_spark.operators.graph import cluster_assignments, connected_components
+
+
+def _cc_reference(edges):
+    """Driver-side union-find for cross-checking."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_chain_and_islands(spark):
+    # chain 1-2-3 (no 1-3 edge), pair 7-8, self-contained triangle 10-11-12
+    edges = [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    rng = random.Random(1234)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["cluster_id"]
+           for r in connected_components(df).collect()}
+    assert got == _cc_reference(edges)
+
+
+def test_long_path_converges(spark):
+    # a 201-node path: neighbor propagation alone would need 200 rounds;
+    # pointer jumping must land it well inside the default max_iter=20
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = connected_components(df)
+    assert got.filter("cluster_id <> 0").count() == 0
+    assert got.count() == 201
+
+
+def test_max_iter_raises(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_cluster_assignments_covers_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    pairs = spark.createDataFrame([(3, 5), (5, 9)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_assignments(docs, pairs).collect()}
+    expect = {i: i for i in range(10)}
+    expect.update({3: 3, 5: 3, 9: 3})
+    assert got == expect
