@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -116,3 +116,97 @@ def per_group_trend(events, key: str = "user_id", x_col: str = "ts",
             .applyInPandas(_fit, schema=f"{key} BIGINT, n BIGINT, "
                                         "slope DOUBLE, intercept DOUBLE, "
                                         "r2 DOUBLE"))
+
+
+def group_moment_stats(events: DataFrame, key: str = "event_type",
+                       x_col: str = "ts", y_col: str = "value") -> DataFrame:
+    """Per-group second-moment statistics — n, mean, sample stddev,
+    covariance(x, y) and Pearson correlation — computed ENTIRELY from
+    exact integer moment sums, JVM-side (whole-stage codegen, no Python).
+
+    Unlike ``per_group_trend`` (grouped-map Pandas with bigint Python
+    sums), this shows the same exact-arithmetic determinism is available
+    to the built-in aggregation path: x is the epoch-MILLIsecond offset
+    from TREND_EPOCH_US and y the micro-quantized value (the shared
+    double->DECIMAL(18,6) rule, tests/test_quantize.py), both carried as
+    DECIMAL(38,0); SUM/products stay exact integers, and each output is
+    one short IEEE chain over exact operands — bit-equal to the DuckDB
+    HUGEINT oracle. Map-side partial aggregation applies, so the shuffle
+    carries 7 integers per (partition, group).
+
+    Envelope: with |x| <= 2.6e9 ms (a month of data) and |y| <= 5.6e8,
+    n*sxx tops out near 1e33 per group — DECIMAL(38,0) holds to ~1e5x
+    this fixture per group. Milli (not micro) x resolution is what buys
+    that headroom; the offsets are non-negative here so `div 1000` is
+    floor division in both engines.
+    """
+    e = str(TREND_EPOCH_US)
+    pts = (
+        events.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .selectExpr(
+            key,
+            # ts is TIMESTAMP_NTZ (sources/parquet nanos handling); the
+            # session tz is pinned UTC (session.py) so this cast is exact
+            f"CAST((unix_micros(CAST({x_col} AS TIMESTAMP)) - {e}) div 1000 "
+            "AS DECIMAL(38,0)) AS x",
+            f"CAST(CAST({y_col} AS DECIMAL(18,6)) * 1000000 AS DECIMAL(38,0)) AS y",
+            f"{y_col} AS yraw",
+        )
+    )
+    s = pts.groupBy(key).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("y*y")).alias("syy"),
+        F.min("yraw").alias("min_value"),
+        F.max("yraw").alias("max_value"),
+    )
+    m = s.selectExpr(
+        key, "n", "sy", "min_value", "max_value",
+        "n*sxy - sx*sy AS a", "n*sxx - sx*sx AS b", "n*syy - sy*sy AS c",
+    )
+    return m.selectExpr(
+        key,
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sy AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_value",
+        "CASE WHEN n < 2 THEN 0.0 ELSE "
+        "sqrt(CAST(c AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 1000000.0 "
+        "END AS stddev_value",
+        "CASE WHEN n < 2 THEN 0.0 ELSE "
+        "CAST(a AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000000.0 "
+        "END AS covar_sec_value",
+        "CASE WHEN n < 2 OR b = 0 OR c = 0 THEN 0.0 ELSE "
+        "CAST(a AS DOUBLE) / (sqrt(CAST(b AS DOUBLE)) * sqrt(CAST(c AS DOUBLE))) "
+        "END AS corr_time_value",
+        "min_value", "max_value",
+    )
+
+
+def fixed_width_histogram(df: DataFrame, col: str, lo: float, width: float,
+                          nbins: int) -> DataFrame:
+    """Fixed-width histogram: bucket index, bounds, count and share.
+
+    One partial+final aggregation over at most ``nbins`` groups — the
+    data-profiling primitive for 100 TB columns (the alternative,
+    sort-based binning, is a full shuffle of the column). Values below
+    ``lo`` clamp to bucket 0, values beyond the top bucket clamp to
+    ``nbins - 1``; the share division is the only float op after exact
+    integer counts. The single-row total join broadcasts.
+    """
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bucket = F.greatest(F.lit(0), F.least(b, F.lit(nbins - 1))).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_all = Window.partitionBy()
+    return (
+        counts
+        .withColumn("lo", (F.lit(lo) + F.col("bucket") * F.lit(width)))
+        .withColumn("hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)))
+        .withColumn("share",
+                    F.col("cnt") / F.sum("cnt").over(w_all))
+        .select("bucket", "lo", "hi", "cnt", "share")
+    )

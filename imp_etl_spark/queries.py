@@ -900,6 +900,33 @@ def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_value_histogram", """
+WITH counts AS (
+  SELECT CAST(GREATEST(0, LEAST(FLOOR((value - 0.0) / 25.0), 23)) AS INT)
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+)
+SELECT bucket,
+       0.0 + bucket * 25.0 AS lo,
+       0.0 + (bucket + 1) * 25.0 AS hi,
+       cnt,
+       cnt / SUM(cnt) OVER () AS share
+FROM counts
+""")
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (operators/agg.
+    fixed_width_histogram): the column-profiling primitive. One
+    partial+final count aggregation — the shuffle carries <= nbins rows
+    per partition and the share window runs over the nbins-row result,
+    never the input."""
+    from imp_etl_spark.operators.agg import fixed_width_histogram
+
+    ev = read_table(spark, sf_dir, "events")
+    return fixed_width_histogram(ev, "value", lo=0.0, width=25.0, nbins=24)
+
+
 @register("salted_skew_agg", """
 SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,

@@ -646,6 +646,98 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percentiles_disc", """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(n) AS n,
+       MAX(CASE WHEN rn = CEIL(n * 0.25) THEN l_extendedprice END) AS p25,
+       MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rn = CEIL(n * 0.75) THEN l_extendedprice END) AS p75,
+       MAX(CASE WHEN rn = CEIL(n * 0.95) THEN l_extendedprice END) AS p95
+FROM ranked
+GROUP BY l_returnflag
+""")
+def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (element-picking) percentiles per group: the value at
+    1-indexed rank ceil(p*n) in sort order. Returning an ACTUAL element
+    makes the result deterministic with no interpolation-rule risk —
+    duplicates in the order don't matter because the value at a fixed
+    rank is unique even when the tie ORDER isn't. Single shuffle on the
+    group key; the per-group sort is spillable and never global."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+                   F.col("l_extendedprice"))).alias(name)
+
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        pick(0.25, "p25"), pick(0.5, "p50"),
+        pick(0.75, "p75"), pick(0.95, "p95"),
+    )
+
+
+@register("agg_stats_moments", """
+WITH pts AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) - 1704067200000000) // 1000 AS HUGEINT) AS x,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y,
+         value AS yraw
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy,
+         MIN(yraw) AS min_value, MAX(yraw) AS max_value
+  FROM pts GROUP BY event_type
+), m AS (
+  SELECT event_type, n, sy, min_value, max_value,
+         n*sxy - sx*sy AS a, n*sxx - sx*sx AS b, n*syy - sy*sy AS c
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sy AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_value,
+       CASE WHEN n < 2 THEN 0.0
+            ELSE sqrt(CAST(c AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+                 / 1000000.0 END AS stddev_value,
+       CASE WHEN n < 2 THEN 0.0
+            ELSE CAST(a AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+                 / 1000000000.0 END AS covar_sec_value,
+       CASE WHEN n < 2 OR b = 0 OR c = 0 THEN 0.0
+            ELSE CAST(a AS DOUBLE)
+                 / (sqrt(CAST(b AS DOUBLE)) * sqrt(CAST(c AS DOUBLE)))
+            END AS corr_time_value,
+       min_value, max_value
+FROM m
+""")
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer moment statistics per event type, fully JVM-side
+    (operators/agg.group_moment_stats): mean/stddev/covar/corr from
+    DECIMAL(38,0) moment sums with one IEEE chain per output — the
+    codegen counterpart of per_group_trend's Pandas path, and a hard
+    (bit-equal) oracle for statistics that other engines can only
+    fuzzily compare."""
+    from imp_etl_spark.operators.agg import group_moment_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return group_moment_stats(ev)
+
+
 # ---------------------------------------------------------------------------
 # Q9 shape: product-type profit by nation and year — the widest feasible
 # join tree (lineitem + part + supplier + orders + nation). Adapted: the
