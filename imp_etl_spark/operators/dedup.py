@@ -326,3 +326,43 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", "jaccard")
     )
     return scored
+
+
+def passage_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 16) -> DataFrame:
+    """Passage-level first-occurrence dedup across the corpus: split each
+    document into consecutive non-overlapping ``k``-token passages and
+    keep each distinct passage ONCE — at the (doc, index) position that
+    is smallest in (doc_id, passage_idx) order. This is the
+    boilerplate-removal shape (repeated headers/footers/licenses across
+    pages) that document-level near-dup misses.
+
+    Scale: one narrow tokenize/slice pass, then a single shuffle on the
+    passage hash (8-byte xxhash64 keys, not passage bodies — same move
+    as exact_content_dedup); the per-hash window is a WindowGroupLimit
+    top-1. Output order restores (doc_id, passage_idx) lineage so
+    surviving passages can be re-joined into cleaned documents.
+    """
+    toks = tokens(F.col(text_col))
+    npass = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    # guard: sequence(1, 0) DESCENDS in Spark, so empty docs need an
+    # explicit empty passage list (posexplode then emits no rows)
+    plist = F.when(
+        npass >= 1,
+        F.transform(
+            F.sequence(F.lit(1), npass),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * k + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    passages = (
+        spread_small_scan(df)
+        .select(F.col(id_col),
+                F.posexplode(plist).alias("passage_idx", "passage"))
+    )
+    w = Window.partitionBy(F.xxhash64("passage")).orderBy(
+        F.col(id_col).asc(), F.col("passage_idx").asc())
+    return (
+        passages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -185,3 +185,22 @@ def pack_greedy(df: DataFrame, id_col: str, weight_col: str, budget: int,
     return out.withColumn(
         bin_col,
         F.floor((cum - F.col(weight_col)) / float(budget)).cast("long"))
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column,
+                    salt: str = "", buckets: int = BUCKETS,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-row weighted Bernoulli sampling: keep a row with probability
+    ``weight`` (a column in [0,1] — e.g. a quality score, or a
+    length-proportional rate), decided by the row's OWN id hash. The
+    training-data shape this serves: quality-weighted corpus pruning
+    where better documents survive at higher rates, reproducibly.
+
+    Same guarantees as ``sample_by_hash``: narrow one-pass filter, stable
+    under retries/appends/partitioning, and monotone in the weight (a row
+    kept at weight w survives at any w' > w with the same salt — the
+    hash draw is fixed, only the threshold moves). The comparison is
+    ``bucket < weight * buckets`` with no rounding, so the kept set is a
+    pure function of (id, salt, weight) in both engines (md5 mode)."""
+    bucket = _hash_bucket(id_col, salt, buckets, hash_fn)
+    return df.filter(bucket < weight * F.lit(buckets))

@@ -616,6 +616,58 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars")
 
 
+@register("weighted_sample_docs", """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'w1'), 1, 15))::BIGINT % 10000)
+      < LEAST(1.0, n_chars / 800.0) * 10000
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus pruning (operators/sampling.weighted_sample,
+    md5 compat mode): each doc survives with probability
+    min(1, n_chars/800) decided by its own id hash — narrow one-pass
+    filter, retry/append-stable, monotone in the weight."""
+    from imp_etl_spark.operators.sampling import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(800.0))
+    return weighted_sample(docs, "doc_id", w, salt="w1",
+                           hash_fn="md5").select("doc_id", "lang", "n_chars")
+
+
+@register("passage_dedup_docs", """
+WITH toks AS (
+  SELECT doc_id, """ + _DUCK_TOKS + """ AS t FROM documents
+), plist AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN list_transform(range(1, CAST(CEIL(len(t) / 16.0) AS INT) + 1),
+                                  i -> array_to_string(t[(i-1)*16+1 : (i-1)*16+16], ' '))
+              ELSE [] END AS ps
+  FROM toks
+), passages AS (
+  SELECT doc_id, i - 1 AS passage_idx, ps[i] AS passage
+  FROM plist, UNNEST(range(1, len(ps) + 1)) AS u(i)
+), ranked AS (
+  SELECT doc_id, passage_idx, passage,
+         ROW_NUMBER() OVER (PARTITION BY passage
+                            ORDER BY doc_id, passage_idx) AS rn
+  FROM passages
+)
+SELECT doc_id, passage_idx, passage FROM ranked WHERE rn = 1
+""")
+def passage_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (16-token) first-occurrence dedup
+    (operators/dedup.passage_dedup): the boilerplate-removal pass.
+    Spark shuffles 8-byte xxhash64 passage keys; the oracle partitions by
+    the passage text itself — identical output unless xxhash64 collides
+    (none at fixture scale; at 100 TB a collision merges two passages,
+    the standard accepted trade of hash-keyed dedup)."""
+    from imp_etl_spark.operators.dedup import passage_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, "text", "doc_id", k=16)
+
+
 @register("dedup_cluster_assign", _dedup_cluster_sql())
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: LSH candidates -> exact Jaccard

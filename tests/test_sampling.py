@@ -153,3 +153,45 @@ def test_pack_greedy_invariants(spark, docs):
     for s in range(8):
         bins = sorted(b for (sh, b) in by_bin if sh == s)
         assert bins == list(range(len(bins)))
+
+
+def test_weighted_sample_monotone_and_bounds(spark, docs):
+    from imp_etl_spark.operators.sampling import weighted_sample
+
+    zero = weighted_sample(docs, "doc_id", F.lit(0.0))
+    assert zero.count() == 0
+    full = weighted_sample(docs, "doc_id", F.lit(1.0))
+    assert full.count() == docs.count()
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(800.0))
+    kept = {r["doc_id"] for r in
+            weighted_sample(docs, "doc_id", w).select("doc_id").collect()}
+    # halving every weight keeps a strict subset (same hash draw,
+    # lower threshold) and is partitioning-independent
+    kept_half = {r["doc_id"] for r in
+                 weighted_sample(docs.repartition(5), "doc_id", w / 2)
+                 .select("doc_id").collect()}
+    assert kept_half <= kept
+    assert len(kept_half) < len(kept)
+
+
+def test_passage_dedup_first_occurrence(spark):
+    from imp_etl_spark.operators.dedup import passage_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(16))  # one exact passage
+    rows = [
+        (1, shared + " tail one"),
+        (2, shared + " tail two"),
+        (3, "unique words only in doc three " + " ".join(
+            f"w{i}" for i in range(10))),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = passage_dedup(df, "text", "doc_id", k=16).collect()
+    got = {(r["doc_id"], r["passage_idx"]): r["passage"] for r in out}
+    # the shared passage survives once, at its smallest (doc, idx)
+    assert sum(1 for p in got.values() if p == shared) == 1
+    assert (1, 0) in got and got[(1, 0)] == shared
+    # doc 2's copy of the shared passage is gone, its tail survives
+    assert (2, 0) not in got and (2, 1) in got
+    # empty doc contributes nothing
+    assert not any(d == 4 for d, _ in got)
