@@ -164,26 +164,16 @@ def _capped_band_pairs(stacked: DataFrame, id_col: str, max_bucket: int,
     return all_pairs.unionByName(star)
 
 
-def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", shingle_k: int = 5,
-                           num_hashes: int = 12, bands: int = 4,
-                           max_bucket: int = 256,
-                           observation=None) -> DataFrame:
-    """MinHash-LSH near-duplicate *candidate pairs* (id_a < id_b).
-
+def minhash_stacked(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", shingle_k: int = 5,
+                    num_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """One row per (doc, band) with the band's signature string:
     shingle(k tokens) -> per-permutation min of a keyed md5 -> band into
-    ``bands`` groups of ``num_hashes/bands`` rows -> self-join per band
-    bucket -> distinct pairs. md5-hex min (lexicographic) is used as the
-    permutation hash: portable across engines (same answer in the DuckDB
-    oracle) and uniform enough for banding.
-
-    Scale: signatures are ``num_hashes`` fixed-width strings per doc; the
-    self-join shuffles on (band_id, band_signature) so only same-bucket
-    docs meet, and buckets beyond ``max_bucket`` degrade to star pairs
-    (see ``_capped_band_pairs``) so a boilerplate bucket stays linear.
-    Candidate verification (exact Jaccard) is the caller's choice — see
-    ``ngram_jaccard_pairs`` with a candidate frame.
-    """
+    ``bands`` groups of ``num_hashes/bands`` rows. md5-hex min
+    (lexicographic) is the permutation hash: portable across engines
+    (same answer in the DuckDB oracle) and uniform enough for banding.
+    Shared by the self-join candidate generator and the cross-corpus
+    matcher."""
     rows = num_hashes // bands
     df = spread_small_scan(df)  # shingle hashing is CPU-bound (util.py)
     toks = tokens(F.col(text_col))
@@ -205,7 +195,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             .alias(f"band_{b}")
         )
     banded = sigs.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(*[
@@ -214,8 +204,61 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             ])
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", shingle_k: int = 5,
+                           num_hashes: int = 12, bands: int = 4,
+                           max_bucket: int = 256,
+                           observation=None) -> DataFrame:
+    """MinHash-LSH near-duplicate *candidate pairs* (id_a < id_b).
+
+    Scale: signatures are ``num_hashes`` fixed-width strings per doc; the
+    self-join shuffles on (band_id, band_signature) so only same-bucket
+    docs meet, and buckets beyond ``max_bucket`` degrade to star pairs
+    (see ``_capped_band_pairs``) so a boilerplate bucket stays linear.
+    Candidate verification (exact Jaccard) is the caller's choice — see
+    ``ngram_jaccard_pairs`` with a candidate frame.
+    """
+    stacked = minhash_stacked(df, text_col, id_col, shingle_k,
+                              num_hashes, bands)
     return _capped_band_pairs(stacked, id_col, max_bucket,
                               observation).distinct()
+
+
+def cross_corpus_candidates(new_stacked: DataFrame, ref_stacked: DataFrame,
+                            id_col: str = "doc_id",
+                            max_bucket: int = 256) -> DataFrame:
+    """Candidate (id_new, id_ref) pairs between a NEW corpus and a
+    REFERENCE corpus: a new doc pairs with ref docs sharing any band
+    bucket. The incremental-crawl dedup shape — never a self-join over
+    new ∪ ref, so a 100 TB reference corpus is only ever touched through
+    its banded signature table (which can be precomputed and reused
+    across crawl batches).
+
+    Ref buckets larger than ``max_bucket`` are represented by their
+    min-id member only: the MATCH decision ("does this new doc collide
+    with the reference?") is bucket-level, so collapsing a degenerate
+    boilerplate bucket to one representative keeps every match while
+    bounding the join fan-out at O(new-side rows). Downstream Jaccard
+    verification against the representative is sound for the same reason
+    star pairs are in ``_capped_band_pairs``: an over-cap bucket's
+    members are near-identical by construction.
+    """
+    wb = Window.partitionBy("band", "sig")
+    ref = (
+        ref_stacked.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .withColumn("__bmin", F.min(F.col(id_col)).over(wb))
+        .filter((F.col("__bsz") <= max_bucket)
+                | (F.col(id_col) == F.col("__bmin")))
+        .select(F.col(id_col).alias("id_ref"), "band", "sig")
+    )
+    return (
+        new_stacked.select(F.col(id_col).alias("id_new"), "band", "sig")
+        .join(ref, on=["band", "sig"])
+        .select("id_new", "id_ref")
+        .distinct()
+    )
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",

@@ -1200,6 +1200,9 @@ _DRIVER_WINDOW_FIRST = [
     "ivf_cosine_topk", "ivf_indexed_topk",
     # -- new in round 3 (oracle-backed, first driver signal next round)
     "doc_token_rarity", "contamination_overlap", "tfidf_top_term",
+    "dedup_cluster_assign", "agg_stats_moments", "agg_percentiles_disc",
+    "events_value_histogram", "weighted_sample_docs", "passage_dedup_docs",
+    "cross_corpus_survivors",
 ]
 
 

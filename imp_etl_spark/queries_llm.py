@@ -616,6 +616,92 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars")
 
 
+def _cross_corpus_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.5, cap: int = 256) -> str:
+    """NEW corpus = doc_id % 10 >= 7, REFERENCE = the rest. A new doc is
+    dropped when it band-collides with the reference AND exact Jaccard
+    vs the collided ref doc clears the threshold. Over-cap ref buckets
+    collapse to their min-id representative (match preserved — the
+    decision is bucket-level)."""
+    return f"""
+WITH {_minhash_ctes(k, num_hashes, bands)},
+refb AS (
+  SELECT doc_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS bmin
+  FROM banded WHERE doc_id % 10 < 7
+), refc AS (
+  SELECT doc_id AS id_ref, band, sig FROM refb
+  WHERE bsz <= {cap} OR doc_id = bmin
+), cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, r.id_ref
+  FROM banded n JOIN refc r ON n.band = r.band AND n.sig = r.sig
+  WHERE n.doc_id % 10 >= 7
+), gramsets AS (
+  SELECT doc_id, list_distinct(shingles) AS gs FROM sh
+), verified AS (
+  SELECT c.id_new
+  FROM cand c
+  JOIN gramsets ga ON ga.doc_id = c.id_new
+  JOIN gramsets gb ON gb.doc_id = c.id_ref
+  WHERE CAST(len(list_filter(ga.gs, x -> list_contains(gb.gs, x))) AS DOUBLE)
+        / (len(ga.gs) + len(gb.gs)
+           - len(list_filter(ga.gs, x -> list_contains(gb.gs, x))))
+        >= {threshold}
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id % 10 >= 7
+  AND NOT EXISTS (SELECT 1 FROM verified v WHERE v.id_new = d.doc_id)
+"""
+
+
+@register("cross_corpus_survivors", _cross_corpus_sql())
+def cross_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: new docs (doc_id %% 10 >= 7) that do NOT
+    near-duplicate the existing reference corpus (the rest). Band-bucket
+    match against the reference's precomputable signature table
+    (operators/dedup.cross_corpus_candidates), then exact Jaccard
+    verification of candidates only, then anti join.
+
+    Scale: the reference corpus is touched only through its banded
+    signature table (reused across crawl batches at 100 TB); no
+    new∪ref self-join ever forms, and the verify cost is O(candidates)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from imp_etl_spark.operators.dedup import (
+        cross_corpus_candidates,
+        minhash_stacked,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    stacked = minhash_stacked(docs, "text", "doc_id", shingle_k=5,
+                              num_hashes=12, bands=4) \
+        .persist(StorageLevel.MEMORY_AND_DISK)  # one signature pass
+    is_new = F.col("doc_id") % 10 >= 7
+    cand = cross_corpus_candidates(stacked.filter(is_new),
+                                   stacked.filter(~is_new))
+    # reuse the self-join verifier on the union frame: ids are globally
+    # unique, and the candidate set already constrains pairs to new↔ref
+    pairs = cand.select(
+        F.least("id_new", "id_ref").alias("id_a"),
+        F.greatest("id_new", "id_ref").alias("id_b"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                                   threshold=0.5, candidates=pairs)
+    removed = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .unionByName(verified.select(F.col("id_b").alias("doc_id")))
+        .filter(F.col("doc_id") % 10 >= 7)
+        .distinct()
+    )
+    return (
+        docs.filter(is_new)
+        .join(F.broadcast(removed), on="doc_id", how="left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 @register("weighted_sample_docs", """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE (('0x' || substr(md5(doc_id::VARCHAR || 'w1'), 1, 15))::BIGINT % 10000)

@@ -71,3 +71,41 @@ def test_simhash_cap_inactive_matches_uncapped(spark):
     want = {tuple(r) for r in simhash_near_dup_pairs(
         docs, max_bucket=1 << 30, **kwargs).collect()}
     assert got == want
+
+
+def test_cross_corpus_candidates_finds_planted_dup(spark):
+    from imp_etl_spark.operators.dedup import (
+        cross_corpus_candidates,
+        minhash_stacked,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref_rows = [(i, base + f" ref tail {i}") for i in range(10)]
+    # new doc 100 duplicates ref doc 3's text exactly; 101 is unrelated
+    new_rows = [(100, ref_rows[3][1]),
+                (101, "totally different words nothing shared here at all")]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    cand = cross_corpus_candidates(minhash_stacked(new),
+                                   minhash_stacked(ref))
+    got = {(r["id_new"], r["id_ref"]) for r in cand.collect()}
+    assert (100, 3) in got
+    assert not any(n == 101 for n, _ in got)
+
+
+def test_cross_corpus_cap_collapse_keeps_match(spark):
+    from imp_etl_spark.operators.dedup import (
+        cross_corpus_candidates,
+        minhash_stacked,
+    )
+
+    boiler = "the same boilerplate sentence repeated on every page"
+    ref = spark.createDataFrame([(i, boiler) for i in range(20)],
+                                ["doc_id", "text"])
+    new = spark.createDataFrame([(500, boiler)], ["doc_id", "text"])
+    cand = cross_corpus_candidates(minhash_stacked(new),
+                                   minhash_stacked(ref), max_bucket=4)
+    got = {(r["id_new"], r["id_ref"]) for r in cand.collect()}
+    # over-cap ref bucket collapses to its min-id representative — the
+    # new doc still matches, and ONLY via that representative
+    assert got == {(500, 0)}
