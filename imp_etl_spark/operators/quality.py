@@ -85,3 +85,53 @@ def violation_counts(bad: DataFrame,
         bad.select(F.explode(failed_col).alias("rule"))
         .groupBy("rule").agg(F.count(F.lit(1)).alias("violations"))
     )
+
+
+def profile_table(df, columns=None):
+    """Long-format column profile: one row per column with total/null/
+    exact-distinct counts and typed min/max (numeric columns fill
+    min_num/max_num, strings fill min_str/max_str — no cross-engine
+    number-to-string formatting ever happens).
+
+    One aggregation job for the whole profile. Multiple exact DISTINCT
+    aggregates compile to Catalyst's EXPAND strategy (input replicated
+    once per distinct column) — the deterministic choice, priced at
+    ~ncols x the scan; for wide tables at 100 TB swap the distinct
+    column set for ``approx_count_distinct`` (the `agg_approx_stats`
+    pattern) and keep everything else. The final stack runs on the
+    single aggregate row.
+    """
+    from pyspark.sql import functions as F
+
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if base in numeric or base == "decimal":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mnn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mxn_{c}"))
+        elif base == "string":
+            aggs.append(F.min(F.col(c)).alias(f"mns_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mxs_{c}"))
+    row = df.agg(*aggs)
+    # ONE stack() over the single aggregate row — a union of per-column
+    # selects would re-execute the aggregate once per column
+    entries = []
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        is_num = base in numeric or base == "decimal"
+        entries += [
+            f"'{c}'", "__n", f"__n - nn_{c}", f"nd_{c}",
+            f"mnn_{c}" if is_num else "CAST(NULL AS DOUBLE)",
+            f"mxn_{c}" if is_num else "CAST(NULL AS DOUBLE)",
+            f"mns_{c}" if base == "string" else "CAST(NULL AS STRING)",
+            f"mxs_{c}" if base == "string" else "CAST(NULL AS STRING)",
+        ]
+    stack = (f"stack({len(cols)}, {', '.join(entries)}) AS "
+             "(column, n_rows, n_nulls, n_distinct, "
+             "min_num, max_num, min_str, max_str)")
+    return row.selectExpr(stack)

@@ -278,6 +278,39 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad.agg(F.count(F.lit(1)).alias("bad_rows")))
 
 
+def _profile_col_sql(c: str, kind: str) -> str:
+    mn = (f"CAST(MIN({c}) AS DOUBLE)" if kind == "num"
+          else "CAST(NULL AS DOUBLE)")
+    mx = (f"CAST(MAX({c}) AS DOUBLE)" if kind == "num"
+          else "CAST(NULL AS DOUBLE)")
+    mns = f"MIN({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    mxs = f"MAX({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    return f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {mns} AS min_str, {mxs} AS max_str
+FROM orders"""
+
+
+@register("profile_orders", "\nUNION ALL\n".join(
+    _profile_col_sql(c, k) for c, k in [
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"),
+        ("o_orderpriority", "str")]))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/quality.profile_table): per-column
+    total/null/exact-distinct counts and typed min/max in ONE
+    aggregation job (stack over the single agg row; exact DISTINCTs use
+    Catalyst's EXPAND — the deterministic profile; swap in
+    approx_count_distinct for very wide 100 TB tables)."""
+    from imp_etl_spark.operators.quality import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_totalprice", "o_orderpriority"])
+
+
 @register("nested_types_suite", """
 SELECT o_custkey,
        array_to_string(list_sort(list(o_orderstatus)), '|') AS statuses,
@@ -1202,7 +1235,7 @@ _DRIVER_WINDOW_FIRST = [
     "doc_token_rarity", "contamination_overlap", "tfidf_top_term",
     "dedup_cluster_assign", "agg_stats_moments", "agg_percentiles_disc",
     "events_value_histogram", "weighted_sample_docs", "passage_dedup_docs",
-    "cross_corpus_survivors",
+    "cross_corpus_survivors", "profile_orders",
 ]
 
 

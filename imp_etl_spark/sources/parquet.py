@@ -39,9 +39,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(path)
-        return raw.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        # only nanos-as-long needs the conversion: an events table this
+        # engine itself wrote (scale experiments, sinks) already carries
+        # a timestamp ts and must pass through unchanged
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn(
+                "ts",
+                F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return raw.select("event_id", "ts", "user_id", "event_type",
+                          "value", "props")
     schema = schemas.FIXTURE_TABLES.get(name)
     reader = spark.read
     if schema is not None:

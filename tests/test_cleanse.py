@@ -137,3 +137,19 @@ def test_quality_rules_split_and_counts(spark):
     counts = {r["rule"]: r["violations"]
               for r in dq.violation_counts(bad).collect()}
     assert counts == {"name_non_blank": 2, "score_in_range": 2}
+
+
+def test_profile_table_nulls_and_types(spark):
+    from imp_etl_spark.operators.quality import profile_table
+
+    rows = [(1, "a", 2.5), (2, None, None), (3, "b", 1.0), (None, "a", 4.0)]
+    df = spark.createDataFrame(rows, "k bigint, s string, v double")
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 3.0
+    assert got["k"]["min_str"] is None
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None
+    assert got["v"]["min_num"] == 1.0 and got["v"]["max_num"] == 4.0
