@@ -168,3 +168,46 @@ def test_bucketed_merge_scan_reads_only_touched_bucket_dirs(spark,
     want_dir = paths[touched[0]].rstrip("/")
     assert all(f"__bucket={touched[0]}" in f for f in files)
     assert all(want_dir.split("/")[-2] in f for f in files)
+
+
+def test_moment_stats_single_exchange_with_pushdown(spark):
+    plan = _executed(_run("agg_stats_moments", spark))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "ts" in pushed and "value" in pushed
+    # partial+final agg around exactly one shuffle; no joins
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_histogram_window_runs_on_result_not_input(spark):
+    plan = _executed(_run("events_value_histogram", spark))
+    # the share window's single-partition exchange exists, but only
+    # ABOVE the count aggregation in the tree (it moves <= nbins rows,
+    # never the input); toString prints root-first
+    assert "Exchange SinglePartition" in plan
+    assert plan.index("Exchange SinglePartition") < plan.index("HashAggregate")
+    # count agg is partial+final around one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_percentiles_one_shuffle_shared_sort(spark):
+    plan = _executed(_run("agg_percentiles_disc", spark))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # both windows reuse one per-group sort
+    assert plan.count("Sort [l_returnflag") == 1
+
+
+def test_passage_dedup_partial_window_group_limit(spark):
+    plan = _executed(_run("passage_dedup_docs", spark))
+    # map-side top-1 per passage hash BEFORE the exchange: the shuffle
+    # carries pre-deduped rows (boilerplate worst case stays linear)
+    assert "WindowGroupLimit" in plan
+    partial = plan.index("Partial")
+    exchange = plan.index("Exchange hashpartitioning")
+    assert partial > exchange  # toString prints top-down: partial below
+    assert "xxhash64" in plan  # dedup key is the 8-byte hash
+
+
+def test_cluster_assign_broadcasts_component_map(spark):
+    plan = _executed(_run("dedup_cluster_assign", spark))
+    assert "BroadcastHashJoin" in plan  # corpus join against components
