@@ -71,3 +71,39 @@ def lookup_join(queue: DataFrame, entity: DataFrame, on: Sequence[str] | str,
     on = [on] if isinstance(on, str) else list(on)
     q = F.broadcast(queue) if broadcast_queue else queue
     return entity.join(q, on=on, how=how)
+
+
+def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
+                       left_col: str, right_col: str,
+                       block: "Callable[[Column], Column]" = None,
+                       max_dist: int = 3,
+                       dist_col: str = "edit_dist") -> DataFrame:
+    """Blocked edit-distance fuzzy join: candidate pairs must share a
+    blocking key (default: first character), then the exact Levenshtein
+    predicate refines. Returns left columns + right columns + the
+    distance.
+
+    The reference resolves entities by exact key only (models/*.js);
+    fuzzy matching is the dirty-data variant every ingest pipeline needs.
+
+    Scale: blocking turns the all-pairs O(|L|x|R|) comparison into an
+    equi join on the block key — a plain hash exchange Catalyst can
+    plan, with Levenshtein evaluated only inside blocks (JVM builtin,
+    codegen). Recall is bounded by the blocking fn: a first-char block
+    misses pairs that differ at position 0; use longer/multiple blocks
+    (or the n-gram posting-list path in operators/dedup.py) when recall
+    matters more than cost. Degenerate blocks (everything starts with
+    'a') re-create the quadratic blowup — cap or sub-block hot keys,
+    same playbook as dedup.py's LSH bucket caps.
+    """
+    if block is None:
+        def block(c):
+            return F.substring(c, 1, 1)
+    lb = left.select("*", block(F.col(left_col)).alias("__blk"))
+    rb = right.select("*", block(F.col(right_col)).alias("__blk"))
+    joined = lb.join(rb, on="__blk", how="inner").drop("__blk")
+    d = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (
+        joined.filter(d <= max_dist)
+        .withColumn(dist_col, d.cast("int"))
+    )

@@ -135,3 +135,57 @@ def profile_table(df, columns=None):
              "(column, n_rows, n_nulls, n_distinct, "
              "min_num, max_num, min_str, max_str)")
     return row.selectExpr(stack)
+
+
+def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
+                    threshold: int = 3, scale: int = 2,
+                    z_col: str = "zscore") -> DataFrame:
+    """Per-group z-score outlier detection with EXACT integer moments:
+    keep rows where |value - mean(group)| > threshold * stddev_pop(group),
+    and report the z-score.
+
+    The reference has no statistical screening (its validity layer stops
+    at presence checks, services/etlService.js:65-75); this is the
+    anomaly-filter tier a training pipeline runs over numeric telemetry.
+
+    Determinism: ``value`` is quantized to ``scale`` decimal digits via
+    the pinned double->DECIMAL(18,s) cast (tests/test_quantize.py), then
+    all moments (n, S1=sum v, S2=sum v^2) accumulate as exact
+    DECIMAL(38,0) integers, and the outlier predicate is the pure
+    integer comparison ``(v*n - S1)^2 > t^2 * (n*S2 - S1^2)`` — no
+    float compares anywhere, so the kept set is partitioning- and
+    fold-order-independent and reproducible in any engine. The reported
+    z is computed with exactly three IEEE ops (two int->double
+    conversions feed one divide over one correctly-rounded sqrt), so it
+    is bit-identical across engines too (the int->double casts route
+    through BIGINT: exact while |dev| < 2^63, documented ceiling).
+
+    Scale: one hash aggregation per group for the moments (map-side
+    partial), then the tiny moment frame broadcasts back onto the fact —
+    no second shuffle of the data. DECIMAL(38,0) holds n*S2 up to ~1e38:
+    at micro-cent scale that is ~1e19 rows per group before overflow.
+    """
+    q = F.col(value_col).cast(f"decimal(18,{scale})")
+    v_int = (q * F.lit(10 ** scale)).cast("long")
+    d38 = "decimal(38,0)"
+    moments = (
+        df.select(F.col(group_col), v_int.alias("__v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("__n"),
+            F.sum(F.col("__v").cast(d38)).alias("__s1"),
+            F.sum((F.col("__v") * F.col("__v")).cast(d38)).alias("__s2"),
+        )
+    )
+    dev = v_int.cast(d38) * F.col("__n") - F.col("__s1")
+    den = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    z = (
+        dev.cast("long").cast("double")
+        / F.sqrt(den.cast("long").cast("double"))
+    )
+    return (
+        df.join(F.broadcast(moments), on=group_col, how="inner")
+        .filter(dev * dev > F.lit(threshold * threshold).cast(d38) * den)
+        .withColumn(z_col, z)
+        .drop("__n", "__s1", "__s2")
+    )

@@ -204,3 +204,36 @@ def weighted_sample(df: DataFrame, id_col: str, weight: Column,
     pure function of (id, salt, weight) in both engines (md5 mode)."""
     bucket = _hash_bucket(id_col, salt, buckets, hash_fn)
     return df.filter(bucket < weight * F.lit(buckets))
+
+
+def shard_balanced(df: DataFrame, weight_col: str, id_col: str,
+                   num_shards: int, shard_col: str = "shard") -> DataFrame:
+    """Length-balanced round-robin sharding: order rows by ``weight_col``
+    descending (``id_col`` tiebreak) and deal them round-robin into
+    ``num_shards`` shards — the classic longest-first assignment that
+    keeps every shard's total weight within one max-row of the mean.
+    The training-data shape this serves: splitting a corpus into
+    worker files whose token totals (not row counts) are even, so no
+    straggler shard.
+
+    Scale: the total order comes from operators.window.global_index
+    (range-partition + per-partition rank + offsets) — no
+    single-partition window anywhere; the shard id is then pure
+    arithmetic on the index. One range shuffle total.
+    """
+    from imp_etl_spark.operators.window import global_index
+
+    # pack (weight desc, id asc) into one ascending long so the range
+    # partitioner sees a single total-order column
+    ordered = df.withColumn(
+        "__ord",
+        (-F.col(weight_col).cast("long")) * F.lit(1 << 32)
+        + F.col(id_col).cast("long"),
+    )
+    idx = global_index(ordered, "__ord")
+    return (
+        idx.withColumn(
+            shard_col,
+            ((F.col("__rn") - 1) % num_shards).cast("int"))
+        .drop("__ord", "__rn")
+    )

@@ -1180,6 +1180,7 @@ def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # late imports: populate REGISTRY with the LLM-data-pipeline and
 # TPC-H-shaped analytics surfaces
+from imp_etl_spark import queries_analytics as _queries_analytics  # noqa: E402,F401
 from imp_etl_spark import queries_llm as _queries_llm  # noqa: E402,F401
 from imp_etl_spark import queries_scalar as _queries_scalar  # noqa: E402,F401
 from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
@@ -1236,6 +1237,11 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_cluster_assign", "agg_stats_moments", "agg_percentiles_disc",
     "events_value_histogram", "weighted_sample_docs", "passage_dedup_docs",
     "cross_corpus_survivors", "profile_orders",
+    # -- behavioral/fuzzy/statistical analytics tier (round 3, oracle-
+    #    backed, first driver signal when a later window rotates them in)
+    "funnel_signup_purchase", "cohort_retention_daily",
+    "resample_ffill_hourly", "outlier_events_zscore", "fuzzy_part_pairs",
+    "shard_documents_balanced",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Behavioral / fuzzy / statistical analytics queries (registered into
+queries.REGISTRY).
+
+The reference's events surface stops at a log tail (index.js:200-270);
+this module is the north-star sequence-analytics tier over the same
+fixtures: ordered funnels, cohort retention, time-grid resampling with
+forward fill, exact z-score outlier screening, blocked fuzzy matching,
+and length-balanced sharding. Every query here is fully oracle-backed.
+
+Portability notes:
+- funnel / cohort / sharding: pure integer counts + one IEEE division
+  per output row -> bit-exact.
+- resample: the filled value is copied (never computed), so doubles
+  compare exactly; the grid is sequence()/generate_series with
+  identical inclusive-bounds semantics.
+- z-score: outlier membership is an exact DECIMAL(38,0)/HUGEINT integer
+  comparison; the reported z is two int->double casts, one divide, one
+  correctly-rounded sqrt — the same three IEEE ops in both engines.
+- fuzzy: Spark's levenshtein and DuckDB's agree (pinned green in
+  string_funcs_suite since round 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators import behavior, join, quality, sampling
+from imp_etl_spark.queries import register
+from imp_etl_spark.sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel with per-transition conversion windows
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+_FUNNEL_WITHIN = ["'12' hours", "'24' hours"]
+
+
+@register("funnel_signup_purchase", """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts >= s0.t0 AND e.ts <= s0.t0 + INTERVAL '12 hours'
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT 0 AS stage_idx, 'signup' AS stage, count(*) AS users FROM s0
+  UNION ALL
+  SELECT 1, 'click', count(*) FROM s1
+  UNION ALL
+  SELECT 2, 'purchase', count(*) FROM s2
+)
+SELECT stage_idx, stage, users,
+       CAST(users AS DOUBLE) /
+       (SELECT CAST(users AS DOUBLE) FROM counts WHERE stage_idx = 0)
+         AS conv_pct
+FROM counts
+""")
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup->click->purchase funnel: a user converts a stage
+    only within its window (click <=12h after signup, purchase <=24h
+    after that click). 150 -> 28 -> 16 users on the sf0.01 fixture."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.funnel_counts(
+        ev, _FUNNEL_STAGES, within=_FUNNEL_WITHIN)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+@register("cohort_retention_daily", """
+WITH c AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+         AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN c USING (user_id)
+GROUP BY 1, 2
+""")
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the events fixture."""
+    ev = read_table(spark, sf_dir, "events")
+    out = behavior.cohort_retention(ev)
+    return out.withColumn("day_offset", F.col("day_offset").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Per-key time-grid resample + forward fill
+# ---------------------------------------------------------------------------
+
+@register("resample_ffill_hourly", """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+           AS grid_ts
+  FROM b
+),
+d AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events GROUP BY user_id, ts
+)
+SELECT g.user_id, g.grid_ts, d.value AS last_value
+FROM grid g ASOF LEFT JOIN d
+  ON g.user_id = d.user_id AND g.grid_ts >= d.ts
+""")
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid carrying the latest event value at-or-before
+    each tick (null before the first event's tick — left semantics)."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.resample_ffill(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        step="1 hour", out_col="last_value")
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer z-score outliers
+# ---------------------------------------------------------------------------
+
+@register("outlier_events_zscore", """
+WITH q AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.value,
+       CAST(CAST(q.v * m.n - m.s1 AS BIGINT) AS DOUBLE) /
+       sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS BIGINT) AS DOUBLE))
+         AS zscore
+FROM q JOIN m USING (event_type)
+WHERE (q.v * m.n - m.s1) * (q.v * m.n - m.s1)
+      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+""")
+def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits >3 population-sigmas from their type's
+    mean — membership decided by exact integer arithmetic (DuckDB's
+    HUGEINT sums mirror the Spark DECIMAL(38,0) moments)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = quality.zscore_outliers(
+        ev, group_col="event_type", value_col="value", threshold=3)
+    return out.select("event_id", "event_type", "value", "zscore")
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance fuzzy matching
+# ---------------------------------------------------------------------------
+
+@register("fuzzy_part_pairs", """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names: first-char blocking + Levenshtein<=3
+    refine, self-pairs and symmetric duplicates removed by name_a <
+    name_b inside the block join."""
+    names = read_table(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = join.fuzzy_join_blocked(
+        names.select(F.col("p_name").alias("name_a")),
+        names.select(F.col("p_name").alias("name_b")),
+        "name_a", "name_b", max_dist=3)
+    return pairs.filter(F.col("name_a") < F.col("name_b"))
+
+
+# ---------------------------------------------------------------------------
+# Length-balanced round-robin sharding
+# ---------------------------------------------------------------------------
+
+@register("shard_documents_balanced", """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+       count(*) AS doc_cnt,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM r GROUP BY 1
+""")
+def shard_documents_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deal documents longest-first round-robin into 8 shards and report
+    each shard's doc count and char totals — the per-shard totals land
+    within one max-doc of each other."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = sampling.shard_balanced(
+        docs, weight_col="n_chars", id_col="doc_id", num_shards=8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

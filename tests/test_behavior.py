@@ -1,0 +1,174 @@
+"""Unit tests for the behavioral analytics operators (funnel, cohort,
+resample-ffill) plus the z-score / fuzzy / balanced-shard builders —
+hand-built frames with known answers, covering the edge cases the
+fixture-scale oracle comparison can't isolate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from imp_etl_spark.operators import behavior, join, quality, sampling
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+
+
+TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(minutes):
+    return TS + dt.timedelta(minutes=minutes)
+
+
+class TestFunnel:
+    def test_ordering_enforced(self, spark):
+        # user 1 converts in order; user 2 clicked BEFORE signup -> drops
+        ev = _ev(spark, [
+            (1, _t(0), "signup", 0.0), (1, _t(5), "click", 0.0),
+            (2, _t(10), "signup", 0.0), (2, _t(5), "click", 0.0),
+        ])
+        out = behavior.funnel_counts(ev, ["signup", "click"])
+        got = {r["stage"]: r["users"] for r in out.collect()}
+        assert got == {"signup": 2, "click": 1}
+
+    def test_same_instant_counts(self, spark):
+        ev = _ev(spark, [(1, _t(0), "signup", 0.0), (1, _t(0), "click", 0.0)])
+        out = behavior.funnel_counts(ev, ["signup", "click"])
+        assert {r["stage"]: r["users"] for r in out.collect()} == {
+            "signup": 1, "click": 1}
+
+    def test_within_window_drops_late(self, spark):
+        ev = _ev(spark, [
+            (1, _t(0), "signup", 0.0), (1, _t(30), "click", 0.0),
+            (2, _t(0), "signup", 0.0), (2, _t(90), "click", 0.0),
+        ])
+        out = behavior.funnel_counts(
+            ev, ["signup", "click"], within=["'1' hour"])
+        assert {r["stage"]: r["users"] for r in out.collect()} == {
+            "signup": 2, "click": 1}
+
+    def test_earliest_admissible_not_earliest_overall(self, spark):
+        # user clicked at t-5 (inadmissible) and t+20; stage ts must be
+        # the earliest ADMISSIBLE one (t+20), and the next window
+        # anchors there
+        ev = _ev(spark, [
+            (1, _t(10), "signup", 0.0),
+            (1, _t(5), "click", 0.0), (1, _t(30), "click", 0.0),
+            (1, _t(45), "purchase", 0.0),
+        ])
+        frames = behavior.funnel_stage_users(
+            ev, ["signup", "click", "purchase"],
+            within=["'1' hour", "'1' hour"])
+        r = frames[2].collect()[0]
+        assert r["__t1"] == _t(30) and r["__t2"] == _t(45)
+
+    def test_conv_pct(self, spark):
+        ev = _ev(spark, [
+            (1, _t(0), "signup", 0.0), (2, _t(0), "signup", 0.0),
+            (3, _t(0), "signup", 0.0), (4, _t(0), "signup", 0.0),
+            (1, _t(1), "click", 0.0),
+        ])
+        rows = {r["stage"]: r for r in
+                behavior.funnel_counts(ev, ["signup", "click"]).collect()}
+        assert rows["signup"]["conv_pct"] == 1.0
+        assert rows["click"]["conv_pct"] == 0.25
+
+
+class TestCohortRetention:
+    def test_matrix(self, spark):
+        d0, d1 = dt.datetime(2024, 1, 1, 8), dt.datetime(2024, 1, 2, 9)
+        ev = _ev(spark, [
+            (1, d0, "view", 0.0), (1, d1, "view", 0.0),
+            (2, d1, "view", 0.0),
+            (1, d1 + dt.timedelta(hours=2), "click", 0.0),  # same day dup
+        ])
+        got = {(r["cohort_day"], r["day_offset"]): r["active_users"]
+               for r in behavior.cohort_retention(ev).collect()}
+        assert got == {
+            (dt.date(2024, 1, 1), 0): 1,
+            (dt.date(2024, 1, 1), 1): 1,
+            (dt.date(2024, 1, 2), 0): 1,
+        }
+
+
+class TestResampleFfill:
+    def test_fill_and_leading_null(self, spark):
+        ev = _ev(spark, [
+            (1, dt.datetime(2024, 1, 1, 0, 30), "view", 10.0),
+            (1, dt.datetime(2024, 1, 1, 2, 15), "view", 20.0),
+        ])
+        out = behavior.resample_ffill(ev, step="1 hour").collect()
+        got = {r["grid_ts"]: r["last_value"] for r in out}
+        # grid = 00:00, 01:00, 02:00 (trunc bounds); 00:00 precedes the
+        # first event -> null; 01:00 carries 10.0; 02:00 still 10.0
+        assert got == {
+            dt.datetime(2024, 1, 1, 0): None,
+            dt.datetime(2024, 1, 1, 1): 10.0,
+            dt.datetime(2024, 1, 1, 2): 10.0,
+        }
+
+    def test_duplicate_ts_takes_max(self, spark):
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        ev = _ev(spark, [(1, t0, "a", 5.0), (1, t0, "b", 7.0)])
+        out = behavior.resample_ffill(ev, step="1 hour").collect()
+        assert len(out) == 1 and out[0]["last_value"] == 7.0
+
+
+class TestZscoreOutliers:
+    def test_exact_membership(self, spark):
+        # group a: nine 10.0s and one 110.0 -> mean 20, var_pop 900,
+        # sd 30; dev(110)=90 = 3.0 sd exactly -> NOT > 3 sd (strict).
+        rows = [("a", 10.0)] * 9 + [("a", 110.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quality.zscore_outliers(df, "g", "v", threshold=3)
+        assert out.count() == 0
+        # threshold 2: 90 > 2*30 -> the single outlier, z = 3.0 exactly
+        out2 = quality.zscore_outliers(df, "g", "v", threshold=2).collect()
+        assert len(out2) == 1 and out2[0]["zscore"] == 3.0
+
+    def test_groups_independent(self, spark):
+        rows = ([("a", 10.0)] * 9 + [("a", 110.0)]
+                + [("b", float(x)) for x in range(10)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = quality.zscore_outliers(df, "g", "v", threshold=2)
+        assert [r["g"] for r in out.collect()] == ["a"]
+
+
+class TestFuzzyJoin:
+    def test_block_and_refine(self, spark):
+        left = spark.createDataFrame(
+            [("red widget",), ("blue bolt",)], "a string")
+        right = spark.createDataFrame(
+            [("red widgets",), ("rad widget",), ("bed widget",),
+             ("blue belt",), ("zzz",)], "b string")
+        out = join.fuzzy_join_blocked(left, right, "a", "b", max_dist=2)
+        got = {(r["a"], r["b"]): r["edit_dist"] for r in out.collect()}
+        # 'bed widget' differs at position 0 -> different block, missed
+        # by design even though dist 1
+        assert got == {
+            ("red widget", "red widgets"): 1,
+            ("red widget", "rad widget"): 1,
+            ("blue bolt", "blue belt"): 1,
+        }
+
+
+class TestShardBalanced:
+    def test_balance_property(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") * 7 % 97 + 1).alias("w"))
+        out = sampling.shard_balanced(df, "w", "doc_id", num_shards=4)
+        assert out.count() == 100
+        # every id exactly once
+        assert out.select("doc_id").distinct().count() == 100
+        totals = [r["t"] for r in out.groupBy("shard")
+                  .agg(F.sum("w").alias("t")).collect()]
+        assert len(totals) == 4
+        # longest-first round-robin keeps shard totals within one
+        # max-weight of each other
+        assert max(totals) - min(totals) <= 97
