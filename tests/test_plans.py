@@ -14,7 +14,11 @@ from tests.conftest import SF_DIR
 
 def _executed(df) -> str:
     df.collect()  # finalize the adaptive plan (AQE re-plans at runtime)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan =="
+    # section, which would double-count operators in count()-based pins —
+    # keep only the executed Final Plan
+    return plan.split("== Initial Plan ==")[0]
 
 
 def _run(name: str, spark):
@@ -211,3 +215,47 @@ def test_passage_dedup_partial_window_group_limit(spark):
 def test_cluster_assign_broadcasts_component_map(spark):
     plan = _executed(_run("dedup_cluster_assign", spark))
     assert "BroadcastHashJoin" in plan  # corpus join against components
+
+
+def test_resample_ffill_no_inequality_join(spark):
+    plan = _executed(_run("resample_ffill_hourly", spark))
+    # the ffill is the union+window asof trick: one hash exchange on the
+    # key, never a nested-loop/cartesian grid x events inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_funnel_stage_joins_are_hash_joins(spark):
+    plan = _executed(_run("funnel_signup_purchase", spark))
+    # per-stage joins are equi joins on the user key; the only nested
+    # loop is the 1-row conversion-base broadcast
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "event_type" in plan  # stage filters reach the scan
+
+
+def test_fuzzy_join_blocked_is_equi_join(spark):
+    plan = _executed(_run("fuzzy_part_pairs", spark))
+    # blocking turns all-pairs into an equi join on the block key; the
+    # levenshtein refine must sit in the join condition/filter, not a
+    # cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_zscore_broadcasts_moments_single_agg_pass(spark):
+    plan = _executed(_run("outlier_events_zscore", spark))
+    # tiny per-group moment frame broadcasts back onto the fact; the
+    # outlier predicate is decimal-exact (no float compares in the plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_balanced_no_single_partition_window(spark):
+    plan = _executed(_run("shard_documents_balanced", spark))
+    # global order comes from global_index: range partition + local
+    # row_number per partition — no empty-partitionBy window funnel
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "rangepartitioning" in plan.lower()
