@@ -50,11 +50,17 @@ HEADLINE = [
     "agg_stats_moments",
     "agg_percentiles_disc",
     "events_value_histogram",
+    # behavioral/fuzzy/statistical analytics tier
+    "funnel_signup_purchase",
+    "resample_ffill_hourly",
+    "outlier_events_zscore",
+    "shard_documents_balanced",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame
-# (iterative convergence loops) — timed from build, not just the write
-EAGER_BUILD = {"dedup_cluster_assign"}
+# (iterative convergence loops, global_index's partition-count pass) —
+# timed from build, not just the write
+EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced"}
 
 
 def main() -> None:
