@@ -55,12 +55,17 @@ HEADLINE = [
     "resample_ffill_hourly",
     "outlier_events_zscore",
     "shard_documents_balanced",
+    "user_activity_streaks",
+    "scd2_user_state",
+    "rolling_24h_user_value",
+    "doc_length_quartile_bins",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame
 # (iterative convergence loops, global_index's partition-count pass) —
 # timed from build, not just the write
-EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced"}
+EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
+               "doc_length_quartile_bins"}
 
 
 def main() -> None:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from imp_etl_spark.operators.temporal import asof_join
@@ -188,4 +188,75 @@ def resample_ffill(
         probe_ts="grid_ts",
         build_ts=ts_col,
         build_cols={value_col: out_col},
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user, one
+    row per streak with its start day and length.
+
+    The island key is the classic day - row_number trick: within a
+    user's DISTINCT active days ordered ascending, consecutive days
+    share ``day - rn`` — one keyed shuffle for the window, one for the
+    per-island rollup, both on the user key (the second is (user, grp),
+    a refinement that AQE coalesces into small partitions). No
+    self-joins, no sequence explosion.
+    """
+    day = F.to_date(F.col(ts_col))
+    d = events.select(F.col(user_col), day.alias("__day")).distinct()
+    w = Window.partitionBy(user_col).orderBy(F.col("__day").asc())
+    g = d.withColumn(
+        "__grp", F.date_sub(F.col("__day"), F.row_number().over(w)))
+    return (
+        g.groupBy(user_col, "__grp")
+        .agg(
+            F.min("__day").alias("streak_start"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("__grp")
+    )
+
+
+def state_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """SCD-Type-2 interval compression: collapse a per-key event-state
+    sequence into ``[valid_from, valid_to)`` intervals — a new interval
+    opens whenever the state differs from the previous event's state
+    (ordered by ``ts, tiebreak``), and the key's last interval stays
+    open (``valid_to`` null, ``is_current`` true).
+
+    Two windows over ONE shuffle on the key (same partitioning, shared
+    sort): lag() marks change points, lead() over the change points
+    closes each interval. This is the dimension-history build the
+    reference's MERGE sink cannot express (plans/upsert.py keeps only
+    the latest row); at 100 TB it is two linear passes per partition.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    marked = events.select(
+        F.col(key_col), F.col(ts_col), F.col(state_col),
+        F.col(tiebreak_col),
+        F.lag(F.col(state_col)).over(w).alias("__prev"),
+    )
+    changes = marked.filter(
+        ~F.col(state_col).eqNullSafe(F.col("__prev")))
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    return (
+        changes.select(
+            F.col(key_col),
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -95,3 +95,29 @@ def running(df: DataFrame, partition: Sequence[str], order: Sequence[Column],
 
 def lag_lead(w: WindowSpec, col: str, n: int = 1) -> tuple[Column, Column]:
     return F.lag(col, n).over(w), F.lead(col, n).over(w)
+
+
+def rolling_time(df: DataFrame, key: Sequence[str] | str, ts_col: str,
+                 window: str, aggs: dict[str, Column]) -> DataFrame:
+    """Per-key rolling aggregates over a trailing TIME window (``ts -
+    window, ts]`` inclusive both ends): e.g. each event's 24-hour
+    trailing sum/count for its user.
+
+    The frame is rangeBetween on the microsecond epoch (exact — no
+    second-truncation aliasing), so Spark plans ONE shuffle on the key
+    and a per-partition ordered scan with a sliding frame; state is the
+    in-frame rows only, never the key's full history. ``window`` is a
+    Spark INTERVAL string (e.g. ``'24' hours``); ``aggs`` maps output
+    name -> aggregate Column over the frame's rows.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    span_us = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {window}"))
+    # constant-fold the interval to microseconds via one literal row
+    span = df.sparkSession.range(1).select(span_us.alias("s")).collect()[0]["s"]
+    w = (Window.partitionBy(*key)
+         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+         .rangeBetween(-span, 0))
+    return df.select(
+        "*", *[expr.over(w).alias(name) for name, expr in aggs.items()])

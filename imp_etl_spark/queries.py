@@ -1241,7 +1241,8 @@ _DRIVER_WINDOW_FIRST = [
     #    backed, first driver signal when a later window rotates them in)
     "funnel_signup_purchase", "cohort_retention_daily",
     "resample_ffill_hourly", "outlier_events_zscore", "fuzzy_part_pairs",
-    "shard_documents_balanced",
+    "shard_documents_balanced", "user_activity_streaks", "scd2_user_state",
+    "rolling_24h_user_value", "doc_length_quartile_bins",
 ]
 
 

@@ -220,3 +220,150 @@ def shard_documents_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands activity streaks
+# ---------------------------------------------------------------------------
+
+@register("user_activity_streaks", """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER) AS grp
+  FROM d
+)
+SELECT user_id, min(day) AS streak_start, count(*) AS streak_days
+FROM g GROUP BY user_id, grp
+""")
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user (gaps-and-islands via the
+    day - row_number island key)."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.activity_streaks(ev)
+
+
+# ---------------------------------------------------------------------------
+# SCD-Type-2 state-interval compression
+# ---------------------------------------------------------------------------
+
+@register("scd2_user_state", """
+WITH c AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM c WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM s
+""")
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-history build: compress each user's event-type sequence
+    into [valid_from, valid_to) intervals, last interval open."""
+    ev = read_table(spark, sf_dir, "events")
+    return behavior.state_intervals(ev)
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-window rolling aggregates
+# ---------------------------------------------------------------------------
+
+@register("rolling_24h_user_value", """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS roll_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '24 hours' PRECEDING AND CURRENT ROW)
+""")
+def rolling_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event's trailing-24h per-user event count and decimal-exact
+    value sum — a RANGE frame on the microsecond epoch, one shuffle."""
+    from imp_etl_spark.operators.window import rolling_time
+
+    ev = read_table(spark, sf_dir, "events")
+    out = rolling_time(
+        ev, key="user_id", ts_col="ts", window="'24' hours",
+        aggs={
+            "roll_cnt": F.count(F.lit(1)),
+            "roll_sum": F.sum(F.col("value").cast("decimal(18,6)")),
+        })
+    return out.select(
+        "event_id", "user_id", "ts", "roll_cnt",
+        F.col("roll_sum").cast("double").alias("roll_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency (quartile) feature binning
+# ---------------------------------------------------------------------------
+
+@register("doc_length_quartile_bins", """
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM documents
+),
+c AS (
+  SELECT max(CASE WHEN rn = CEIL(n * 0.25) THEN n_chars END) AS p25,
+         max(CASE WHEN rn = CEIL(n * 0.5) THEN n_chars END) AS p50,
+         max(CASE WHEN rn = CEIL(n * 0.75) THEN n_chars END) AS p75
+  FROM r
+)
+SELECT CASE WHEN n_chars <= p25 THEN 0
+            WHEN n_chars <= p50 THEN 1
+            WHEN n_chars <= p75 THEN 2
+            ELSE 3 END AS bin,
+       count(*) AS doc_cnt,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents, c
+GROUP BY 1
+""")
+def doc_length_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: quartile cutpoints picked discretely
+    (value at rank ceil(p*n) over (n_chars, doc_id) order — an actual
+    element, no interpolation), then value-based bin assignment so ties
+    land deterministically. The rank comes from the distributed
+    global_index, n from a count — the classic two 1-row driver scalars,
+    never a single-partition window."""
+    import math
+
+    from imp_etl_spark.operators.window import global_index
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = docs.withColumn(
+        "__ord", F.col("n_chars") * F.lit(1 << 32) + F.col("doc_id"))
+    n = docs.count()
+    ranks = {p: math.ceil(n * p) for p in (0.25, 0.5, 0.75)}
+    idx = global_index(packed, "__ord")
+    cuts = (
+        idx.filter(F.col("__rn").isin(list(ranks.values())))
+        .agg(*[
+            F.max(F.when(F.col("__rn") == rn, F.col("n_chars")))
+            .alias(name)
+            for name, rn in zip(("p25", "p50", "p75"), ranks.values())
+        ])
+    )
+    binned = docs.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("n_chars") <= F.col("p25"), 0)
+        .when(F.col("n_chars") <= F.col("p50"), 1)
+        .when(F.col("n_chars") <= F.col("p75"), 2)
+        .otherwise(3).alias("bin"),
+        "n_chars",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

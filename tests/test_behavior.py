@@ -172,3 +172,74 @@ class TestShardBalanced:
         # longest-first round-robin keeps shard totals within one
         # max-weight of each other
         assert max(totals) - min(totals) <= 97
+
+
+class TestActivityStreaks:
+    def test_islands(self, spark):
+        def d(day, hour=1):
+            return dt.datetime(2024, 1, day, hour)
+        ev = _ev(spark, [
+            # user 1: days 1,2,3 then 5 -> streaks (1..3) and (5)
+            (1, d(1), "v", 0.0), (1, d(2), "v", 0.0), (1, d(2, 5), "v", 0.0),
+            (1, d(3), "v", 0.0), (1, d(5), "v", 0.0),
+            # user 2: single day
+            (2, d(9), "v", 0.0),
+        ])
+        got = {(r["user_id"], r["streak_start"]): r["streak_days"]
+               for r in behavior.activity_streaks(ev).collect()}
+        assert got == {
+            (1, dt.date(2024, 1, 1)): 3,
+            (1, dt.date(2024, 1, 5)): 1,
+            (2, dt.date(2024, 1, 9)): 1,
+        }
+
+
+class TestStateIntervals:
+    def test_compression_and_open_interval(self, spark):
+        rows = [
+            (1, _t(0), "a", 1.0), (1, _t(1), "a", 2.0),  # run of a
+            (1, _t(2), "b", 3.0),                        # change
+            (1, _t(3), "a", 4.0),                        # back to a
+        ]
+        df = spark.createDataFrame(
+            [(u, ts, et, v, i) for i, (u, ts, et, v) in enumerate(rows)],
+            "user_id long, ts timestamp, event_type string, value double,"
+            " event_id long")
+        out = sorted(
+            behavior.state_intervals(df).collect(),
+            key=lambda r: r["valid_from"])
+        assert [(r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+                for r in out] == [
+            ("a", _t(0), _t(2), False),
+            ("b", _t(2), _t(3), False),
+            ("a", _t(3), None, True),
+        ]
+
+    def test_tiebreak_on_same_ts(self, spark):
+        # two different states at the SAME ts: event_id orders them
+        df = spark.createDataFrame(
+            [(1, _t(0), "x", 0.0, 2), (1, _t(0), "y", 0.0, 1)],
+            "user_id long, ts timestamp, event_type string, value double,"
+            " event_id long")
+        out = behavior.state_intervals(df).collect()
+        by_state = {r["state"]: r for r in out}
+        assert by_state["y"]["is_current"] is False  # event_id 1 first
+        assert by_state["x"]["is_current"] is True
+
+
+class TestRollingTime:
+    def test_trailing_window_inclusive(self, spark):
+        from imp_etl_spark.operators.window import rolling_time
+        ev = _ev(spark, [
+            (1, _t(0), "v", 1.0),
+            (1, _t(60 * 24), "v", 2.0),        # exactly 24h later
+            (1, _t(60 * 24 + 1), "v", 4.0),    # 24h01m after t0
+        ])
+        out = rolling_time(
+            ev, "user_id", "ts", "'24' hours",
+            {"s": F.sum(F.col("value").cast("decimal(18,6)"))})
+        got = {r["ts"]: float(r["s"]) for r in out.collect()}
+        # frame is inclusive: the 24h-later event still sees row 1;
+        # one minute later row 1 has aged out
+        assert got[_t(60 * 24)] == 3.0
+        assert got[_t(60 * 24 + 1)] == 6.0

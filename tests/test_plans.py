@@ -259,3 +259,31 @@ def test_shard_balanced_no_single_partition_window(spark):
     # row_number per partition — no empty-partitionBy window funnel
     assert "partitionBy=[]" not in plan.replace(" ", "")
     assert "rangepartitioning" in plan.lower()
+
+
+def test_scd2_two_windows_share_one_shuffle(spark):
+    plan = _executed(_run("scd2_user_state", spark))
+    # lag-mark and lead-close use the same (key, order) — Catalyst must
+    # plan ONE exchange with both windows over the shared sort
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_time_is_range_frame_one_shuffle(spark):
+    plan = _executed(_run("rolling_24h_user_value", spark))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan or "RANGE" in plan
+
+
+def test_streaks_no_global_window(spark):
+    plan = _executed(_run("user_activity_streaks", spark))
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_quartile_bins_broadcast_cutpoints(spark):
+    plan = _executed(_run("doc_length_quartile_bins", spark))
+    # cutpoints are a 1-row broadcast; the rank comes from the range-
+    # partitioned global index, never an empty-partitionBy row_number
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "partitionBy=[]" not in plan.replace(" ", "")
