@@ -59,6 +59,8 @@ HEADLINE = [
     "scd2_user_state",
     "rolling_24h_user_value",
     "doc_length_quartile_bins",
+    "twap_user_value",
+    "attribution_last_touch",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

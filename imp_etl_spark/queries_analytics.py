@@ -22,7 +22,7 @@ Portability notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imp_etl_spark.operators import behavior, join, quality, sampling
@@ -366,4 +366,107 @@ def doc_length_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("doc_cnt"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (piecewise-constant TWAP)
+# ---------------------------------------------------------------------------
+
+@register("twap_user_value", """
+WITH s AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v,
+         CAST(epoch_us(nxt) - epoch_us(ts) AS HUGEINT) AS dur
+  FROM s WHERE nxt IS NOT NULL
+)
+SELECT user_id, count(*) AS n_segments,
+       CAST(CAST(SUM(v * dur) AS BIGINT) AS DOUBLE) /
+       CAST(CAST(SUM(dur) * 100 AS BIGINT) AS DOUBLE) AS twap
+FROM seg GROUP BY user_id
+""")
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each event's value holds
+    until the next event (piecewise-constant; the open last segment is
+    excluded), so twap = sum(v_i * dur_i) / sum(dur_i).
+
+    Exactness: micro-cent values x microsecond durations accumulate as
+    DECIMAL(38,0) integers (DuckDB HUGEINT mirror); ONE IEEE division
+    per user. Headroom: cent-value x total-span-us products stay under
+    2^63 until a key's integral exceeds ~9e18 cent-us (~300 years of
+    max-fixture values); the 38-digit sums are the scale path. One
+    window + one hash agg, both on the user key — one shuffle total."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    d38 = "decimal(38,0)"
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    seg = (
+        ev.select(
+            "user_id", "ts", "value", "event_id",
+            F.lead("ts").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            .alias("v"),
+            (us("nxt") - us("ts")).alias("dur"),
+        )
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (F.sum((F.col("v") * F.col("dur")).cast(d38)).cast("long")
+         .cast("double")
+         / (F.sum(F.col("dur").cast(d38)) * 100).cast("long")
+         .cast("double")).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (as-of join reuse)
+# ---------------------------------------------------------------------------
+
+@register("attribution_last_touch", """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS click_ts, c.click_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS gap_minutes
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the user's latest click at-or-before
+    it (left semantics: unattributed purchases keep nulls). Reuses
+    temporal.asof_join — union + running-last, one shuffle on the user
+    key, no inequality join. Duplicate (user, ts) clicks resolve to the
+    max value, mirrored in the oracle's pre-dedup."""
+    from imp_etl_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    out = asof_join(
+        purchases, clicks.withColumn("click_ts", F.col("ts")),
+        on="user_id", probe_ts="ts", build_ts="ts",
+        build_cols={"click_value": "click_value", "click_ts": "click_ts"},
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id", "user_id", "ts", "click_ts", "click_value",
+        ((us(F.col("ts")) - us(F.col("click_ts")))
+         .cast("long") / F.lit(60000000)).cast("long")
+        .alias("gap_minutes"),
     )

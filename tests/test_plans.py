@@ -287,3 +287,17 @@ def test_quartile_bins_broadcast_cutpoints(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "rangepartitioning" in plan.lower()
     assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_twap_window_and_agg_share_one_shuffle(spark):
+    plan = _executed(_run("twap_user_value", spark))
+    # lead() window and the per-user rollup use the same key — one
+    # exchange feeds both (partitioning reuse)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_is_asof_not_inequality_join(spark):
+    plan = _executed(_run("attribution_last_touch", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "event_type" in plan  # purchase/click filters reach the scan
