@@ -32,6 +32,10 @@ QUERIES = [
     "minhash_lsh_pairs", "dedup_pipeline_survivors", "srp_bucket_topk",
     "simhash_near_dup",
     "dedup_cluster_assign", "passage_dedup_docs", "agg_stats_moments",
+    "funnel_signup_purchase", "resample_ffill_hourly",
+    "outlier_events_zscore", "rolling_24h_user_value", "scd2_user_state",
+    "twap_user_value", "attribution_last_touch", "user_activity_streaks",
+    "shard_documents_balanced",
 ]
 # fact table -> columns shifted by the copy offset (joins stay aligned:
 # orderkey moves on both sides; custkey/user_id reference fixed dims)
@@ -64,7 +68,8 @@ def build_5x(spark, out_dir: str) -> None:
             f"{out_dir}/{t}.parquet")
 
 
-EAGER_BUILD = {"dedup_cluster_assign"}  # same rule as bench.py
+EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
+               "doc_length_quartile_bins"}  # same rule as bench.py
 
 
 def time_query(fn, spark, sf_dir: str, name: str = "") -> float:
