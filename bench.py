@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_length_quartile_bins",
     "twap_user_value",
     "attribution_last_touch",
+    "cap_docs_per_source",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

@@ -237,3 +237,30 @@ def shard_balanced(df: DataFrame, weight_col: str, id_col: str,
             ((F.col("__rn") - 1) % num_shards).cast("int"))
         .drop("__ord", "__rn")
     )
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  cap: int, salt: str = "") -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` rows per group,
+    selected deterministically by md5(id || salt) rank within the group
+    (an unbiased, reproducible draw — NOT first-N in storage order,
+    which would bias toward old/clustered rows). The training-data
+    shape this serves: per-domain caps so no single source dominates
+    the corpus.
+
+    Scale: one shuffle on the group key; the per-group rank is a
+    WindowGroupLimit candidate (map-side top-cap pre-filter before the
+    exchange), so a hot domain forwards at most cap rows per map task —
+    the same degenerate-key defense as the LSH bucket caps.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

@@ -1243,7 +1243,8 @@ _DRIVER_WINDOW_FIRST = [
     "resample_ffill_hourly", "outlier_events_zscore", "fuzzy_part_pairs",
     "shard_documents_balanced", "user_activity_streaks", "scd2_user_state",
     "rolling_24h_user_value", "doc_length_quartile_bins",
-    "twap_user_value", "attribution_last_touch",
+    "twap_user_value", "attribution_last_touch", "cap_docs_per_source",
+    "win_percentile_position",
 ]
 
 

@@ -470,3 +470,55 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long") / F.lit(60000000)).cast("long")
         .alias("gap_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus caps (per-domain cap)
+# ---------------------------------------------------------------------------
+
+@register("cap_docs_per_source", """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 10
+""")
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most 10 documents per source, chosen by deterministic
+    md5 rank (unbiased vs storage order) — the per-domain cap that stops
+    one crawl domain from dominating a training mix (binds on every
+    source of the 20x25-doc fixture)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return sampling.cap_per_group(docs, "source", "doc_id", cap=10)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position windows (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@register("win_percentile_position", """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""")
+def win_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's exact distribution position within its status group:
+    percent_rank ((rank-1)/(n-1)), cume_dist (peers-inclusive fraction)
+    and decile. Unique (price, key) order makes all three deterministic;
+    the two ratios are single IEEE divisions of exact integers. One
+    shuffle, all three windows share the sort."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )

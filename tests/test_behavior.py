@@ -243,3 +243,36 @@ class TestRollingTime:
         # one minute later row 1 has aged out
         assert got[_t(60 * 24)] == 3.0
         assert got[_t(60 * 24 + 1)] == 6.0
+
+
+class TestCapPerGroup:
+    def test_cap_binds_and_is_deterministic(self, spark):
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("src"))
+        capped = sampling.cap_per_group(df, "src", "doc_id", cap=10)
+        counts = {r["src"]: r["c"] for r in
+                  capped.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+                  .collect()}
+        assert counts == {"0": 10, "1": 10, "2": 10}
+        # deterministic: same selection on re-run
+        a = sorted(r["doc_id"] for r in capped.collect())
+        b = sorted(r["doc_id"] for r in
+                   sampling.cap_per_group(df, "src", "doc_id", cap=10)
+                   .collect())
+        assert a == b
+
+    def test_under_cap_groups_pass_through(self, spark):
+        df = spark.range(5).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("src"))
+        assert sampling.cap_per_group(df, "src", "doc_id", 10).count() == 5
+
+    def test_salt_changes_selection(self, spark):
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("src"))
+        a = {r["doc_id"] for r in
+             sampling.cap_per_group(df, "src", "doc_id", 20).collect()}
+        b = {r["doc_id"] for r in
+             sampling.cap_per_group(df, "src", "doc_id", 20, salt="s2")
+             .collect()}
+        assert a != b  # a different salt draws a different subset

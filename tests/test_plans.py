@@ -301,3 +301,17 @@ def test_attribution_is_asof_not_inequality_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "event_type" in plan  # purchase/click filters reach the scan
+
+
+def test_cap_per_group_maps_side_window_group_limit(spark):
+    plan = _executed(_run("cap_docs_per_source", spark))
+    # the rank<=cap filter must compile to WindowGroupLimit so hot
+    # groups are pre-capped map-side before the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_percentile_position_single_shared_sort(spark):
+    plan = _executed(_run("win_percentile_position", spark))
+    # percent_rank/cume_dist/ntile share one (status, price) sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partitionBy=[]" not in plan.replace(" ", "")
