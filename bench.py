@@ -62,6 +62,8 @@ HEADLINE = [
     "twap_user_value",
     "attribution_last_touch",
     "cap_docs_per_source",
+    "outlier_events_mad",
+    "snm_part_pairs",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

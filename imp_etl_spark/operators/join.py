@@ -107,3 +107,38 @@ def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
         joined.filter(d <= max_dist)
         .withColumn(dist_col, d.cast("int"))
     )
+
+
+def sorted_neighborhood_pairs(df: DataFrame, col: str, window: int = 3,
+                              max_dist: int = 3,
+                              dist_col: str = "edit_dist") -> DataFrame:
+    """Sorted-neighborhood fuzzy dedup: sort the DISTINCT values of
+    ``col``, compare each value only with its next ``window - 1``
+    neighbors in sort order, keep pairs within ``max_dist`` Levenshtein.
+    The record-linkage alternative to key blocking
+    (``fuzzy_join_blocked``): cost is O(n * window) comparisons
+    regardless of key skew, but recall depends on near-dups sorting
+    near each other — production runs do multiple passes with different
+    sort keys (e.g. reversed strings) and union the pairs.
+
+    Scale: the rank comes from operators.window.global_index (range
+    partition, no single-task sort); neighbors are found by an EQUI
+    join on (index + offset) after a bounded explode — a hash exchange,
+    never an inequality join. Returns (name_a, name_b, dist).
+    """
+    from imp_etl_spark.operators.window import global_index
+
+    ranked = global_index(df.select(F.col(col)).distinct(), col, "__idx")
+    left = ranked.select(
+        F.col(col).alias("name_a"), "__idx",
+        F.explode(F.array(
+            *[F.lit(o) for o in range(1, window)])).alias("__off"),
+    ).withColumn("__nidx", F.col("__idx") + F.col("__off"))
+    right = ranked.select(
+        F.col(col).alias("name_b"), F.col("__idx").alias("__nidx"))
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        left.join(right, on="__nidx", how="inner")
+        .filter(d <= max_dist)
+        .select("name_a", "name_b", d.cast("int").alias(dist_col))
+    )

@@ -189,3 +189,53 @@ def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
         .withColumn(z_col, z)
         .drop("__n", "__s1", "__s2")
     )
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 tiebreak_col: str, k: int = 5, scale: int = 2) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation: keep rows where |value - median(group)| > k * MAD(group).
+    The companion to ``zscore_outliers`` for heavy-tailed data, where
+    the mean/stddev screen is itself dragged by the outliers it should
+    catch (median/MAD have a 50% breakdown point vs 0%).
+
+    Fully exact: values quantize through the pinned double->DECIMAL cast
+    to integer units; median and MAD are DISCRETE rank-picked elements
+    (value at rank ceil(n/2) over (value, tiebreak) order), and the
+    outlier predicate compares integers — zero float ops anywhere, so
+    membership is reproducible in any engine.
+
+    Scale: two rank-picking passes, both windows partitioned on the
+    group key (a second shuffle only if the optimizer can't reuse the
+    first partitioning), each spillable per-group sort; the tiny
+    median/MAD frames broadcast back. Output adds ``dev``/``mad``
+    integer-unit columns.
+    """
+    v_int = (F.col(value_col).cast(f"decimal(18,{scale})")
+             * F.lit(10 ** scale)).cast("long")
+    q = df.withColumn("__v", v_int)
+
+    def _rank_pick(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(col).asc(), F.col(tiebreak_col).asc())
+        wn = Window.partitionBy(group_col)
+        ranked = frame.withColumn("__rn", F.row_number().over(w)) \
+                      .withColumn("__n", F.count(F.lit(1)).over(wn))
+        return (
+            ranked.groupBy(group_col)
+            .agg(F.max(F.when(
+                F.col("__rn") == F.ceil(F.col("__n") * F.lit(0.5)),
+                F.col(col))).alias(alias))
+        )
+
+    med = _rank_pick(q, "__v", "__med")
+    d = q.join(F.broadcast(med), on=group_col).withColumn(
+        "dev", F.abs(F.col("__v") - F.col("__med")))
+    mad = _rank_pick(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), on=group_col)
+        .filter(F.col("dev") > F.lit(k) * F.col("mad"))
+        .drop("__v", "__med")
+    )

@@ -1244,7 +1244,7 @@ _DRIVER_WINDOW_FIRST = [
     "shard_documents_balanced", "user_activity_streaks", "scd2_user_state",
     "rolling_24h_user_value", "doc_length_quartile_bins",
     "twap_user_value", "attribution_last_touch", "cap_docs_per_source",
-    "win_percentile_position",
+    "win_percentile_position", "outlier_events_mad", "snm_part_pairs",
 ]
 
 

@@ -522,3 +522,75 @@ def win_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier screening
+# ---------------------------------------------------------------------------
+
+@register("outlier_events_mad", """
+WITH q AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM q
+),
+med AS (
+  SELECT event_type, max(CASE WHEN rn = CEIL(n * 0.5) THEN v END) AS med
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT q.event_id, q.event_type, q.value,
+         abs(q.v - med.med) AS dev
+  FROM q JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, max(CASE WHEN rn = CEIL(n * 0.5) THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.dev, mad.mad
+FROM d JOIN mad USING (event_type)
+WHERE d.dev > 5 * mad.mad
+""")
+def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events beyond 5 MADs from their type's median — the
+    heavy-tail-robust twin of outlier_events_zscore; membership is pure
+    integer comparison (rank-picked median/MAD in cent units)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = quality.mad_outliers(
+        ev, group_col="event_type", value_col="value",
+        tiebreak_col="event_id", k=5)
+    return out.select("event_id", "event_type", "value", "dev", "mad")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood fuzzy pairs
+# ---------------------------------------------------------------------------
+
+@register("snm_part_pairs", """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM r a JOIN r b ON b.rn - a.rn IN (1, 2)
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""")
+def snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood pass over part names (window 3): each name
+    compares only with its 2 sort-order successors — complements the
+    first-char blocking pass (fuzzy_part_pairs) as the second
+    record-linkage blocking family."""
+    names = read_table(spark, sf_dir, "part").select("p_name")
+    return join.sorted_neighborhood_pairs(
+        names, "p_name", window=3, max_dist=3)

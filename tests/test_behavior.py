@@ -276,3 +276,62 @@ class TestCapPerGroup:
              sampling.cap_per_group(df, "src", "doc_id", 20, salt="s2")
              .collect()}
         assert a != b  # a different salt draws a different subset
+
+
+class TestMadOutliers:
+    def test_exact_boundary(self, spark):
+        # values: 1..9 and 100 -> median pick at rank ceil(10*0.5)=5 -> 5
+        # devs sorted: 0,1,1,2,2,3,3,4,4,95 -> MAD pick rank 5 -> 2
+        rows = [("g", float(x), i) for i, x in enumerate(
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+        df = spark.createDataFrame(rows, "g string, v double, id long")
+        out = quality.mad_outliers(df, "g", "v", "id", k=5).collect()
+        # outliers: dev > 5*MAD = 1000 cents -> devs in cents: 95*100
+        # (value 100) and nothing else (max other dev 400)
+        assert [(r["v"], r["dev"], r["mad"]) for r in out] == [
+            (100.0, 9500, 200)]
+        # strict inequality: dev == k*mad is NOT an outlier
+        rows2 = [("g", 0.0, 1), ("g", 0.0, 2), ("g", 10.0, 3)]
+        df2 = spark.createDataFrame(rows2, "g string, v double, id long")
+        # median=0, devs 0,0,1000 -> MAD pick rank 2 -> 0; 1000 > 0 -> out
+        assert quality.mad_outliers(df2, "g", "v", "id", k=5).count() == 1
+
+    def test_robust_where_zscore_is_dragged(self, spark):
+        # one huge outlier inflates sigma so the z-screen misses a
+        # moderate one; MAD still catches both
+        vals = [10.0] * 20 + [11.0] * 20 + [50.0, 100000.0]
+        rows = [("g", v, i) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, v double, id long")
+        zs = quality.zscore_outliers(df, "g", "v", threshold=3)
+        mads = quality.mad_outliers(df, "g", "v", "id", k=5)
+        z_vals = {r["v"] for r in zs.collect()}
+        mad_vals = {r["v"] for r in mads.collect()}
+        assert 50.0 not in z_vals          # sigma dragged by 100000
+        assert {50.0, 100000.0} <= mad_vals
+
+
+class TestSortedNeighborhood:
+    def test_neighbors_in_sort_order(self, spark):
+        names = spark.createDataFrame(
+            [("alpha",), ("alphb",), ("alphz",), ("beta",), ("betas",),
+             ("gamma",)], "n string")
+        out = join.sorted_neighborhood_pairs(names, "n", window=3,
+                                             max_dist=2)
+        got = {(r["name_a"], r["name_b"]) for r in out.collect()}
+        # alpha-alphb (d1, adjacent), alpha-alphz (d1, offset 2),
+        # alphb-alphz (d1), beta-betas (d1); gamma has no close neighbor
+        assert got == {("alpha", "alphb"), ("alpha", "alphz"),
+                       ("alphb", "alphz"), ("beta", "betas")}
+
+    def test_window_bounds_comparisons(self, spark):
+        # 'aaaa' and 'aaab' separated by >window-1 ranks -> never compared
+        names = spark.createDataFrame(
+            [("aaaa",), ("aaam",), ("aaan",), ("aaao",), ("aaab",)],
+            "n string")
+        out = join.sorted_neighborhood_pairs(names, "n", window=2,
+                                             max_dist=1)
+        got = {(r["name_a"], r["name_b"]) for r in out.collect()}
+        # sort: aaaa,aaab,aaam,aaan,aaao; window 2 = adjacent only —
+        # every adjacent pair here is a single substitution (dist 1)
+        assert got == {("aaaa", "aaab"), ("aaab", "aaam"),
+                       ("aaam", "aaan"), ("aaan", "aaao")}

@@ -315,3 +315,21 @@ def test_percentile_position_single_shared_sort(spark):
     # percent_rank/cume_dist/ntile share one (status, price) sort
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_mad_outliers_broadcast_stats_no_nested_loop(spark):
+    plan = _executed(_run("outlier_events_mad", spark))
+    # median/MAD frames broadcast back onto the fact; integer-only
+    # predicate; group-keyed windows, never empty-partitionBy
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_snm_is_equi_join_on_index(spark):
+    plan = _executed(_run("snm_part_pairs", spark))
+    # neighbor pairing is an equi join on (index+offset) — no
+    # inequality/nested-loop join; rank is range-partitioned
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan.lower()
