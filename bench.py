@@ -64,13 +64,15 @@ HEADLINE = [
     "cap_docs_per_source",
     "outlier_events_mad",
     "snm_part_pairs",
+    "top_event_paths",
+    "peak_click_concurrency",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame
 # (iterative convergence loops, global_index's partition-count pass) —
 # timed from build, not just the write
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
-               "doc_length_quartile_bins"}
+               "doc_length_quartile_bins", "peak_click_concurrency"}
 
 
 def main() -> None:

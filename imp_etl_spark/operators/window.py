@@ -121,3 +121,46 @@ def rolling_time(df: DataFrame, key: Sequence[str] | str, ts_col: str,
          .rangeBetween(-span, 0))
     return df.select(
         "*", *[expr.over(w).alias(name) for name, expr in aggs.items()])
+
+
+def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
+               out_col: str = "cum",
+               num_partitions: int | None = None) -> DataFrame:
+    """Distributed inclusive running sum of ``value_col`` over the total
+    order given by ``order_cols`` (which must be a UNIQUE key — ties
+    would make the intermediate sums order-dependent).
+
+    Same two-phase shape as ``global_index``: range-partition on the
+    order, cumsum within each partition in parallel, then add per-
+    partition base offsets from a totals pass (one tiny collect of one
+    sum per partition). The naive empty-partitionBy running-sum window
+    funnels the entire table through one task; this never does.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c).asc() for c in order_cols]
+    d = (df.repartitionByRange(n, *cols)
+         .withColumn("__pid", F.spark_partition_id()))
+    from pyspark.storagelevel import StorageLevel
+
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = {r["__pid"]: r["t"] for r in
+              d.groupBy("__pid").agg(
+                  F.sum(F.col(value_col)).alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if offsets:
+        off = F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                           for x in kv]),
+            F.col("__pid"))
+    else:
+        off = F.lit(0)
+    w = (Window.partitionBy("__pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.withColumn(out_col,
+                     (F.sum(F.col(value_col)).over(w) + off).cast("long"))
+        .drop("__pid")
+    )

@@ -1245,6 +1245,7 @@ _DRIVER_WINDOW_FIRST = [
     "rolling_24h_user_value", "doc_length_quartile_bins",
     "twap_user_value", "attribution_last_touch", "cap_docs_per_source",
     "win_percentile_position", "outlier_events_mad", "snm_part_pairs",
+    "top_event_paths", "peak_click_concurrency",
 ]
 
 

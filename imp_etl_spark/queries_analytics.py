@@ -594,3 +594,97 @@ def snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = read_table(spark, sf_dir, "part").select("p_name")
     return join.sorted_neighborhood_pairs(
         names, "p_name", window=3, max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# Top event paths (behavioral n-grams)
+# ---------------------------------------------------------------------------
+
+@register("top_event_paths", """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p1,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p2
+  FROM events
+)
+SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS cnt
+FROM s WHERE p2 IS NOT NULL
+GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
+""")
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths across user histories (lag
+    window n-grams -> hash count -> bounded top-k with a unique (cnt,
+    path) tiebreak). One shuffle on the user key, one on the path."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    s = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "p2", "p1", "event_type").alias("path"))
+        .groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+@register("peak_click_concurrency", """
+WITH c AS (
+  SELECT user_id, ts, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+iv AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to,
+         event_type AS state
+  FROM c WHERE prev IS DISTINCT FROM event_type
+),
+b AS (
+  SELECT valid_from AS ts, 1 AS delta FROM iv
+  WHERE state = 'click' AND valid_to IS NOT NULL
+  UNION ALL
+  SELECT valid_to, -1 FROM iv
+  WHERE state = 'click' AND valid_to IS NOT NULL
+),
+g AS (SELECT ts, delta, sum(delta) AS net FROM b GROUP BY ts, delta),
+r AS (
+  SELECT ts, CAST(SUM(net) OVER (ORDER BY ts, delta) AS BIGINT) AS conc
+  FROM g
+)
+SELECT CAST(ts AS DATE) AS day, CAST(max(conc) AS BIGINT) AS peak
+FROM r GROUP BY 1
+""")
+def peak_click_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak number of users simultaneously in a 'click' state
+    (intervals from the SCD2 build; classic sweep-line: +1/-1 boundary
+    deltas, running sum, max per day). The running sum is the
+    DISTRIBUTED prefix_sum operator — range partition + per-partition
+    cumsum + offsets, never an empty-partitionBy window. Ends sort
+    before starts at equal ts (delta asc), mirrored in the oracle."""
+    from imp_etl_spark.operators.window import prefix_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    iv = behavior.state_intervals(ev).filter(
+        (F.col("state") == "click") & F.col("valid_to").isNotNull())
+    b = iv.select(F.col("valid_from").alias("ts"),
+                  F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("valid_to").alias("ts"),
+                  F.lit(-1).alias("delta")))
+    g = b.groupBy("ts", "delta").agg(F.sum("delta").alias("net"))
+    r = prefix_sum(g, ["ts", "delta"], "net", out_col="conc")
+    return (
+        r.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("conc").alias("peak"))
+    )

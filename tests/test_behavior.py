@@ -335,3 +335,26 @@ class TestSortedNeighborhood:
         # every adjacent pair here is a single substitution (dist 1)
         assert got == {("aaaa", "aaab"), ("aaab", "aaam"),
                        ("aaam", "aaan"), ("aaan", "aaao")}
+
+
+class TestPrefixSum:
+    def test_matches_naive_cumsum(self, spark):
+        from imp_etl_spark.operators.window import prefix_sum
+        df = spark.range(1000).select(
+            F.col("id").alias("k"), ((F.col("id") * 37) % 11 - 5).alias("v"))
+        out = {r["k"]: r["cum"] for r in
+               prefix_sum(df, ["k"], "v", num_partitions=8).collect()}
+        acc, want = 0, {}
+        for k in range(1000):
+            acc += (k * 37) % 11 - 5
+            want[k] = acc
+        assert out == want
+
+    def test_no_single_partition_window(self, spark):
+        from imp_etl_spark.operators.window import prefix_sum
+        df = spark.range(100).select(
+            F.col("id").alias("k"), F.lit(1).alias("v"))
+        out = prefix_sum(df, ["k"], "v", num_partitions=8)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan

@@ -333,3 +333,16 @@ def test_snm_is_equi_join_on_index(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_peak_concurrency_distributed_prefix_sum(spark):
+    plan = _executed(_run("peak_click_concurrency", spark))
+    # sweep-line running sum must be the two-phase prefix_sum —
+    # range-partitioned, never an empty-partitionBy window funnel
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_top_paths_bounded_topk(spark):
+    plan = _executed(_run("top_event_paths", spark))
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no full sort
