@@ -1181,6 +1181,7 @@ def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late imports: populate REGISTRY with the LLM-data-pipeline and
 # TPC-H-shaped analytics surfaces
 from imp_etl_spark import queries_analytics as _queries_analytics  # noqa: E402,F401
+from imp_etl_spark import queries_corpus as _queries_corpus  # noqa: E402,F401
 from imp_etl_spark import queries_llm as _queries_llm  # noqa: E402,F401
 from imp_etl_spark import queries_scalar as _queries_scalar  # noqa: E402,F401
 from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
@@ -1246,6 +1247,13 @@ _DRIVER_WINDOW_FIRST = [
     "twap_user_value", "attribution_last_touch", "cap_docs_per_source",
     "win_percentile_position", "outlier_events_mad", "snm_part_pairs",
     "top_event_paths", "peak_click_concurrency",
+    # -- corpus-curation tier 2 + layout/incremental batch (late round 3,
+    #    oracle-backed, first driver signal when a later window rotates
+    #    them in)
+    "ngram_novelty", "bpe_pair_counts", "lang_confusion_matrix",
+    "dup_rate_by_source", "quality_percentile_filter",
+    "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
+    "q12_priority_class",
 ]
 
 

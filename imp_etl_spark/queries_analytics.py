@@ -688,3 +688,214 @@ def peak_click_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.groupBy(F.to_date("ts").alias("day"))
         .agg(F.max("conc").alias("peak"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer EWMA: half-life-decayed per-user engagement. Decay
+# weights are powers of two over whole-day ages, so numerator and
+# denominator are EXACT integer sums in both engines (the same trick as
+# agg_stats_moments' micro-unit moments).
+# ---------------------------------------------------------------------------
+
+
+@register("ewma_user_value", """
+WITH m AS (SELECT CAST(max(ts) AS DATE) AS md FROM events),
+e AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS y,
+         date_diff('day', CAST(ts AS DATE), md) AS age
+  FROM events, m
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, y, (CAST(1 AS BIGINT) << (29 - age)) AS wt
+  FROM e WHERE age BETWEEN 0 AND 29
+)
+SELECT user_id,
+       CAST(SUM(y * wt) AS BIGINT) AS num_milli_scaled,
+       CAST(SUM(wt) AS BIGINT) AS weight_sum,
+       CAST(SUM(y * wt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) / 1000.0
+         AS ewma_value
+FROM w GROUP BY user_id
+""")
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value with a 1-day half-life over the
+    trailing 30 days: weight = 2^-(age_days), scaled by 2^29 so every
+    weight is an exact BIGINT and the weighted sum is exact integer
+    arithmetic end-to-end (value quantized to milli-units via the
+    pinned double->DECIMAL cast, tests/test_quantize.py). The only
+    IEEE ops are the final two int->double casts and two divisions.
+
+    Scale shape: the reference date is a 1-row broadcast (no window),
+    weights are row-local bit shifts, and the single shuffle carries
+    (user_id, partial int sums) — map-side combine absorbs everything.
+    Magnitudes: y <= ~5.6e5 (value <= 560), wt <= 2^29 => y*wt <= 3e14,
+    so ~30k events/user fit in int64; beyond that widen the sums to
+    DECIMAL(38,0)/HUGEINT, same shape.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("md"))
+    age = F.datediff(F.col("md"), F.to_date("ts"))
+    e = (ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+         .crossJoin(F.broadcast(mx))
+         .select("user_id",
+                 (F.col("value").cast("decimal(18,3)") * 1000
+                  ).cast("bigint").alias("y"),
+                 age.alias("age"))
+         .where((F.col("age") >= 0) & (F.col("age") <= 29))
+         .select("user_id", "y",
+                 F.expr("shiftleft(cast(1 as bigint), 29 - age)")
+                 .alias("wt")))
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("y") * F.col("wt")).alias("num_milli_scaled"),
+             F.sum("wt").alias("weight_sum"))
+        .select("user_id", "num_milli_scaled", "weight_sum",
+                (F.col("num_milli_scaled").cast("double")
+                 / F.col("weight_sum").cast("double") / F.lit(1000.0)
+                 ).alias("ewma_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: partial aggs of a base snapshot and
+# a delta batch merged WITHOUT touching base rows again; the oracle is
+# the full recompute — merged == recomputed is the whole point.
+# ---------------------------------------------------------------------------
+
+
+@register("incremental_agg_merge", """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders GROUP BY o_custkey
+""")
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for per-customer order stats:
+    count/sum/min/max are commutative monoids, so partials from the
+    base snapshot (o_orderdate < 1998) and the delta batch (>= 1998)
+    merge by add/least/greatest on a full-outer key join — the oracle
+    recomputes from scratch and must agree exactly (decimal sums).
+
+    Scale shape: at 100 TB the base partials are a stored table that is
+    never rescanned; each arriving delta shuffles only its own partials
+    (|delta| rows in, |affected keys| out) and the merge join is
+    key-partitioned. This query demonstrates the merge path by
+    splitting the fixture on a date pivot.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    pivot = F.lit("1998-01-01").cast("timestamp")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                  ).alias(f"s_{tag}"),
+            F.min("o_orderdate").alias(f"mn_{tag}"),
+            F.max("o_orderdate").alias(f"mx_{tag}"))
+
+    base = partial(orders.where(F.col("o_orderdate") < pivot), "b")
+    delta = partial(orders.where(F.col("o_orderdate") >= pivot), "d")
+    zero_n = F.lit(0).cast("bigint")
+    zero_s = F.lit(0).cast("decimal(28,2)")
+    merged = base.join(delta, "o_custkey", "full_outer")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce(F.col("n_b"), zero_n)
+         + F.coalesce(F.col("n_d"), zero_n)).alias("n_orders"),
+        (F.coalesce(F.col("s_b"), zero_s)
+         + F.coalesce(F.col("s_d"), zero_s)).cast("double")
+        .alias("sum_price"),
+        F.least(F.col("mn_b"), F.col("mn_d")).alias("first_order"),
+        F.greatest(F.col("mx_b"), F.col("mx_d")).alias("last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit: interleave (user bits, minute bits)
+# into one clustering key, cut it into 64 contiguous buckets, and report
+# per-bucket locality — the data-layout primitive behind multi-column
+# file skipping.
+# ---------------------------------------------------------------------------
+
+
+def _morton_terms(ux: str, tm: str, bits: int, shift_fmt, and_fmt) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(shift_fmt(and_fmt(ux, b), 2 * b))
+        terms.append(shift_fmt(and_fmt(tm, b), 2 * b + 1))
+    return " + ".join(terms)
+
+
+def _morton_sql(ux: str, tm: str, bits: int = 10) -> str:
+    return _morton_terms(
+        ux, tm, bits,
+        lambda e, k: f"({e} << {k})",
+        lambda c, b: f"((({c}) >> {b}) & 1)")
+
+
+def _morton_spark(ux: str, tm: str, bits: int = 10) -> str:
+    return _morton_terms(
+        ux, tm, bits,
+        lambda e, k: f"shiftleft({e}, {k})",
+        lambda c, b: f"(shiftright(({c}), {b}) & 1)")
+
+
+@register("zorder_events_layout", f"""
+WITH d AS (
+  SELECT event_id, user_id % 1024 AS ux,
+         (epoch_us(ts) // 60000000) % 1024 AS tm
+  FROM events
+),
+z AS (
+  SELECT event_id, ux, tm,
+         {_morton_sql('ux', 'tm')} AS morton
+  FROM d
+),
+b AS (
+  SELECT ux, tm, morton,
+         ntile(64) OVER (ORDER BY morton, event_id) AS bucket
+  FROM z
+)
+SELECT bucket,
+       count(*) AS n_events,
+       CAST(min(ux) AS BIGINT) AS ux_min, CAST(max(ux) AS BIGINT) AS ux_max,
+       CAST(min(tm) AS BIGINT) AS tm_min, CAST(max(tm) AS BIGINT) AS tm_max,
+       CAST(min(morton) AS BIGINT) AS z_min,
+       CAST(max(morton) AS BIGINT) AS z_max
+FROM b GROUP BY bucket
+""")
+def zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering audit: interleave the low 10 bits of
+    user_id and of the event minute into a 20-bit Z key, cut the corpus
+    into 64 contiguous Z ranges, and report each range's (user, time)
+    bounding box — tight boxes are exactly what makes parquet min/max
+    stats skip files for BOTH `user_id = ?` and time-range predicates.
+
+    Scale shape: the Z key is row-local bit math; production layout is
+    `repartitionByRange(morton)` + sortWithinPartitions before the
+    write, so the "bucket" is a physical file and this query is its
+    audit. ntile over a global order stands in for the range
+    partitioner's sampled boundaries to keep the oracle exact — the
+    audit itself would run per-file from parquet footers, not via a
+    global window.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("ux"),
+        ((F.unix_micros(F.col("ts").cast("timestamp"))
+          / F.lit(60000000)).cast("bigint") % 1024).alias("tm"))
+    z = d.withColumn("morton", F.expr(_morton_spark("ux", "tm")))
+    b = z.withColumn(
+        "bucket",
+        F.ntile(64).over(Window.orderBy("morton", "event_id")))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ux").alias("ux_min"), F.max("ux").alias("ux_max"),
+        F.min("tm").alias("tm_min"), F.max("tm").alias("tm_max"),
+        F.min("morton").alias("z_min"), F.max("morton").alias("z_max"),
+    )

@@ -1,0 +1,281 @@
+"""Corpus-curation tier 2 (registered into queries.REGISTRY).
+
+Second batch of training-data curation analytics over the ``documents``
+fixture: n-gram novelty (the inverted-index "have we seen this text
+before" primitive), first-iteration BPE pair statistics, a language-ID
+confusion matrix (evaluation harness for lang_id), per-source duplicate
+rates, and source-relative quality percentile filtering.
+
+The reference has no corpus tier (its documents surface stops at CRUD,
+index.js:46-140); this module extends SURVEY §7.8's north-star
+LLM-pipeline tier. Every query is fully oracle-backed.
+
+Portability strategy:
+- n-gram novelty / BPE pairs: shingle construction is mirrored
+  token-for-token (functions/hashing.shingles semantics); all outputs
+  are integer counts plus one IEEE division.
+- lang confusion: reuses the exact `_lang_sql()` oracle of the green
+  `lang_id_docs` row, aggregated.
+- dup rate: Spark shuffles 8-byte xxhash64(text) keys, the oracle
+  groups by the text itself — identical counts unless xxhash64
+  collides, which the count equality itself would expose.
+- quality percentile: reuses doc_quality's score expression; the
+  percentile is percent_rank over a fully deterministic key
+  (quality, doc_id), so membership is exact.
+
+100 TB notes are per-query in the docstrings: every shape here is a
+token-explode -> partial-agg -> single shuffle of (small key, count)
+pairs, or a window partitioned by a bounded key (source). Nothing
+shuffles document bodies except the dup-rate text oracle path, whose
+production form is the hash variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imp_etl_spark.functions.hashing import shingles
+from imp_etl_spark.functions.text import lang_id, quality_score, tokens
+from imp_etl_spark.queries import register
+from imp_etl_spark.queries_llm import _DUCK_TOKS, _lang_sql
+from imp_etl_spark.sources.parquet import read_table
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: fraction of a doc's distinct 5-gram shingles whose
+# FIRST corpus occurrence (min doc_id) is this doc. The core "how much
+# of this document is new text" curation signal.
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES5 = """
+CASE WHEN len(t) >= 5
+     THEN list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(list_slice(t, i, i + 4), ' '))
+     WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+     ELSE [] END
+"""
+
+
+@register("ngram_novelty", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES5} AS gs FROM toks),
+g AS (SELECT DISTINCT doc_id, gram
+      FROM (SELECT doc_id, unnest(gs) AS gram FROM sh)),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+""")
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty vs the whole corpus (first occurrence
+    = min doc_id, i.e. ingest order).
+
+    Scale shape: explode distinct shingles, ONE shuffle keyed by the
+    gram to find its first doc (map-side partial min), join back, and a
+    second (doc_id, flag) count shuffle. At 100 TB the gram key is
+    ``xxhash64(gram)`` (8 bytes instead of the ~30-byte string) and the
+    first-occurrence order is whatever monotone ingest id the pipeline
+    carries; the string key here keeps the oracle portable. No step
+    materializes anything bigger than the token explode, which partial
+    aggregation absorbs before the exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))
+                  ).alias("gram"))
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             novel.alias("n_novel"))
+        .select("doc_id", "n_grams", "n_novel",
+                (F.col("n_novel").cast("double") / F.col("n_grams")
+                 ).alias("novelty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# First BPE merge iteration: corpus-wide adjacent-token pair counts.
+# ---------------------------------------------------------------------------
+
+
+@register("bpe_pair_counts", f"""
+WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),
+p AS (SELECT unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM toks WHERE len(t) >= 2)
+SELECT pair, count(*) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 50
+""")
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies — the counting step of one BPE
+    merge iteration, corpus-wide, top 50 (ties broken by pair text so
+    the LIMIT boundary is deterministic).
+
+    Scale shape: identical to word_counts_top50 — the pair explode is
+    absorbed by map-side partial aggregation, the exchange carries
+    distinct (pair, partial-count) rows, and the top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 50
+    rows), never a global sort. A full BPE trainer is this query in a
+    loop with the current merge table broadcast.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)))
+    return (
+        docs.select(t.alias("t"))
+        .where(F.size(F.col("t")) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of predicted vs labeled lang.
+# ---------------------------------------------------------------------------
+
+
+@register("lang_confusion_matrix", f"""
+SELECT lang_label, lang_pred, count(*) AS docs
+FROM ({_lang_sql()})
+GROUP BY lang_label, lang_pred
+""")
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the marker-word language classifier against
+    the fixture's lang label — the evaluation-harness companion of the
+    green `lang_id_docs` row (its oracle is literally `_lang_sql()`
+    aggregated, so the two rows can never drift apart).
+
+    Scale shape: classification is pure JVM builtins per row; the only
+    shuffle carries (label, pred) pairs — at most |langs|² groups.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("lang_label"),
+                    lang_id("text").alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source duplicate rate: how much of each source is exact-dup text.
+# ---------------------------------------------------------------------------
+
+
+@register("dup_rate_by_source", """
+WITH c AS (SELECT text, count(*) AS cnt FROM documents GROUP BY text)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_rate
+FROM documents JOIN c USING (text)
+GROUP BY source
+""")
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate contamination rate per source — the per-corpus
+    health metric layered on dedup_exact_content's grouping.
+
+    Scale shape: Spark groups on ``xxhash64(text)`` so the multiplicity
+    shuffle carries 8-byte keys (the oracle groups by the body itself;
+    identical counts unless the hash collides, which the count equality
+    would expose). The join back is hash-key -> count, and the final
+    exchange is |sources| rows.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.xxhash64(F.col("text"))
+    c = (docs.select(h.alias("h"))
+         .groupBy("h").agg(F.count(F.lit(1)).alias("cnt")))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        docs.select("source", h.alias("h"))
+        .join(c, "h")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), dup.alias("n_dup_docs"))
+        .select("source", "n_docs", "n_dup_docs",
+                (F.col("n_dup_docs").cast("double") / F.col("n_docs")
+                 ).alias("dup_rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-relative quality filter: keep each source's top half by score.
+# ---------------------------------------------------------------------------
+
+
+@register("quality_percentile_filter", f"""
+WITH q AS (
+  SELECT d.doc_id, d.source, s.quality
+  FROM documents d JOIN (
+    WITH s0 AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS t FROM documents
+    ), r AS (
+      SELECT doc_id,
+             least(length(text) / 500.0, 1.0) AS len_band,
+             CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','on','for',
+                        'with','is','are','was','be','this','that','it','as',
+                        'at','by'], x))) AS DOUBLE) / len(t)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text,
+                       '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                       / length(text)
+                  ELSE 0.0 END AS pr
+      FROM s0
+    )
+    SELECT doc_id,
+           round(0.4 * len_band + 0.3 * least(sr * 4, 1.0)
+                 + 0.3 * greatest(1.0 - pr * 5, 0.0), 6) AS quality
+    FROM r
+  ) s USING (doc_id)
+), ranked AS (
+  SELECT doc_id, source, quality,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY quality, doc_id) AS pctile
+  FROM q
+)
+SELECT doc_id, source, quality, pctile
+FROM ranked WHERE pctile >= 0.5
+""")
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each source's top-half documents by heuristic quality score
+    — source-relative filtering, the standard guard against one noisy
+    source dominating a global threshold.
+
+    Scale shape: the score is row-local builtins; the window shuffles
+    once on the bounded `source` key. Skew caveat: a single giant
+    source serializes its partition through one task — the production
+    variant two-passes it (per-source exact count + rank via
+    distributed prefix sums, operators/window.py) once a source exceeds
+    ~10M docs; percent_rank over (quality, doc_id) keeps membership
+    deterministic either way.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source",
+                    quality_score("text").alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("pctile", F.percent_rank().over(w))
+        .where(F.col("pctile") >= 0.5)
+        .select("doc_id", "source", "quality", "pctile")
+    )

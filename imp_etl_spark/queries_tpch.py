@@ -850,3 +850,49 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping-class vs order-priority cross-count. Adapted: the
+# fixture lineitem has no l_shipmode/l_commitdate/l_receiptdate
+# (TESTDATA.md), so the two "ship modes" are the A/R return classes and
+# the late-delivery predicate becomes a 1996 ship-date window — the
+# shape under test (fact->dim join + conditional counts per class) is
+# Q12's.
+# ---------------------------------------------------------------------------
+
+
+@register("q12_priority_class", """
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""")
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (see module doc on fixture adaptations): for
+    each shipping class, how many 1996-shipped line items belong to
+    high- vs low-priority orders. The ship-date + class predicates push
+    into the lineitem scan; orders arrives projected to
+    (o_orderkey, o_orderpriority); the two counts ride one exchange of
+    2 groups after map-side partial aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(F.col("l_returnflag").isin("A", "R")
+                 & (F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .select("l_orderkey", "l_returnflag")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+    )
