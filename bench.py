@@ -66,6 +66,13 @@ HEADLINE = [
     "snm_part_pairs",
     "top_event_paths",
     "peak_click_concurrency",
+    # corpus tier 2 + layout/incremental batch
+    "ngram_novelty",
+    "bpe_pair_counts",
+    "ewma_user_value",
+    "incremental_agg_merge",
+    "zorder_events_layout",
+    "q12_priority_class",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

@@ -75,28 +75,32 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 5-gram novelty vs the whole corpus (first occurrence
     = min doc_id, i.e. ingest order).
 
-    Scale shape: explode distinct shingles, ONE shuffle keyed by the
-    gram to find its first doc (map-side partial min), join back, and a
-    second (doc_id, flag) count shuffle. At 100 TB the gram key is
-    ``xxhash64(gram)`` (8 bytes instead of the ~30-byte string) and the
-    first-occurrence order is whatever monotone ingest id the pipeline
-    carries; the string key here keeps the oracle portable. No step
-    materializes anything bigger than the token explode, which partial
-    aggregation absorbs before the exchange.
+    Scale shape: explode distinct shingles ONCE (persisted as
+    (doc_id, xxhash64(gram)) pairs — 16 bytes/row, so both downstream
+    shuffles carry 8-byte keys, never the ~30-byte gram strings), then
+    two hash aggregations: per-doc gram counts, and per-gram min doc
+    whose OWN regroup by first_doc yields the per-doc novel counts —
+    no sort-window, no self-join, and the final join is |docs|-sized.
+    The oracle keys by the gram string itself; its count equality is
+    also the hash-collision guard. First-occurrence order is ingest
+    order (doc_id) — at 100 TB, whatever monotone ingest id the
+    pipeline carries.
     """
     docs = read_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))
-                  ).alias("gram"))
-    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    g = (docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(tokens(F.col("text")), 5))
+                      ).alias("gram"))
+         .select("doc_id", F.xxhash64("gram").alias("gh"))
+         .persist())
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+             .groupBy("first_doc").agg(F.count(F.lit(1)).alias("novel")))
     return (
-        g.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"),
-             novel.alias("n_novel"))
+        per_doc.join(novel, per_doc.doc_id == novel.first_doc, "left")
+        .select("doc_id", "n_grams",
+                F.coalesce(F.col("novel"), F.lit(0)).cast("bigint")
+                .alias("n_novel"))
         .select("doc_id", "n_grams", "n_novel",
                 (F.col("n_novel").cast("double") / F.col("n_grams")
                  ).alias("novelty"))
