@@ -346,3 +346,66 @@ def test_peak_concurrency_distributed_prefix_sum(spark):
 def test_top_paths_bounded_topk(spark):
     plan = _executed(_run("top_event_paths", spark))
     assert "TakeOrderedAndProject" in plan  # bounded top-k, no full sort
+
+
+def test_ngram_novelty_hashed_keys_reuse_persist(spark):
+    plan = _executed(_run("ngram_novelty", spark))
+    # the explode is computed once and reused (persisted), downstream
+    # shuffles carry 8-byte xxhash64 keys, and the only join is the
+    # |docs|-sized broadcast at the end
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bpe_pairs_bounded_topk_single_shuffle(spark):
+    plan = _executed(_run("bpe_pair_counts", spark))
+    # partial counts absorb the pair explode before ONE exchange; the
+    # top-50 is a bounded heap, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_single_shuffle_broadcast_refdate(spark):
+    plan = _executed(_run("ewma_user_value", spark))
+    # reference date is a 1-row broadcast (the only nested-loop join);
+    # the weighted sums ride one user_id exchange; null guards pushed
+    assert plan.count("Exchange hashpartitioning") == 1
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "IsNotNull(value)" in pushed
+
+
+def test_incremental_merge_reuses_agg_partitioning(spark):
+    plan = _executed(_run("incremental_agg_merge", spark))
+    # the two partial aggs each shuffle once on o_custkey and the
+    # full-outer merge join REUSES that partitioning — no third
+    # exchange; the date-pivot split reaches both parquet scans
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q12_broadcast_join_pushed_class_filter(spark):
+    plan = _executed(_run("q12_priority_class", spark))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "In(l_returnflag" in pushed
+
+
+def test_quality_percentile_window_keyed_by_source(spark):
+    plan = _executed(_run("quality_percentile_filter", spark))
+    # percent_rank partitions on the bounded source key — one exchange,
+    # never an empty-partitionBy global window
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+
+
+def test_dup_rate_hash_count_then_broadcast(spark):
+    plan = _executed(_run("dup_rate_by_source", spark))
+    # multiplicity counts group on xxhash64(text); the join back is a
+    # broadcast of the counted side; no body-keyed sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
