@@ -393,3 +393,115 @@ def merge_preview(batch: DataFrame, target: DataFrame,
     return latest_per_key(
         b.unionByName(t), key, ["__prio"], desc=True
     ).drop("__prio")
+
+
+# ---------------------------------------------------------------------------
+# maintenance: compaction + re-bucketing
+# ---------------------------------------------------------------------------
+
+def _bucket_file_counts(path: str, manifest: dict) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for b, rel in manifest["buckets"].items():
+        d = os.path.join(path, rel)
+        try:
+            out[b] = sum(1 for f in os.listdir(d)
+                         if f.endswith(".parquet"))
+        except OSError:
+            out[b] = 0
+    return out
+
+
+def compact_snapshot(spark: SparkSession, path: str,
+                     max_files_per_bucket: int = 1,
+                     keep_versions: int = 2) -> int:
+    """Compact fragmented buckets of the current snapshot: any bucket
+    holding more than ``max_files_per_bucket`` parquet files (e.g.
+    written wide via ``files_per_bucket`` > 1, or whose writer task
+    count drifted) is rewritten into a fresh data dir at the target
+    file count; every other bucket carries into the new manifest BY
+    REFERENCE, unread and unmoved. Publishes a new snapshot version via
+    the same manifest-pointer commit as ``merge_upsert`` — readers
+    never see a half-compacted table, and time travel to the
+    pre-compaction version keeps working until retention drops it.
+
+    Returns the committed version (the CURRENT version unchanged if
+    nothing is fragmented — compaction is a no-op then, not an empty
+    commit).
+
+    Scale notes: this is the OPTIMIZE/rewrite-data-files half of what
+    table formats run as table maintenance. Cost is proportional to the
+    fragmented fraction only (path-level pruning: untouched dirs are
+    never listed, let alone read), the rewrite reuses the key->bucket
+    function so no rows change buckets, and the single-writer rule
+    (scheduler overlap guard, ST6) serializes it against merges.
+    """
+    latest = _latest_version(path)
+    if latest is None:
+        raise ValueError(f"no snapshot at {path}")
+    man = _read_manifest(path, latest)
+    target = max(1, max_files_per_bucket)
+    counts = _bucket_file_counts(path, man)
+    frag = {b: rel for b, rel in man["buckets"].items()
+            if counts.get(b, 0) > target}
+    if not frag:
+        return latest
+
+    key = list(man["key"])
+    n_buckets = int(man["n_buckets"])
+    new_v = latest + 1
+    data_rel = f"{_DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    df = spark.read.parquet(*[os.path.join(path, r)
+                              for r in frag.values()])
+    if "__bucket" in df.columns:
+        df = df.drop("__bucket")
+    _write_bucketed(df, key, n_buckets, os.path.join(path, data_rel),
+                    files_per_bucket=target)
+    carried = {b: rel for b, rel in man["buckets"].items()
+               if b not in frag}
+    manifest = {
+        "n_buckets": n_buckets,
+        "key": key,
+        "schema": man.get("schema") or dict(df.dtypes),
+        "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
+    }
+    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
+                       manifest)
+    _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
+    _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
+    return new_v
+
+
+def rebucket(spark: SparkSession, path: str, n_buckets: int,
+             keep_versions: int = 2,
+             files_per_bucket: int = 1) -> int:
+    """Re-hash the current snapshot into ``n_buckets`` buckets (one
+    full rewrite + manifest-pointer commit). The growth path for the
+    merge cost model: buckets are sized at table creation, and when the
+    table outgrows them (bucket dirs exceeding a healthy task size even
+    at ``files_per_bucket`` fan-out), doubling ``n_buckets`` here
+    restores the b/N partial-rewrite economics — subsequent
+    ``merge_upsert(..., n_buckets=<new>)`` calls take the partial path
+    against the new layout. Single full shuffle on the new bucket id;
+    idempotent under re-run (a crash before the ``_latest.json`` flip
+    leaves the old version live)."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise ValueError(f"no snapshot at {path}")
+    man = _read_manifest(path, latest)
+    key = list(man["key"])
+    df = _manifest_df(spark, path, _read_manifest(path, latest))
+    new_v = latest + 1
+    data_rel = f"{_DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+    _write_bucketed(df, key, n_buckets, os.path.join(path, data_rel),
+                    files_per_bucket=files_per_bucket)
+    manifest = {
+        "n_buckets": n_buckets,
+        "key": key,
+        "schema": man.get("schema") or dict(df.dtypes),
+        "buckets": _scan_bucket_dirs(path, data_rel),
+    }
+    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
+                       manifest)
+    _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
+    _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
+    return new_v

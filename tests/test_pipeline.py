@@ -435,3 +435,79 @@ def test_upsert_schema_evolution(spark, tmp_path):
     out = {r["k"]: (r["v"], r["note"]) for r in read_target(spark, path).collect()}
     assert out[0] == ("new", "extra0")
     assert out[1] == ("old", None) and len(out) == 4
+
+
+def test_compact_snapshot_merges_fragmented_buckets_only(spark, tmp_path):
+    """Table maintenance (OPTIMIZE half): after a wide write
+    (files_per_bucket=3) fragments some buckets, compaction rewrites
+    ONLY those buckets down to one file each, carries the rest by
+    reference, and publishes a new version — data identical, old
+    version still time-travelable."""
+    from imp_etl_spark.plans.upsert import (
+        _bucket_file_counts, _read_manifest, compact_snapshot)
+
+    path = str(tmp_path / "compact")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(400)], "k INT, v STRING, ord INT")
+    v0 = merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4,
+                      keep_versions=5)
+    # fragment a subset: a partial merge written wide rewrites only the
+    # touched buckets at 3 files each
+    upd = spark.createDataFrame(
+        [(7, "updated", 999)], "k INT, v STRING, ord INT")
+    v1 = merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=4,
+                      keep_versions=5, files_per_bucket=3)
+    man1 = _read_manifest(path, v1)
+    counts1 = _bucket_file_counts(path, man1)
+    fragged = [b for b, c in counts1.items() if c > 1]
+    assert len(fragged) == 1  # only bucket(7) was rewritten wide
+
+    v2 = compact_snapshot(spark, path, max_files_per_bucket=1,
+                          keep_versions=5)
+    assert v2 == v1 + 1
+    man2 = _read_manifest(path, v2)
+    counts2 = _bucket_file_counts(path, man2)
+    assert all(c == 1 for c in counts2.values()), counts2
+    # untouched buckets carried by reference (identical path strings)
+    for b in man1["buckets"]:
+        if b not in fragged:
+            assert man2["buckets"][b] == man1["buckets"][b]
+        else:
+            assert man2["buckets"][b] != man1["buckets"][b]
+    # data identical, and the pre-compaction version is still readable
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert len(state) == 400 and state[7] == "updated" and state[3] == "v3"
+    old = {r["k"]: r["v"]
+           for r in read_target(spark, path, version=v1).collect()}
+    assert old == state
+    # idempotent: nothing fragmented now -> no-op, same version
+    assert compact_snapshot(spark, path, max_files_per_bucket=1,
+                            keep_versions=5) == v2
+
+
+def test_rebucket_grows_layout_and_partial_merges_resume(spark, tmp_path):
+    """The growth path: doubling n_buckets restores b/N partial-rewrite
+    economics; a follow-up merge at the new count takes the PARTIAL
+    path (one rewritten bucket, 15 carried)."""
+    from imp_etl_spark.plans.upsert import _read_manifest, rebucket
+
+    path = str(tmp_path / "rebucket")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(400)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8,
+                 keep_versions=5)
+    v1 = rebucket(spark, path, 16, keep_versions=5)
+    man1 = _read_manifest(path, v1)
+    assert man1["n_buckets"] == 16 and len(man1["buckets"]) == 16
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert len(state) == 400 and state[5] == "v5"
+
+    upd = spark.createDataFrame(
+        [(5, "updated", 999)], "k INT, v STRING, ord INT")
+    v2 = merge_upsert(spark, path, upd, ["k"], "ord", n_buckets=16,
+                      keep_versions=5)
+    man2 = _read_manifest(path, v2)["buckets"]
+    rewritten = [b for b in man1["buckets"] if man2[b] != man1["buckets"][b]]
+    assert len(rewritten) == 1
+    state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
+    assert state[5] == "updated" and len(state) == 400
