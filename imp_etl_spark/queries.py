@@ -1253,7 +1253,8 @@ _DRIVER_WINDOW_FIRST = [
     "ngram_novelty", "bpe_pair_counts", "lang_confusion_matrix",
     "dup_rate_by_source", "quality_percentile_filter",
     "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
-    "q12_priority_class",
+    "q12_priority_class", "q2_min_cost_supplier", "q20_bolt_suppliers",
+    "skew_profile_orders_custkey",
 ]
 
 

@@ -899,3 +899,88 @@ def zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tm").alias("tm_min"), F.max("tm").alias("tm_max"),
         F.min("morton").alias("z_min"), F.max("morton").alias("z_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile: the pre-join diagnosis that decides whether a
+# key needs salting / AQE skew handling before a 100 TB shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register("skew_profile_orders_custkey", """
+WITH c AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, o_custkey) AS rn,
+         count(*) OVER () AS n_keys,
+         sum(cnt) OVER () AS n_rows
+  FROM c
+)
+SELECT CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(min(cnt) AS BIGINT) AS min_mult,
+       CAST(max(cnt) AS BIGINT) AS max_mult,
+       CAST(max(CASE WHEN rn = CAST(ceil(n_keys * 0.5) AS BIGINT)
+                     THEN cnt END) AS BIGINT) AS p50_mult,
+       CAST(max(CASE WHEN rn = CAST(ceil(n_keys * 0.99) AS BIGINT)
+                     THEN cnt END) AS BIGINT) AS p99_mult,
+       CAST(max(n_rows) AS DOUBLE) / CAST(max(n_keys) AS DOUBLE)
+         AS mean_mult,
+       CAST(max(cnt) AS DOUBLE)
+         / (CAST(max(n_rows) AS DOUBLE) / CAST(max(n_keys) AS DOUBLE))
+         AS skew_ratio
+FROM r
+""")
+def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity profile of orders.o_custkey — the diagnosis that
+    feeds the salting decision (operators/skew.py): key count, row
+    count, min/max/p50/p99 per-key multiplicity, and the skew ratio
+    (max multiplicity over mean). skew_ratio >> 1 at a large p99 gap
+    means AQE skew-join splitting or salting before shuffling on this
+    key.
+
+    Scale shape: per-key counts are one map-side-combined exchange over
+    8-byte keys; the discrete percentiles rank |keys| << |rows| rows
+    via the DISTRIBUTED global index (operators/window.global_index —
+    range partition + per-partition offsets, no single-task sort); the
+    totals ride a 1-row broadcast. The sortkey packs (cnt, custkey)
+    into one monotone BIGINT (exact while custkey < 1e7 — fixture-safe;
+    widen the factor with the key domain).
+    """
+    from imp_etl_spark.operators.window import global_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    sk = counts.withColumn(
+        "sortkey", F.col("cnt") * F.lit(10_000_000) + F.col("o_custkey"))
+    idx = global_index(sk, "sortkey", "rn")
+    tot = idx.agg(F.count(F.lit(1)).alias("n_keys"),
+                  F.sum("cnt").alias("n_rows"))
+    j = idx.crossJoin(F.broadcast(tot))
+
+    def pick(p: float, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n_keys") * F.lit(p))
+                   .cast("bigint"), F.col("cnt"))).alias(name)
+
+    mean = (F.max("n_rows").cast("double")
+            / F.max("n_keys").cast("double"))
+    return j.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("n_rows").alias("n_rows"),
+        F.min("cnt").alias("min_mult"),
+        F.max("cnt").alias("max_mult"),
+        pick(0.5, "p50_mult"),
+        pick(0.99, "p99_mult"),
+    ).select(
+        "n_keys", "n_rows", "min_mult", "max_mult", "p50_mult",
+        "p99_mult",
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+         ).alias("mean_mult"),
+        (F.col("max_mult").cast("double")
+         / (F.col("n_rows").cast("double")
+            / F.col("n_keys").cast("double"))).alias("skew_ratio"),
+    )

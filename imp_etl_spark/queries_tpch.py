@@ -896,3 +896,129 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
              F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: best supplier per qualifying part — the correlated-MIN
+# subquery, decorrelated into a per-part window. Adapted: no partsupp
+# (module doc), so "suppliers offering a part" is the distinct
+# (l_partkey, l_suppkey) pairs from lineitem, and the min-cost
+# criterion is s_acctbal (supply cost synthesized from p_retailprice
+# is constant per part, which would make every supplier tie).
+# ---------------------------------------------------------------------------
+
+
+@register("q2_min_cost_supplier", """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+         n.n_name,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC)
+           AS rn
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.l_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_type = 'ECONOMY' AND p.p_size < 15 AND r.r_name = 'ASIA'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM cand WHERE rn = 1
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (module doc on adaptations): for each ECONOMY
+    part under size 15, the ASIA supplier with the lowest account
+    balance among those who shipped it. The correlated MIN subquery of
+    spec Q2 decorrelates into one row_number window partitioned by the
+    part key (suppkey tiebreak keeps it deterministic).
+
+    Scale shape: the distinct supplier-part pairs are ONE shuffle of
+    two 8-byte keys; part/supplier/nation/region all broadcast; the
+    window reuses the part-key partitioning; the final top-100 is a
+    bounded TakeOrderedAndProject."""
+    ps = (read_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    part = read_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (
+        ps.join(F.broadcast(part), part.p_partkey == ps.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == ps.l_suppkey)
+        .join(F.broadcast(nation),
+              nation.n_nationkey == supp.s_nationkey)
+        .join(F.broadcast(region),
+              region.r_regionkey == nation.n_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers with significant shipments of a part family —
+# the nested EXISTS/IN chain as two semi joins. Adapted: no partsupp
+# availqty (module doc), so "excess stock" becomes "shipped more than
+# 50 units of '%bolt%' parts in 1996".
+# ---------------------------------------------------------------------------
+
+
+@register("q20_bolt_suppliers", """
+WITH bolt_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+),
+qual AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS bolt_qty
+  FROM lineitem l
+  JOIN bolt_parts b ON b.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+)
+SELECT s.s_name, s.s_acctbal, q.bolt_qty
+FROM supplier s JOIN qual q ON q.l_suppkey = s.s_suppkey
+ORDER BY s.s_name
+""")
+def q20_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (module doc on adaptations): suppliers who
+    shipped more than 50 units of '%bolt%'-named parts during 1996.
+    The spec's nested IN (partsupp -> part, availqty subquery) chain
+    becomes part-filter -> fact aggregation -> HAVING -> supplier join.
+
+    Scale shape: the part family filter broadcasts into the lineitem
+    scan (ship-date predicate pushed); the per-supplier aggregation is
+    one exchange after map-side partials; the qualifying-supplier frame
+    is tiny and joins the supplier dim by key."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    qual = (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy("l_suppkey").agg(qty.alias("q"))
+        .where(F.col("q") > 50)
+        .select("l_suppkey", F.col("q").cast("double").alias("bolt_qty"))
+    )
+    return (
+        supp.join(qual, qual.l_suppkey == supp.s_suppkey)
+        .select("s_name", "s_acctbal", "bolt_qty")
+        .orderBy("s_name")
+    )

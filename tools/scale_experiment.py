@@ -36,6 +36,8 @@ QUERIES = [
     "outlier_events_zscore", "rolling_24h_user_value", "scd2_user_state",
     "twap_user_value", "attribution_last_touch", "user_activity_streaks",
     "shard_documents_balanced",
+    "ngram_novelty", "bpe_pair_counts", "ewma_user_value",
+    "incremental_agg_merge", "q12_priority_class",
 ]
 # fact table -> columns shifted by the copy offset (joins stay aligned:
 # orderkey moves on both sides; custkey/user_id reference fixed dims)
