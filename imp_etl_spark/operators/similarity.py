@@ -336,6 +336,36 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
                            id_col, vec_col, query_id_col)
 
 
+def ivf_index_append(spark, path: str, batch: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Incrementally ingest ``batch`` into a persisted IVF index: assign
+    each new vector to its nearest EXISTING centroid and append to that
+    list's partition directory — no retrain, no rewrite of resident
+    vectors, and queries prune partitions exactly as before. Returns
+    the (unchanged) centroid set.
+
+    The fast-ingest half of IVF maintenance: cost is O(|batch| * nlist)
+    assignment plus a partitioned append of |batch| rows. Centroids are
+    frozen, so recall degrades only as far as the batch distribution
+    drifts from the training distribution — rebuild via
+    ``build_ivf_index`` (the OPTIMIZE analog) when list sizes skew.
+    Single-writer assumption as elsewhere (plans/control.py ST6);
+    the parquet append is not transactional on object stores — route
+    bulk loads through the manifest sink pattern (plans/upsert.py) if
+    concurrent readers need snapshot isolation during ingest.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent_vecs = json.load(f)
+    assigned = assign_ivf_lists(batch.select(id_col, vec_col),
+                                cent_vecs, vec_col)
+    assigned.write.mode("append").partitionBy("__list").parquet(path)
+    return cent_vecs
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float, dim: int,
                              planes: int = 8, id_col: str = "vec_id",
                              vec_col: str = "embedding",

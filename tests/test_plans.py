@@ -409,3 +409,33 @@ def test_dup_rate_hash_count_then_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_q2_decorrelated_min_broadcast_dims(spark):
+    plan = _executed(_run("q2_min_cost_supplier", spark))
+    # all four dims broadcast; distinct pairs + part-key window are the
+    # only wide exchanges; top-100 is a bounded heap
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan  # dim filter at the scan
+
+
+def test_q20_semi_chain_single_fact_exchange(spark):
+    plan = _executed(_run("q20_bolt_suppliers", spark))
+    # part family broadcast into the fact scan; one supplier-key
+    # exchange; ship-date window pushed
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_skew_profile_distributed_rank(spark):
+    plan = _executed(_run("skew_profile_orders_custkey", spark))
+    # percentile ranks ride the distributed global index (range
+    # partition), never an empty-partitionBy window over the keys;
+    # totals are a 1-row broadcast
+    assert "rangepartitioning" in plan.lower()
+    assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "CartesianProduct" not in plan

@@ -166,3 +166,33 @@ def test_arrow_udf_cosine_matches_builtin(spark):
     assert len(got) == 100
     for r in got:
         assert abs(r["builtin"] - r["arrow"]) <= 1e-9 * max(1.0, abs(r["builtin"]))
+
+
+def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
+    """Incremental ingest: appending a second batch to a persisted IVF
+    index must yield EXACTLY the results of assigning the full corpus
+    to the same frozen centroids — and the probe scan must still
+    partition-prune."""
+    from imp_etl_spark.operators.similarity import (
+        _probe_and_rank, assign_ivf_lists, build_ivf_index,
+        ivf_index_append, ivf_topk_indexed)
+
+    emb = spark.read.parquet(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    path = str(tmp_path / "ivf")
+
+    cents = build_ivf_index(first, path, nlist=8, kmeans_iters=2)
+    cents2 = ivf_index_append(spark, path, rest)
+    assert cents2 == cents  # frozen centroids
+
+    got = ivf_topk_indexed(spark, path, queries, k=5, nprobe=4)
+    expected = _probe_and_rank(
+        assign_ivf_lists(emb, cents), queries, cents, 5, 4,
+        "vec_id", "embedding", "query_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expected.collect()))
+    # index now holds the full corpus
+    assert spark.read.parquet(path).count() == emb.count()
