@@ -283,3 +283,58 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pctile") >= 0.5)
         .select("doc_id", "source", "quality", "pctile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage: per-doc out-of-vocabulary rate against
+# the corpus top-1000 vocab — the coverage check run before committing
+# to a tokenizer/vocab size.
+# ---------------------------------------------------------------------------
+
+
+@register("oov_rate_docs", f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT 1000
+  )
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS oov_rate
+FROM tok t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+""")
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary token rate against the corpus
+    top-1000 vocabulary (ties at the cutoff broken by token text, so
+    the vocab set is deterministic).
+
+    Scale shape: the vocab build is the canonical word count (map-side
+    partial agg -> one exchange -> bounded TakeOrdered heap of 1000);
+    the coverage pass re-explodes tokens but joins them against the
+    BROADCAST 1000-row vocab map-side — no token ever shuffles for the
+    membership test, and the per-doc counts partial-aggregate before
+    their exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+             .limit(1000)
+             .select("tok", F.lit(1).alias("__in_vocab")))
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), oov.alias("n_oov"))
+        .select("doc_id", "n_tokens", "n_oov",
+                (F.col("n_oov").cast("double") / F.col("n_tokens")
+                 ).alias("oov_rate"))
+    )

@@ -439,3 +439,13 @@ def test_skew_profile_distributed_rank(spark):
     assert "rangepartitioning" in plan.lower()
     assert "partitionBy=[]" not in plan.replace(" ", "")
     assert "CartesianProduct" not in plan
+
+
+def test_oov_rate_broadcast_vocab(spark):
+    plan = _executed(_run("oov_rate_docs", spark))
+    # vocab is a bounded TakeOrdered heap broadcast back onto the token
+    # stream: membership tests never shuffle a token
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
