@@ -338,3 +338,124 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_oov").cast("double") / F.col("n_tokens")
                  ).alias("oov_rate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The curation funnel: the whole training-data pipeline as ONE
+# declarative plan — raw -> source-relative quality filter -> exact
+# dedup -> per-source cap — reporting per-stage doc/token survival.
+# ---------------------------------------------------------------------------
+
+
+_DUCK_QUALITY = f"""
+  SELECT doc_id,
+         round(0.4 * least(length(text) / 500.0, 1.0)
+               + 0.3 * least(CASE WHEN len(t) > 0
+                    THEN CAST(len(list_filter(t, x -> list_contains(
+                         ['the','a','an','and','or','of','to','in','on','for',
+                          'with','is','are','was','be','this','that','it','as',
+                          'at','by'], x))) AS DOUBLE) / len(t)
+                    ELSE 0.0 END * 4, 1.0)
+               + 0.3 * greatest(1.0 - CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text,
+                         '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                         / length(text)
+                    ELSE 0.0 END * 5, 0.0), 6) AS quality
+  FROM s0
+"""
+
+
+@register("corpus_curation_funnel", f"""
+WITH s0 AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS t FROM documents),
+q AS ({_DUCK_QUALITY}),
+s1 AS (
+  SELECT * FROM (
+    SELECT s0.doc_id, s0.source, s0.text, s0.t,
+           percent_rank() OVER (PARTITION BY s0.source
+                                ORDER BY q.quality, s0.doc_id) AS pr
+    FROM s0 JOIN q USING (doc_id)
+  ) WHERE pr >= 0.5
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT doc_id, source, t,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT * FROM (
+    SELECT doc_id, source, t,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+    FROM s2
+  ) WHERE rk <= 25
+),
+counts AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS docs,
+         CAST(sum(len(t)) AS BIGINT) AS tokens FROM s0
+  UNION ALL
+  SELECT 1, 'quality_top_half', count(*),
+         CAST(sum(len(t)) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'exact_dedup', count(*),
+         CAST(sum(len(t)) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'cap_25_per_source', count(*),
+         CAST(sum(len(t)) AS BIGINT) FROM s3
+)
+SELECT stage_idx, stage, docs, tokens,
+       CAST(docs AS DOUBLE) /
+       (SELECT CAST(docs AS DOUBLE) FROM counts WHERE stage_idx = 0)
+         AS retained_pct
+FROM counts
+""")
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline as one declarative funnel:
+    raw corpus -> keep each source's top quality half -> exact content
+    dedup (first doc per text wins) -> unbiased 25-doc cap per source;
+    per-stage surviving docs, token volume, and retention vs raw.
+
+    Scale shape per stage: quality is row-local; the percentile window
+    and the cap window partition on the bounded ``source`` key; the
+    dedup window partitions on ``xxhash64(text)`` so no body ever
+    shuffles (the oracle partitions by the text itself — count equality
+    doubles as the collision guard); stage counts are partial-agg
+    4-row unions and the retention divisor is a 1-row broadcast. At
+    100 TB each stage is exactly one keyed exchange over the shrinking
+    survivor frame — the base frame is persisted so the four stage
+    counts share one tokenization pass.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", "text",
+        F.size(tokens(F.col("text"))).alias("ntok"),
+        quality_score("text").alias("q")).persist()
+    wq = Window.partitionBy("source").orderBy("q", "doc_id")
+    s1 = (base.withColumn("pr", F.percent_rank().over(wq))
+          .where(F.col("pr") >= 0.5))
+    wd = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    s2 = s1.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
+    wc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    s3 = s2.withColumn("rk", F.row_number().over(wc)).where(F.col("rk") <= 25)
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return (df.agg(F.count(F.lit(1)).alias("docs"),
+                       F.sum("ntok").alias("tokens"))
+                .select(F.lit(idx).alias("stage_idx"),
+                        F.lit(name).alias("stage"), "docs", "tokens"))
+
+    counts = (stage(base, 0, "raw")
+              .unionByName(stage(s1, 1, "quality_top_half"))
+              .unionByName(stage(s2, 2, "exact_dedup"))
+              .unionByName(stage(s3, 3, "cap_25_per_source")))
+    raw = counts.where(F.col("stage_idx") == 0).select(
+        F.col("docs").alias("__raw_docs"))
+    return (
+        counts.crossJoin(F.broadcast(raw))
+        .select("stage_idx", "stage", "docs", "tokens",
+                (F.col("docs").cast("double")
+                 / F.col("__raw_docs").cast("double"))
+                .alias("retained_pct"))
+    )
