@@ -389,7 +389,7 @@ s3 AS (
            row_number() OVER (PARTITION BY source
                               ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
     FROM s2
-  ) WHERE rk <= 25
+  ) WHERE rk <= 10
 ),
 counts AS (
   SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS docs,
@@ -401,7 +401,7 @@ counts AS (
   SELECT 2, 'exact_dedup', count(*),
          CAST(sum(len(t)) AS BIGINT) FROM s2
   UNION ALL
-  SELECT 3, 'cap_25_per_source', count(*),
+  SELECT 3, 'cap_10_per_source', count(*),
          CAST(sum(len(t)) AS BIGINT) FROM s3
 )
 SELECT stage_idx, stage, docs, tokens,
@@ -413,7 +413,7 @@ FROM counts
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data curation pipeline as one declarative funnel:
     raw corpus -> keep each source's top quality half -> exact content
-    dedup (first doc per text wins) -> unbiased 25-doc cap per source;
+    dedup (first doc per text wins) -> unbiased 10-doc cap per source;
     per-stage surviving docs, token volume, and retention vs raw.
 
     Scale shape per stage: quality is row-local; the percentile window
@@ -438,7 +438,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
     wc = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
-    s3 = s2.withColumn("rk", F.row_number().over(wc)).where(F.col("rk") <= 25)
+    s3 = s2.withColumn("rk", F.row_number().over(wc)).where(F.col("rk") <= 10)
 
     def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return (df.agg(F.count(F.lit(1)).alias("docs"),
@@ -449,7 +449,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (stage(base, 0, "raw")
               .unionByName(stage(s1, 1, "quality_top_half"))
               .unionByName(stage(s2, 2, "exact_dedup"))
-              .unionByName(stage(s3, 3, "cap_25_per_source")))
+              .unionByName(stage(s3, 3, "cap_10_per_source")))
     raw = counts.where(F.col("stage_idx") == 0).select(
         F.col("docs").alias("__raw_docs"))
     return (
