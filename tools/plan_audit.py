@@ -1,0 +1,138 @@
+"""Registry-wide physical-plan audit (PLAN_AUDIT.md).
+
+Executes every batch query in the registry at a small SF, captures the
+AQE-final executed plan, tallies the operators that matter at 100 TB,
+and flags anti-patterns:
+
+- CartesianProduct anywhere (only the documented brute-force ANN
+  baseline and 1-row totals are acceptable — those surface as
+  BroadcastNestedLoopJoin or carry an explicit docstring note);
+- BroadcastNestedLoopJoin (acceptable ONLY for 1-row broadcast totals;
+  flagged so each occurrence is consciously accounted for);
+- empty-partitionBy windows (`partitionBy=[]` single-task funnels;
+  ntile stand-ins that are documented appear in the allowlist);
+- row-at-a-time Python UDFs (BatchEvalPython) — the registry's Python
+  surface must be Arrow (`ArrowEvalPython` / mapInPandas) only.
+
+Run from the repo root:
+    PYTHONPATH=. python tools/plan_audit.py > PLAN_AUDIT.md
+
+tests/test_plans.py pins individual shapes; this is the fleet-wide
+sweep that keeps NEW queries honest by default.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+from imp_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+
+# documented exceptions (see docstrings at the implementation sites)
+ALLOW_NESTED_LOOP = {
+    "ann_cosine_topk",          # exact brute-force baseline: bounded |Q|
+    "q17_small_quantity",       # 1-row avg broadcast
+    "q22_dormant_customers",    # 1-row avg broadcast
+    "q14_promo_effect",         # 1-row total broadcast
+    "q8_market_share",          # 1-row denominator broadcast
+    "ewma_user_value",          # 1-row max-date broadcast
+    "skew_profile_orders_custkey",   # 1-row totals broadcast
+    "corpus_curation_funnel",   # 1-row retention divisor broadcast
+    "funnel_signup_purchase",   # 1-row conversion base broadcast
+    "doc_token_rarity",         # 1-row corpus-size broadcast
+    "tfidf_top_term",           # 1-row doc-count broadcast
+    "contamination_overlap",    # 1-row totals broadcast
+    "jaccard_sampled_pairs",    # absolute-capped 64-doc sample self-join
+    "weighted_sample_docs",     # 1-row total-weight broadcast
+    "agg_exact_median",         # 1-row count broadcast
+    "q11_important_balance",    # 1-row global-sum threshold broadcast
+    "dq_rule_violations",       # 1-row x 1-row good/bad count cross
+    "doc_length_quartile_bins",  # 1-row quartile-cutpoints broadcast
+}
+ALLOW_SINGLE_TASK_WINDOW = {
+    "zorder_events_layout",     # ntile = documented range-boundary stand-in
+    "word_counts_top50",        # post-agg top-k presentation
+}
+
+
+def main() -> None:
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from imp_etl_spark.queries import REGISTRY
+
+    rows, flags = [], []
+    for name, (fn, sql) in REGISTRY.items():
+        if sql is None:
+            continue  # streaming/stateful: no batch plan to audit
+        try:
+            df = fn(spark, SF_DIR)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = plan.split("== Initial Plan ==")[0]
+        except Exception as exc:  # noqa: BLE001 — audit must list, not die
+            flags.append(f"{name}: EXECUTION FAILED — {exc}")
+            continue
+        ops = Counter(re.findall(
+            r"(Exchange hashpartitioning|Exchange rangepartitioning"
+            r"|Exchange SinglePartition|BroadcastHashJoin|SortMergeJoin"
+            r"|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct"
+            r"|TakeOrderedAndProject|WindowGroupLimit|BatchEvalPython"
+            r"|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan))
+        empty_window = "partitionBy=[]" in plan.replace(" ", "")
+        rows.append((name, ops, empty_window))
+        if ops["CartesianProduct"]:
+            flags.append(f"{name}: CartesianProduct")
+        if ops["BroadcastNestedLoopJoin"] and name not in ALLOW_NESTED_LOOP:
+            flags.append(f"{name}: unaccounted BroadcastNestedLoopJoin")
+        if empty_window and name not in ALLOW_SINGLE_TASK_WINDOW:
+            flags.append(f"{name}: empty-partitionBy window")
+        if ops["BatchEvalPython"]:
+            flags.append(f"{name}: row-at-a-time Python UDF")
+
+    print("# PLAN AUDIT — registry-wide executed-plan sweep")
+    print()
+    print(f"Source: `PYTHONPATH=. python tools/plan_audit.py` at {SF_DIR}")
+    print(f"(AQE-final plans). Queries audited: {len(rows)} (oracle-backed"
+          " batch surface; streaming entries have no batch plan).")
+    print()
+    if flags:
+        print("## FLAGS")
+        print()
+        for f in flags:
+            print(f"- {f}")
+    else:
+        print("## FLAGS: none — no CartesianProduct, no unaccounted "
+              "nested-loop join, no undocumented single-task window, no "
+              "row-at-a-time Python UDF anywhere in the registry.")
+    print()
+    totals = Counter()
+    for _, ops, _ in rows:
+        totals.update(ops)
+    print("## Operator totals across the registry")
+    print()
+    for op, n in sorted(totals.items(), key=lambda kv: -kv[1]):
+        print(f"- {op}: {n}")
+    print()
+    print("## Per-query operator counts")
+    print()
+    print("| query | hashEx | rangeEx | singleEx | BHJ | SMJ | BNLJ "
+          "| topK | winLimit | arrowPy |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for name, ops, _ in rows:
+        arrow = (ops["ArrowEvalPython"] + ops["FlatMapGroupsInPandas"]
+                 + ops["MapInPandas"])
+        print(f"| {name} | {ops['Exchange hashpartitioning']} "
+              f"| {ops['Exchange rangepartitioning']} "
+              f"| {ops['Exchange SinglePartition']} "
+              f"| {ops['BroadcastHashJoin']} | {ops['SortMergeJoin']} "
+              f"| {ops['BroadcastNestedLoopJoin']} "
+              f"| {ops['TakeOrderedAndProject']} "
+              f"| {ops['WindowGroupLimit']} | {arrow} |")
+
+
+if __name__ == "__main__":
+    main()
