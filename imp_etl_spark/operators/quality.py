@@ -137,9 +137,10 @@ def profile_table(df, columns=None):
     return row.selectExpr(stack)
 
 
-def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
+def zscore_outliers(df: DataFrame, group_col, value_col: str,
                     threshold: int = 3, scale: int = 2,
-                    z_col: str = "zscore") -> DataFrame:
+                    z_col: str = "zscore",
+                    score_df: DataFrame | None = None) -> DataFrame:
     """Per-group z-score outlier detection with EXACT integer moments:
     keep rows where |value - mean(group)| > threshold * stddev_pop(group),
     and report the z-score.
@@ -165,12 +166,13 @@ def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
     no second shuffle of the data. DECIMAL(38,0) holds n*S2 up to ~1e38:
     at micro-cent scale that is ~1e19 rows per group before overflow.
     """
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     q = F.col(value_col).cast(f"decimal(18,{scale})")
     v_int = (q * F.lit(10 ** scale)).cast("long")
     d38 = "decimal(38,0)"
     moments = (
-        df.select(F.col(group_col), v_int.alias("__v"))
-        .groupBy(group_col)
+        df.select(*groups, v_int.alias("__v"))
+        .groupBy(*groups)
         .agg(
             F.count(F.lit(1)).cast(d38).alias("__n"),
             F.sum(F.col("__v").cast(d38)).alias("__s1"),
@@ -183,8 +185,9 @@ def zscore_outliers(df: DataFrame, group_col: str, value_col: str,
         dev.cast("long").cast("double")
         / F.sqrt(den.cast("long").cast("double"))
     )
+    target = df if score_df is None else score_df
     return (
-        df.join(F.broadcast(moments), on=group_col, how="inner")
+        target.join(F.broadcast(moments), on=groups, how="inner")
         .filter(dev * dev > F.lit(threshold * threshold).cast(d38) * den)
         .withColumn(z_col, z)
         .drop("__n", "__s1", "__s2")

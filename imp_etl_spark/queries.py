@@ -1255,7 +1255,7 @@ _DRIVER_WINDOW_FIRST = [
     "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
     "q12_priority_class", "q2_min_cost_supplier", "q20_bolt_suppliers",
     "skew_profile_orders_custkey", "oov_rate_docs",
-    "corpus_curation_funnel",
+    "corpus_curation_funnel", "seasonal_anomaly_events",
 ]
 
 

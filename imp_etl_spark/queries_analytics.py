@@ -984,3 +984,56 @@ def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (F.col("n_rows").cast("double")
             / F.col("n_keys").cast("double"))).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly screening: per (event_type, hour-of-day) baselines
+# trained on the first half of the month, scored on the second half —
+# the monitoring pattern, with the same exact-integer z machinery as
+# outlier_events_zscore.
+# ---------------------------------------------------------------------------
+
+
+@register("seasonal_anomaly_events", """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(extract(hour FROM ts) AS INT) AS hod, value, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, hod, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+  FROM q WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+)
+SELECT q.event_id, q.event_type, q.hod, q.value,
+       CAST(CAST(q.v * m.n - m.s1 AS BIGINT) AS DOUBLE) /
+       sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS BIGINT) AS DOUBLE))
+         AS zscore
+FROM q JOIN m USING (event_type, hod)
+WHERE q.ts >= TIMESTAMP '2024-01-16'
+  AND (q.v * m.n - m.s1) * (q.v * m.n - m.s1)
+      > 9 * (m.n * m.s2 - m.s1 * m.s1)
+""")
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the back half of the month against per-(type, hour-of-day)
+    baselines learned from the front half: an event is anomalous when
+    its value sits >3 population-sigmas from what that type does at
+    that hour. The temporal split is what makes it monitoring rather
+    than retrospective screening — baselines never see scored data.
+
+    Scale shape (operators/quality.zscore_outliers with a composite
+    group and a score_df): moments are ONE map-side-combined hash
+    aggregation over the training scan (|types| x 24 output rows),
+    broadcast onto the scoring scan; membership is the exact integer
+    predicate, z is the pinned 3-IEEE-op chain, and the date split
+    pushes into both parquet scans.
+    """
+    from imp_etl_spark.operators.quality import zscore_outliers
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour(F.col("ts")))
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    out = zscore_outliers(
+        ev.where(F.col("ts") < split), ["event_type", "hod"], "value",
+        threshold=3, score_df=ev.where(F.col("ts") >= split))
+    return out.select("event_id", "event_type", "hod", "value", "zscore")
