@@ -1037,3 +1037,90 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts") < split), ["event_type", "hod"], "value",
         threshold=3, score_df=ev.where(F.col("ts") >= split))
     return out.select("event_id", "event_type", "hod", "value", "zscore")
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintile bins per
+# customer, segment rollup. Bins come from DISTRIBUTED global ranks
+# (never an empty-partitionBy window), bin = 1 + (rn-1)*5 // n.
+# ---------------------------------------------------------------------------
+
+
+@register("rfm_customer_segments", """
+WITH g AS (SELECT CAST(max(o_orderdate) AS DATE) AS gmax FROM orders),
+c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE), g.gmax)
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders, g GROUP BY o_custkey, g.gmax
+),
+n AS (SELECT count(*) AS n FROM c),
+r AS (SELECT o_custkey, row_number() OVER (ORDER BY recency_days,
+             o_custkey) AS rn FROM c),
+f AS (SELECT o_custkey, row_number() OVER (ORDER BY frequency,
+             o_custkey) AS rn FROM c),
+m AS (SELECT o_custkey, row_number() OVER (ORDER BY monetary_cents,
+             o_custkey) AS rn FROM c)
+SELECT CAST(1 + (r.rn - 1) * 5 // n.n AS BIGINT) AS r_bin,
+       CAST(1 + (f.rn - 1) * 5 // n.n AS BIGINT) AS f_bin,
+       CAST(1 + (m.rn - 1) * 5 // n.n AS BIGINT) AS m_bin,
+       count(*) AS customers,
+       CAST(SUM(c.monetary_cents) AS BIGINT) AS segment_cents
+FROM c
+JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+JOIN m USING (o_custkey), n
+GROUP BY 1, 2, 3
+""")
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quintile segmentation (bin 1 =
+    smallest metric value; ties broken by customer key) rolled up to
+    segment counts and value — the classic entity-scoring shape.
+
+    Scale shape: per-customer metrics are one map-side-combined
+    exchange (monetary accumulates as exact integer cents); each
+    metric's rank comes from the DISTRIBUTED global index
+    (operators/window.global_index — range partition + offsets, no
+    single-task window; the oracle's row_number mirrors it exactly
+    because the packed sortkey is unique); bins are row-local integer
+    math against a 1-row broadcast count; the three rank frames rejoin
+    on the customer key and the final rollup is <=125 groups.
+    """
+    from imp_etl_spark.operators.window import global_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100
+             ).cast("bigint")
+    c = (orders.crossJoin(F.broadcast(gmax))
+         .groupBy("o_custkey")
+         .agg(F.datediff(F.first("gmax"),
+                         F.max(F.to_date("o_orderdate")))
+              .alias("recency_days"),
+              F.count(F.lit(1)).alias("frequency"),
+              F.sum(cents).alias("monetary_cents"))
+         .persist())
+    n = c.agg(F.count(F.lit(1)).alias("n"))
+
+    def rank_bin(metric: str, out: str) -> DataFrame:
+        packed = c.select(
+            "o_custkey",
+            (F.col(metric).cast("bigint") * F.lit(10_000_000)
+             + F.col("o_custkey")).alias("__sk"))
+        idx = global_index(packed, "__sk", "rn")
+        return (idx.crossJoin(F.broadcast(n))
+                .select("o_custkey",
+                        F.expr("1 + ((rn - 1) * 5) div n")
+                        .cast("bigint").alias(out)))
+
+    r = rank_bin("recency_days", "r_bin")
+    f = rank_bin("frequency", "f_bin")
+    m = rank_bin("monetary_cents", "m_bin")
+    return (
+        c.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(F.count(F.lit(1)).alias("customers"),
+             F.sum("monetary_cents").alias("segment_cents"))
+    )
