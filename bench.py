@@ -73,6 +73,11 @@ HEADLINE = [
     "incremental_agg_merge",
     "zorder_events_layout",
     "q12_priority_class",
+    "q2_min_cost_supplier",
+    "oov_rate_docs",
+    "corpus_curation_funnel",
+    "seasonal_anomaly_events",
+    "rfm_customer_segments",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame
