@@ -505,3 +505,43 @@ def rebucket(spark: SparkSession, path: str, n_buckets: int,
     _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
     _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
     return new_v
+
+
+def lookup(spark: SparkSession, path: str, key_values: dict,
+           version: int | None = None) -> DataFrame:
+    """Indexed point lookup against the snapshot: the bucket id is a
+    pure function of the key, so an equality probe on the FULL merge
+    key resolves to exactly one bucket directory — the read lists and
+    scans 1/N of the table (path-level pruning, the sink-side analog of
+    the reference's indexed point scans, index.js:46-140) and the
+    residual equality filter pushes into that scan.
+
+    ``key_values`` must bind every column of the table's merge key
+    (order-insensitive); extra non-key columns are applied as plain
+    pushed filters after the prune.
+    """
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise ValueError(f"no snapshot at {path}")
+    man = _read_manifest(path, v)
+    key = list(man["key"])
+    missing = [k for k in key if k not in key_values]
+    if missing:
+        raise ValueError(f"point lookup must bind the full key {key}; "
+                         f"missing {missing}")
+    n_buckets = int(man["n_buckets"])
+    row = spark.createDataFrame(
+        [tuple(key_values[k] for k in key)],
+        ", ".join(f"`{k}` {dict(man['schema'])[k]}" for k in key))
+    b = row.select(_bucket_expr(key, n_buckets).alias("b")).head()["b"]
+    rel = man["buckets"].get(str(b))
+    if rel is None:
+        # bucket never materialized -> key cannot exist
+        return _manifest_df(spark, path, {"buckets": {},
+                                          "schema": man.get("schema", {})})
+    df = spark.read.parquet(os.path.join(path, rel))
+    if "__bucket" in df.columns:
+        df = df.drop("__bucket")
+    for col, val in key_values.items():
+        df = df.filter(F.col(col) == F.lit(val))
+    return df

@@ -511,3 +511,29 @@ def test_rebucket_grows_layout_and_partial_merges_resume(spark, tmp_path):
     assert len(rewritten) == 1
     state = {r["k"]: r["v"] for r in read_target(spark, path).collect()}
     assert state[5] == "updated" and len(state) == 400
+
+
+def test_point_lookup_reads_single_bucket_dir(spark, tmp_path):
+    """lookup() prunes at the path level: the scan's input files all
+    come from the one bucket directory the key hashes to, and the
+    result is the exact row."""
+    from imp_etl_spark.plans.upsert import lookup
+
+    path = str(tmp_path / "lookup")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k) for k in range(300)], "k INT, v STRING, ord INT")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=8)
+
+    df = lookup(spark, path, {"k": 42})
+    rows = df.collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(42, "v42")]
+    files = df.inputFiles()
+    assert files and len({f.split("__bucket=")[1].split("/")[0]
+                          for f in files}) == 1
+    # equality residual reaches the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,42)]" in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="full key"):
+        lookup(spark, path, {"v": "v42"})
