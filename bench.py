@@ -84,7 +84,8 @@ HEADLINE = [
 # (iterative convergence loops, global_index's partition-count pass) —
 # timed from build, not just the write
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
-               "doc_length_quartile_bins", "peak_click_concurrency"}
+               "doc_length_quartile_bins", "peak_click_concurrency",
+               "rfm_customer_segments"}
 
 
 def main() -> None:
