@@ -1256,7 +1256,7 @@ _DRIVER_WINDOW_FIRST = [
     "q12_priority_class", "q2_min_cost_supplier", "q20_bolt_suppliers",
     "skew_profile_orders_custkey", "oov_rate_docs",
     "corpus_curation_funnel", "seasonal_anomaly_events",
-    "rfm_customer_segments",
+    "rfm_customer_segments", "events_dau_wau",
 ]
 
 

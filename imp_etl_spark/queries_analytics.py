@@ -1124,3 +1124,68 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("customers"),
              F.sum("monetary_cents").alias("segment_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness: the standard engagement rollup, with the
+# trailing-7-day distinct count computed by CONTRIBUTION EXPLODE (each
+# active (day, user) feeds the 7 grid days it counts toward) — an
+# equi-shaped shuffle instead of a range join.
+# ---------------------------------------------------------------------------
+
+
+@register("events_dau_wau", """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+g AS (SELECT DISTINCT day FROM d),
+contrib AS (
+  SELECT DISTINCT
+         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP)
+                                       + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS grid_day,
+         user_id
+  FROM d
+),
+wau AS (
+  SELECT c.grid_day AS day, count(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN g ON g.day = c.grid_day
+  GROUP BY c.grid_day
+),
+dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day)
+SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+FROM dau JOIN wau USING (day)
+""")
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio, for every day with events.
+
+    Scale shape: the trailing-distinct count uses contribution
+    explode — each distinct (day, user) emits the 7 grid days it
+    counts toward, so WAU is a plain hash aggregation on an 8-byte
+    (day, user) key after a bounded 7x fan-out, NOT a range join
+    (the range-join formulation plans a nested-loop probe per day and
+    recounts each user's rows up to 7x; the explode dedups first, so
+    fan-out is 7 x |distinct day-user|, independent of event volume).
+    The day grid membership check is a broadcast semi join on <=|days|
+    rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+         .persist())
+    g = d.select("day").distinct()
+    contrib = (
+        d.select(
+            F.explode(F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6))).alias("grid_day"),
+            "user_id")
+        .distinct()
+        .join(F.broadcast(g), F.col("grid_day") == F.col("day"), "left_semi"))
+    wau = (contrib.groupBy(F.col("grid_day").alias("day"))
+           .agg(F.count_distinct("user_id").alias("wau")))
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select("day", "dau", "wau",
+                (F.col("dau").cast("double") / F.col("wau")
+                 ).alias("stickiness"))
+    )
