@@ -1257,6 +1257,7 @@ _DRIVER_WINDOW_FIRST = [
     "skew_profile_orders_custkey", "oov_rate_docs",
     "corpus_curation_funnel", "seasonal_anomaly_events",
     "rfm_customer_segments", "events_dau_wau",
+    "basket_part_pairs_lift", "event_type_transitions",
 ]
 
 

@@ -1189,3 +1189,124 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("dau").cast("double") / F.col("wau")
                  ).alias("stickiness"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket affinity: part pairs co-purchased in one order, with
+# support / confidence / lift. Pair fan-out is bounded by basket size.
+# ---------------------------------------------------------------------------
+
+
+@register("basket_part_pairs_lift", """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+pc AS (SELECT l_partkey, count(*) AS part_orders FROM d GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS pair_orders
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_orders,
+       CAST(pair_orders AS DOUBLE) / n.n_orders AS support,
+       CAST(pair_orders AS DOUBLE) / ca.part_orders AS confidence,
+       CAST(pair_orders * n.n_orders AS DOUBLE)
+         / CAST(ca.part_orders * cb.part_orders AS DOUBLE) AS lift
+FROM pairs
+JOIN pc ca ON ca.l_partkey = part_a
+JOIN pc cb ON cb.l_partkey = part_b, n
+WHERE pair_orders >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+""")
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased part pairs by lift (support >= 3 orders) —
+    the market-basket / recommendation primitive.
+
+    Scale shape: the within-order self-join is bounded by basket size
+    (<=7 line items per TPC-H order -> <=21 pairs), so the pair explode
+    is a constant fan-out on an equi key, absorbed by map-side partial
+    counts before one (part_a, part_b) exchange; the per-part counts
+    broadcast back, totals are a 1-row broadcast, and the top-50 is a
+    bounded heap. Lift stays deterministic: exact integer counts, one
+    IEEE division each.
+    """
+    d = (read_table(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct().persist())
+    n = d.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_orders"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= 3))
+    ca = pc.select(F.col("l_partkey").alias("part_a"),
+                   F.col("part_orders").alias("ca"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"),
+                   F.col("part_orders").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "pair_orders",
+            (F.col("pair_orders").cast("double") / F.col("n_orders")
+             ).alias("support"),
+            (F.col("pair_orders").cast("double") / F.col("ca")
+             ).alias("confidence"),
+            ((F.col("pair_orders") * F.col("n_orders")).cast("double")
+             / (F.col("ca") * F.col("cb")).cast("double")).alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: first-order Markov counts +
+# probabilities over per-user ordered event sequences.
+# ---------------------------------------------------------------------------
+
+
+@register("event_type_transitions", """
+WITH c AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+t AS (
+  SELECT prev, event_type AS next, count(*) AS cnt
+  FROM c WHERE prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev, next, cnt,
+       CAST(cnt AS DOUBLE)
+         / sum(cnt) OVER (PARTITION BY prev) AS prob
+FROM t
+""")
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and per-source-state probabilities — the
+    compact companion to top_event_paths' full path mining.
+
+    Scale shape: one user-keyed exchange for the lag window, then the
+    transition counts partial-combine into a |types|^2-group exchange;
+    the probability normalizer is a window over <=|types|^2 rows.
+    sum(cnt) is exact integer, so prob is one IEEE division.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select("user_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev"))
+    t = (c.where(F.col("prev").isNotNull())
+         .groupBy("prev", F.col("event_type").alias("next"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    wn = Window.partitionBy("prev")
+    return t.select(
+        "prev", "next", "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wn)
+         ).alias("prob"))
