@@ -186,9 +186,14 @@ def zscore_outliers(df: DataFrame, group_col, value_col: str,
         / F.sqrt(den.cast("long").cast("double"))
     )
     target = df if score_df is None else score_df
+    # den == 0 (zero-variance baseline) admits every non-member under
+    # the bare predicate and divides by zero in z; such a degenerate
+    # baseline cannot score anything. Self-scoring is unaffected
+    # (members of a zero-variance group always have dev == 0).
     return (
         target.join(F.broadcast(moments), on=groups, how="inner")
-        .filter(dev * dev > F.lit(threshold * threshold).cast(d38) * den)
+        .filter((den > F.lit(0).cast(d38))
+                & (dev * dev > F.lit(threshold * threshold).cast(d38) * den))
         .withColumn(z_col, z)
         .drop("__n", "__s1", "__s2")
     )

@@ -1011,6 +1011,7 @@ SELECT q.event_id, q.event_type, q.hod, q.value,
          AS zscore
 FROM q JOIN m USING (event_type, hod)
 WHERE q.ts >= TIMESTAMP '2024-01-16'
+  AND (m.n * m.s2 - m.s1 * m.s1) > 0
   AND (q.v * m.n - m.s1) * (q.v * m.n - m.s1)
       > 9 * (m.n * m.s2 - m.s1 * m.s1)
 """)

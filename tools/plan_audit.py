@@ -51,6 +51,8 @@ ALLOW_NESTED_LOOP = {
     "q11_important_balance",    # 1-row global-sum threshold broadcast
     "dq_rule_violations",       # 1-row x 1-row good/bad count cross
     "doc_length_quartile_bins",  # 1-row quartile-cutpoints broadcast
+    "rfm_customer_segments",    # 1-row customer-count broadcast
+    "basket_part_pairs_lift",   # 1-row order-count broadcast
 }
 ALLOW_SINGLE_TASK_WINDOW = {
     "zorder_events_layout",     # ntile = documented range-boundary stand-in
