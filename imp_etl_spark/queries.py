@@ -1258,6 +1258,7 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_curation_funnel", "seasonal_anomaly_events",
     "rfm_customer_segments", "events_dau_wau",
     "basket_part_pairs_lift", "event_type_transitions",
+    "stream_incremental_view",
 ]
 
 
@@ -1272,3 +1273,4 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+

@@ -1311,3 +1311,50 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev", "next", "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(wn)
          ).alias("prob"))
+
+
+@register("stream_incremental_view", """
+SELECT o_custkey,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS value_sum,
+       min(o_orderdate) AS first_seen,
+       max(o_orderdate) AS last_seen
+FROM orders GROUP BY o_custkey
+""")
+def stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized view
+    (streaming/incremental_view.py): orders arrive as two file waves;
+    each epoch merges its partials into the snapshot sink reading back
+    only the touched buckets. The oracle is the one-shot batch
+    aggregation — the monoid-merge invariant (partials over any arrival
+    split == full recompute) makes the streaming answer exactly
+    SQL-expressible, epoch boundaries and all."""
+    import tempfile
+
+    from imp_etl_spark.plans.upsert import read_target
+    from imp_etl_spark.streaming.incremental_view import (
+        run_incremental_view,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="inc_view_")
+    src, view, ck = f"{tmp}/src", f"{tmp}/view", f"{tmp}/ck"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderkey") \
+        .write.parquet(f"{src}/w1", mode="overwrite")
+    stream = spark.readStream.schema(
+        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
+    ).option("recursiveFileLookup", "true").parquet(src)
+    run_incremental_view(spark, stream, view, ["o_custkey"],
+                         "o_totalprice", "o_orderdate", ck
+                         ).awaitTermination(300)
+    orders.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderkey") \
+        .write.parquet(f"{src}/w2", mode="overwrite")
+    run_incremental_view(spark, stream, view, ["o_custkey"],
+                         "o_totalprice", "o_orderdate", ck
+                         ).awaitTermination(300)
+    return read_target(spark, view).select(
+        "o_custkey", "n_rows",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "first_seen", "last_seen")

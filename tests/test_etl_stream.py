@@ -128,3 +128,44 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         & (F.col("r.ts") > F.col("l.ts") - F.expr("interval 10 minutes"))
         & (F.col("r.ts") <= F.col("l.ts"))).count())
     assert got == want
+
+
+def test_incremental_view_equals_batch_recompute(spark, tmp_path):
+    """Streaming monoid view: after two file-arrival epochs, the
+    maintained per-customer partials equal the one-shot batch
+    aggregation of all delivered rows — and the second epoch's merge
+    rewrote only the buckets its keys touch."""
+    from imp_etl_spark.streaming.incremental_view import run_incremental_view
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate")
+    src = str(tmp_path / "src")
+    # two arrival waves -> the file source delivers them as it lists them
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        f"{src}/w1", mode="overwrite")
+    view = str(tmp_path / "view")
+    ck = str(tmp_path / "ck")
+
+    stream = spark.readStream.schema(
+        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
+    ).option("recursiveFileLookup", "true").parquet(src)
+
+    q = run_incremental_view(spark, stream, view, ["o_custkey"],
+                             "o_totalprice", "o_orderdate", ck,
+                             n_buckets=8)
+    q.awaitTermination(120)
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.parquet(
+        f"{src}/w2", mode="overwrite")
+    q2 = run_incremental_view(spark, stream, view, ["o_custkey"],
+                              "o_totalprice", "o_orderdate", ck,
+                              n_buckets=8)
+    q2.awaitTermination(120)
+
+    got = {r["o_custkey"]: (r["n_rows"], float(r["value_sum"]))
+           for r in read_target(spark, view).collect()}
+    want = {r["o_custkey"]: (r["n"], float(r["s"]))
+            for r in orders.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("s")).collect()}
+    assert got == want
