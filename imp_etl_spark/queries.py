@@ -1258,7 +1258,8 @@ _DRIVER_WINDOW_FIRST = [
     "corpus_curation_funnel", "seasonal_anomaly_events",
     "rfm_customer_segments", "events_dau_wau",
     "basket_part_pairs_lift", "event_type_transitions",
-    "stream_incremental_view",
+    "stream_incremental_view", "orders_backlog_aging",
+    "events_inactivity_churn",
 ]
 
 

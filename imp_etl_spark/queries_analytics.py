@@ -1358,3 +1358,96 @@ def stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "n_rows",
         F.col("value_sum").cast("double").alias("value_sum"),
         "first_seen", "last_seen")
+
+
+# ---------------------------------------------------------------------------
+# Operational rollups: order-backlog aging and inactivity churn.
+# ---------------------------------------------------------------------------
+
+
+@register("orders_backlog_aging", """
+WITH m AS (SELECT CAST(max(o_orderdate) AS DATE) AS asof FROM orders),
+b AS (
+  SELECT o_orderkey, o_totalprice,
+         date_diff('day', CAST(o_orderdate AS DATE), m.asof) AS age
+  FROM orders, m WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '90+' END AS age_band,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS open_value,
+       CAST(min(age) AS BIGINT) AS min_age,
+       CAST(max(age) AS BIGINT) AS max_age
+FROM b GROUP BY 1
+""")
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog bucketed by age band as of the latest order
+    date — the operational aging report (the reference's work-queue
+    'what is still pending' view, index.js:200-270, generalized to
+    value-weighted bands).
+
+    Scale shape: the status predicate pushes into the scan, the as-of
+    date is a 1-row broadcast, banding is row-local, and the rollup is
+    a 4-group exchange after map-side partials with exact decimal
+    sums."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    age = F.datediff(F.col("asof"), F.to_date("o_orderdate"))
+    band = (F.when(F.col("age") <= 30, "0-30")
+            .when(F.col("age") <= 60, "31-60")
+            .when(F.col("age") <= 90, "61-90")
+            .otherwise("90+"))
+    return (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(m))
+        .select("o_orderkey", "o_totalprice", age.alias("age"))
+        .groupBy(band.alias("age_band"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("open_value"),
+             F.min("age").alias("min_age"),
+             F.max("age").alias("max_age"))
+    )
+
+
+@register("events_inactivity_churn", """
+WITH m AS (SELECT max(ts) AS mts FROM events),
+u AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id, u.n_events,
+       CAST(date_diff('day', CAST(u.first_ts AS DATE),
+                      CAST(u.last_ts AS DATE)) AS BIGINT)
+         AS tenure_days,
+       CAST(date_diff('day', CAST(u.last_ts AS DATE),
+                      CAST(m.mts AS DATE)) AS BIGINT) AS silent_days
+FROM u, m
+WHERE u.last_ts < m.mts - INTERVAL 7 DAY
+""")
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn cohort: users silent for more than 7 days as of the
+    latest event, with tenure and activity volume — the inactivity
+    screen that feeds re-engagement pipelines.
+
+    Scale shape: one user-keyed exchange for the per-user bounds
+    (map-side partials), the as-of timestamp is a 1-row broadcast, and
+    the churn predicate + day math are row-local."""
+    ev = read_table(spark, sf_dir, "events")
+    m = ev.agg(F.max("ts").alias("mts"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"))
+    return (
+        u.crossJoin(F.broadcast(m))
+        .where(F.col("last_ts") < F.col("mts") - F.expr("INTERVAL 7 DAY"))
+        .select("user_id", "n_events",
+                F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+                .cast("long").alias("tenure_days"),
+                F.datediff(F.to_date("mts"), F.to_date("last_ts"))
+                .cast("long").alias("silent_days"))
+    )
