@@ -53,6 +53,8 @@ ALLOW_NESTED_LOOP = {
     "doc_length_quartile_bins",  # 1-row quartile-cutpoints broadcast
     "rfm_customer_segments",    # 1-row customer-count broadcast
     "basket_part_pairs_lift",   # 1-row order-count broadcast
+    "orders_backlog_aging",     # 1-row as-of-date broadcast
+    "events_inactivity_churn",  # 1-row as-of-timestamp broadcast
 }
 ALLOW_SINGLE_TASK_WINDOW = {
     "zorder_events_layout",     # ntile = documented range-boundary stand-in
