@@ -1259,7 +1259,8 @@ _DRIVER_WINDOW_FIRST = [
     "rfm_customer_segments", "events_dau_wau",
     "basket_part_pairs_lift", "event_type_transitions",
     "stream_incremental_view", "orders_backlog_aging",
-    "events_inactivity_churn",
+    "events_inactivity_churn", "events_wow_growth",
+    "parts_pareto_cumshare",
 ]
 
 

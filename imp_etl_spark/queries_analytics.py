@@ -1452,3 +1452,117 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.to_date("mts"), F.to_date("last_ts"))
                 .cast("long").alias("silent_days"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Reporting shapes: week-over-week growth and Pareto cumulative share.
+# ---------------------------------------------------------------------------
+
+
+@register("events_wow_growth", """
+WITH w AS (
+  SELECT event_type, date_trunc('week', CAST(ts AS DATE)) AS week,
+         count(*) AS events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+                   AS HUGEINT) AS BIGINT) AS value_micro
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, events, value_micro,
+       lag(events) OVER (PARTITION BY event_type ORDER BY week)
+         AS prev_events,
+       CASE WHEN lag(events) OVER (PARTITION BY event_type
+                                   ORDER BY week) IS NULL THEN NULL
+            ELSE CAST(events - lag(events) OVER (PARTITION BY event_type
+                                                 ORDER BY week) AS DOUBLE)
+                 / lag(events) OVER (PARTITION BY event_type ORDER BY week)
+       END AS wow_growth
+FROM w
+""")
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event volume and growth rate per type — the
+    standard reporting rollup with a lag over the weekly grain.
+
+    Scale shape: the weekly rollup partial-combines into a
+    (type, week)-group exchange (value as exact integer micro-units);
+    the lag window then partitions on the bounded type key over
+    |types| x |weeks| rows. Growth is one IEEE division on exact
+    integer counts."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (ev.groupBy("event_type",
+                    F.date_trunc("week", F.to_date("ts")).alias("week"))
+         .agg(F.count(F.lit(1)).alias("events"),
+              (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+              .cast("bigint").alias("value_micro")))
+    win = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("events").over(win)
+    return w.select(
+        "event_type", F.col("week").cast("date").alias("week"),
+        "events", "value_micro", prev.alias("prev_events"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("events") - prev).cast("double") / prev)
+        .alias("wow_growth"))
+
+
+@register("parts_pareto_cumshare", """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+              AS BIGINT) AS rev_micro
+  FROM lineitem GROUP BY l_partkey
+),
+o AS (
+  SELECT l_partkey, rev_micro,
+         row_number() OVER (ORDER BY rev_micro DESC, l_partkey) AS rnk,
+         sum(rev_micro) OVER (ORDER BY rev_micro DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_micro,
+         sum(rev_micro) OVER () AS total_micro,
+         count(*) OVER () AS n_parts
+  FROM r
+)
+SELECT l_partkey, rev_micro, CAST(rnk AS BIGINT) AS rnk,
+       CAST(cum_micro AS DOUBLE) / total_micro AS cum_share,
+       CAST(rnk AS DOUBLE) / n_parts AS part_pctile
+FROM o
+WHERE CAST(cum_micro AS DOUBLE) / total_micro <= 0.8
+""")
+def parts_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto cut: parts covering the first 80% of cumulative
+    revenue, ranked by revenue, with each part's cumulative share and
+    rank percentile — 'which 20% of the catalog carries 80% of the
+    business'.
+
+    Scale shape: per-part revenue partial-combines into one part-key
+    exchange (exact integer micro-units); the cumulative sum and rank
+    over the |parts| frame ride the DISTRIBUTED prefix_sum / global
+    index machinery (operators/window.py — range partition + offsets,
+    no single-task window; the packed sort key makes the oracle's
+    row_number order exact); totals are a 1-row broadcast.
+    """
+    from imp_etl_spark.operators.window import prefix_sum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = (F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .cast("decimal(18,6)")) * 1000000).cast("bigint")
+    r = (li.groupBy("l_partkey").agg(rev.alias("rev_micro"))
+         .withColumn("__neg", -F.col("rev_micro"))
+         .withColumn("__one", F.lit(1).cast("bigint")))
+    # (rev desc, partkey asc) ordering; the rank is just the prefix sum
+    # of ones over the same order — both ride the distributed two-phase
+    # prefix_sum, no packed key, no single-task window
+    o = prefix_sum(r, ["__neg", "l_partkey"], "rev_micro",
+                   out_col="cum_micro")
+    o = prefix_sum(o, ["__neg", "l_partkey"], "__one", out_col="rnk")
+    tot = r.agg(F.sum("rev_micro").alias("total_micro"),
+                F.count(F.lit(1)).alias("n_parts"))
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .where(F.col("cum_micro").cast("double")
+               / F.col("total_micro") <= 0.8)
+        .select("l_partkey", "rev_micro", F.col("rnk").cast("bigint")
+                .alias("rnk"),
+                (F.col("cum_micro").cast("double") / F.col("total_micro")
+                 ).alias("cum_share"),
+                (F.col("rnk").cast("double") / F.col("n_parts")
+                 ).alias("part_pctile"))
+    )
