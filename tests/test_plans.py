@@ -449,3 +449,52 @@ def test_oov_rate_broadcast_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_closing_batch_plan_shapes(spark):
+    """Consolidated pins for the closing round-3 batch: each query's
+    only nested-loop node (if any) is its documented 1-row broadcast,
+    nothing falls back to CartesianProduct or an undocumented
+    single-task window, and the exchange counts match the documented
+    shuffle budgets."""
+    def plan_of(name):
+        return _executed(_run(name, spark))
+
+    p = plan_of("events_dau_wau")
+    assert "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+    p = plan_of("basket_part_pairs_lift")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row order count
+    assert p.count("Exchange hashpartitioning") <= 2
+
+    p = plan_of("event_type_transitions")
+    assert "Join" not in p  # pure window + agg pipeline
+    assert p.count("Exchange hashpartitioning") <= 3
+
+    p = plan_of("seasonal_anomaly_events")
+    assert p.count("Exchange hashpartitioning") == 1  # moments agg
+    assert "BroadcastHashJoin" in p  # baseline broadcast, equi-keyed
+    assert "BroadcastNestedLoopJoin" not in p
+
+    for name in ("orders_backlog_aging", "events_inactivity_churn"):
+        p = plan_of(name)
+        assert p.count("Exchange hashpartitioning") == 1
+        assert p.count("BroadcastNestedLoopJoin") == 1  # as-of broadcast
+        assert "SortMergeJoin" not in p
+
+    p = plan_of("events_wow_growth")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "partitionBy=[]" not in p.replace(" ", "")
+
+    p = plan_of("parts_pareto_cumshare")
+    assert "rangepartitioning" in p.lower()  # distributed prefix sums
+    assert "partitionBy=[]" not in p.replace(" ", "")
+    assert "CartesianProduct" not in p
+
+    p = plan_of("rfm_customer_segments")
+    assert "partitionBy=[]" not in p.replace(" ", "")
+    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row count
+    assert "CartesianProduct" not in p
