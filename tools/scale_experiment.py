@@ -38,6 +38,9 @@ QUERIES = [
     "shard_documents_balanced",
     "ngram_novelty", "bpe_pair_counts", "ewma_user_value",
     "incremental_agg_merge", "q12_priority_class",
+    "events_dau_wau", "basket_part_pairs_lift", "event_type_transitions",
+    "seasonal_anomaly_events", "rfm_customer_segments",
+    "parts_pareto_cumshare", "corpus_curation_funnel", "oov_rate_docs",
 ]
 # fact table -> columns shifted by the copy offset (joins stay aligned:
 # orderkey moves on both sides; custkey/user_id reference fixed dims)
@@ -71,7 +74,8 @@ def build_5x(spark, out_dir: str) -> None:
 
 
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
-               "doc_length_quartile_bins"}  # same rule as bench.py
+               "doc_length_quartile_bins",
+               "rfm_customer_segments"}  # same rule as bench.py
 
 
 def time_query(fn, spark, sf_dir: str, name: str = "") -> float:
