@@ -1260,7 +1260,8 @@ _DRIVER_WINDOW_FIRST = [
     "basket_part_pairs_lift", "event_type_transitions",
     "stream_incremental_view", "orders_backlog_aging",
     "events_inactivity_churn", "events_wow_growth",
-    "parts_pareto_cumshare",
+    "parts_pareto_cumshare", "nation_supplier_hhi",
+    "customer_order_gaps",
 ]
 
 

@@ -1022,3 +1022,132 @@ def q20_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal", "bolt_qty")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration (HHI) per nation — exact-integer formulation:
+# HHI = sum(share_i^2) = sum(rev_i^2) / (sum(rev_i))^2, so both sums
+# accumulate as exact integers and ONE IEEE division closes it.
+# ---------------------------------------------------------------------------
+
+
+@register("nation_supplier_hhi", """
+WITH r AS (
+  SELECT s.s_nationkey,
+         l.l_suppkey,
+         CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
+              AS BIGINT) AS rev_micro
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       count(*) AS n_suppliers,
+       CAST(SUM(rev_micro) AS BIGINT) AS total_micro,
+       CAST(SUM(CAST(rev_micro AS HUGEINT) * rev_micro) AS DOUBLE)
+         / (CAST(SUM(rev_micro) AS DOUBLE) * CAST(SUM(rev_micro) AS DOUBLE))
+         AS hhi
+FROM r JOIN nation n ON n.n_nationkey = r.s_nationkey
+GROUP BY n.n_name
+""")
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — 1/n_suppliers (perfect competition) up to 1.0
+    (monopoly). The share-squared sum is algebraically rewritten as
+    sum(rev^2)/total^2 so every accumulation is EXACT integer
+    arithmetic (DECIMAL(38,0)/HUGEINT) and the only float ops are two
+    int->double casts, one multiply, one divide — bit-equal across
+    engines regardless of fold order.
+
+    Scale shape: per-(nation, supplier) revenue partial-combines into
+    one exchange (supplier dim broadcast); the nation rollup is
+    |nations| groups; rev^2 <= ~1e24 sits comfortably in the 1e38
+    headroom."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = (F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .cast("decimal(18,6)")) * 1000000).cast("bigint")
+    r = (li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                 F.col("s_suppkey") == F.col("l_suppkey"))
+         .groupBy("s_nationkey", "l_suppkey")
+         .agg(rev.alias("rev_micro")))
+    sq = F.sum(F.col("rev_micro").cast("decimal(38,0)")
+               * F.col("rev_micro"))
+    tot = F.sum("rev_micro")
+    return (
+        r.join(F.broadcast(nation),
+               nation.n_nationkey == r.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             tot.alias("total_micro"),
+             sq.alias("__sq"))
+        .select("nation", "n_suppliers", "total_micro",
+                (F.col("__sq").cast("double")
+                 / (F.col("total_micro").cast("double")
+                    * F.col("total_micro").cast("double"))).alias("hhi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap medians per customer: lag over order history, exact
+# discrete median via the rank-pick pattern.
+# ---------------------------------------------------------------------------
+
+
+@register("customer_order_gaps", """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE))
+           AS gap
+  FROM o WHERE prev IS NOT NULL
+),
+r AS (
+  SELECT o_custkey, gap,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM g
+)
+SELECT o_custkey,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                     THEN gap END) AS BIGINT) AS median_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM r GROUP BY o_custkey
+""")
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order cadence: count, min, exact discrete
+    median (rank-pick — the agg_percentiles_disc pattern), and max gap
+    in days between consecutive orders.
+
+    Scale shape: ONE customer-keyed exchange serves the order-history
+    lag, the gap rank, and the final rollup (same partition key
+    throughout, Catalyst shares the sort); per-customer state never
+    exceeds the customer's own order count."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (orders.select("o_custkey", "o_orderdate",
+                       F.lag("o_orderdate").over(w).alias("prev"))
+         .where(F.col("prev").isNotNull())
+         .select("o_custkey",
+                 F.datediff(F.to_date("o_orderdate"), F.to_date("prev"))
+                 .cast("long").alias("gap")))
+    wr = Window.partitionBy("o_custkey").orderBy("gap")
+    wn = Window.partitionBy("o_custkey")
+    r = (g.withColumn("rn", F.row_number().over(wr))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = F.max(F.when(
+        F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)).cast("bigint"),
+        F.col("gap")))
+    return r.groupBy("o_custkey").agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap").alias("min_gap"),
+        med.alias("median_gap"),
+        F.max("gap").alias("max_gap"))
