@@ -55,6 +55,7 @@ ALLOW_NESTED_LOOP = {
     "basket_part_pairs_lift",   # 1-row order-count broadcast
     "orders_backlog_aging",     # 1-row as-of-date broadcast
     "events_inactivity_churn",  # 1-row as-of-timestamp broadcast
+    "parts_pareto_cumshare",    # 1-row totals broadcast
 }
 ALLOW_SINGLE_TASK_WINDOW = {
     "zorder_events_layout",     # ntile = documented range-boundary stand-in
