@@ -498,3 +498,19 @@ def test_closing_batch_plan_shapes(spark):
     assert "partitionBy=[]" not in p.replace(" ", "")
     assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row count
     assert "CartesianProduct" not in p
+
+
+def test_hhi_and_order_gaps_shapes(spark):
+    p = _executed(_run("nation_supplier_hhi", spark))
+    # supplier + nation dims broadcast; two keyed exchanges (per-pair
+    # revenue, nation rollup); exact-integer accumulations in codegen
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+    p = _executed(_run("customer_order_gaps", spark))
+    # the lag, the gap rank, and the rollup all share the customer key:
+    # exactly one exchange, no join at all
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "partitionBy=[]" not in p.replace(" ", "")
