@@ -27,10 +27,13 @@ changed-label count, never assumed.
 Scale notes:
 - State per round is one (node, label) row per node — 16 bytes — never
   the neighborhood lists themselves.
-- ``localCheckpoint`` truncates lineage each round; without it the
-  iterated join plan grows exponentially and re-executes prior rounds.
-  (On a production cluster with a checkpoint dir configured, swap for
-  reliable ``checkpoint`` — localCheckpoint blocks executor decommission.)
+- Lineage is truncated each round (without it the iterated join plan
+  grows exponentially and re-executes prior rounds): reliable
+  ``checkpoint`` when the session has a checkpoint dir configured
+  (``spark.sparkContext.setCheckpointDir`` — the cluster mode, where
+  localCheckpoint would pin executors against decommission and lose
+  rounds on executor failure), falling back to ``localCheckpoint``
+  when none is set (local/test mode).
 - The convergence probe is a ``sum`` over the changed-flag column of the
   ALREADY-checkpointed label frame — a scan of 16-byte rows, no
   recomputation of the round's join.
@@ -40,6 +43,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage: reliable ``checkpoint``
+    if the session has a checkpoint dir (cluster mode — survives
+    executor loss, allows decommission), else ``localCheckpoint``."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -58,12 +71,12 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _truncate_lineage(sym)
     labels = (
         sym.groupBy("node").agg(F.min("nbr").alias("__mn"))
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate_lineage(labels)
     for _ in range(max_iter):
         # label(v) <- min(label(v), min_{u in N(v)} label(u))
         nbr_min = (
@@ -94,8 +107,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          F.coalesce(F.col("plabel"), F.col("cl")))
                  < F.col("old")).cast("int").alias("__chg"),
             )
-            .localCheckpoint(eager=True)  # materializes the round's joins
         )
+        # materializes the round's joins and cuts lineage
+        new_labels = _truncate_lineage(new_labels)
         changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
         labels = new_labels.drop("__chg")
         if not changed:

@@ -298,13 +298,21 @@ def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
     """Persist the IVF index: corpus parquet PARTITIONED BY the inverted
     list, centroids as JSON alongside. Probing then prunes partitions at
     the scan — a query touching nprobe of nlist lists reads only
-    nprobe/nlist of the bytes (the disk-backed ANN layout for 100 TB)."""
+    nprobe/nlist of the bytes (the disk-backed ANN layout for 100 TB).
+
+    The index holds EXACTLY (id, vector, list) — the columns probing
+    reads — regardless of what else the corpus carries: one physical
+    schema shared with every future ``ivf_index_append`` batch (mixed
+    parquet footers under one directory resolve nondeterministically),
+    and no payload bytes riding along in every probe scan; hydrate
+    payloads by joining the returned ids back to the corpus."""
     import json
     import os
 
     cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
                                     id_col, vec_col)
-    assigned = assign_ivf_lists(corpus, cent_vecs, vec_col)
+    assigned = assign_ivf_lists(corpus.select(id_col, vec_col),
+                                cent_vecs, vec_col)
     assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(cent_vecs, f)

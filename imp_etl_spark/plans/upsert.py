@@ -28,7 +28,21 @@ object last; both are portable to S3/GCS/HDFS. Crash at any point
 before (b) leaves the previous version live; orphaned data dirs and
 dangling manifests are swept on the next merge. Writers are serialized
 by the scheduler's overlap guard (ST6, plans/control.py) — the
-single-writer assumption the reference's cron loop also makes.
+single-writer assumption the reference's cron loop also makes — and a
+version CAS backstops it: the commit re-reads ``_latest.json``
+immediately before the flip and, if another writer advanced it since
+this merge began, discards the prepared snapshot and retries the whole
+merge against the new version (optimistic concurrency, the portable
+approximation of a conditional PUT; on S3/GCS the flip itself would be
+an If-Match/generation-precondition PUT, making check+flip one atomic
+request).
+
+Exactly-once for streaming writers: a merge may carry a transaction
+stamp (``txn_app_id``, ``txn_version`` — the shape of Delta's
+txnAppId/txnVersion). The stamp rides IN the manifest, so it is
+published by the same single-object ``_latest.json`` flip as the data
+it describes: a foreachBatch replay of an epoch that already committed
+sees its own stamp and becomes a no-op instead of double-applying.
 
 Scale notes: this is the MERGE cost model that survives 100 TB — a
 batch touching b of N buckets rewrites b/N of the table (plus the
@@ -77,6 +91,22 @@ def _atomic_write_json(dest: str, obj) -> None:
     os.replace(tmp, dest)
 
 
+def _create_exclusive_json(dest: str, obj) -> bool:
+    """Create-if-absent publish: succeeds only if ``dest`` does not
+    exist (POSIX O_EXCL; on S3/GCS the equivalent single request is a
+    conditional PUT with If-None-Match:*/generation=0). Used for
+    manifest files so two racing writers that picked the same version
+    number can never clobber each other — exactly one wins the name,
+    the other sees False and retries against the new snapshot."""
+    try:
+        fd = os.open(dest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    return True
+
+
 def _manifest_versions(path: str) -> list[int]:
     if not os.path.isdir(path):
         return []
@@ -101,6 +131,35 @@ def _latest_version(path: str) -> int | None:
 def _read_manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, _MANIFEST_FMT.format(version))) as f:
         return json.load(f)
+
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest committed ``txn_version`` for ``app_id`` at this table,
+    or None. Read from the CURRENT manifest — the stamp is republished
+    with every commit, so it survives unrelated merges, compaction and
+    re-bucketing."""
+    latest = _latest_version(path)
+    if latest is None:
+        return None
+    try:
+        v = _read_manifest(path, latest).get("txn", {}).get(app_id)
+    except (OSError, ValueError):
+        return None
+    return int(v) if v is not None else None
+
+
+def current_n_buckets(path: str) -> int | None:
+    """Bucket count of the current snapshot, or None if the table does
+    not exist yet (callers adopt this instead of guessing, so a restart
+    with a different default never degrades merges to full rewrites)."""
+    latest = _latest_version(path)
+    if latest is None:
+        return None
+    try:
+        nb = _read_manifest(path, latest).get("n_buckets")
+    except (OSError, ValueError):
+        return None
+    return int(nb) if nb else None
 
 
 def _manifest_df(spark: SparkSession, path: str,
@@ -282,11 +341,25 @@ def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
     out.write.mode("overwrite").partitionBy("__bucket").parquet(data_dir)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer advanced ``_latest.json`` while a merge was in
+    flight, and the merge exhausted its retry budget."""
+
+
+# Test injection point: called once per commit attempt, right before the
+# CAS check. Lets tests interleave a competing writer at the worst
+# possible moment without threads. Never set in production code.
+_pre_commit_hook = None
+
+
 def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  key: Sequence[str], order_col: str | None = None,
                  keep_versions: int = 2,
                  n_buckets: int = DEFAULT_BUCKETS,
-                 files_per_bucket: int = 1) -> int:
+                 files_per_bucket: int = 1,
+                 txn_app_id: str | None = None,
+                 txn_version: int | None = None,
+                 max_commit_retries: int = 3) -> int:
     """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
     ``key``.
 
@@ -299,85 +372,126 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     AND dtypes to match the target exactly — a same-name column with a
     changed type would otherwise split the snapshot across two physical
     schemas. Returns the new snapshot version number.
+
+    ``txn_app_id``/``txn_version`` (both or neither): idempotence stamp
+    for at-least-once callers (foreachBatch epochs). If the current
+    manifest already records ``txn_version`` (or newer) for this app
+    id, the merge is a no-op returning the current version — the replay
+    guard. The stamp commits atomically with the data (same
+    ``_latest.json`` flip). ``max_commit_retries`` bounds the CAS retry
+    loop (module doc, Concurrency); each retry re-reads the then-current
+    snapshot and re-merges, so no committed writer's buckets are lost.
     """
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("txn_app_id and txn_version go together")
     key = list(key)
     order = [order_col] if order_col else key
     batch_unique = latest_per_key(batch, key, order, desc=True)
 
     os.makedirs(path, exist_ok=True)
-    latest = _latest_version(path)
-    legacy_vs = _legacy_versions(path)
-    _gc_orphans(path, latest)
-    prev = latest if latest is not None else (
-        legacy_vs[-1] if legacy_vs else None)
-    new_v = prev + 1 if prev is not None else 0
-    data_rel = f"{_DATA_PREFIX}{uuid.uuid4().hex[:12]}"
-    data_dir = os.path.join(path, data_rel)
+    for _attempt in range(max_commit_retries + 1):
+        latest = _latest_version(path)
+        legacy_vs = _legacy_versions(path)
+        _gc_orphans(path, latest)
+        prev = latest if latest is not None else (
+            legacy_vs[-1] if legacy_vs else None)
+        new_v = prev + 1 if prev is not None else 0
+        data_rel = f"{_DATA_PREFIX}{uuid.uuid4().hex[:12]}"
+        data_dir = os.path.join(path, data_rel)
 
-    carried: dict[str, str] = {}
-    if prev is None:
-        merged = batch_unique
-    else:
-        if latest is not None:
-            man = _read_manifest(path, latest)
-            target = _manifest_df(spark, path, man)
-            tgt_dtypes = dict(man.get("schema") or target.dtypes)
-            bat_dtypes = dict(batch_unique.dtypes)
-            # exact column-set + dtype equality: anything else (new,
-            # dropped, or RETYPED columns) forces the full rewrite so
-            # all referenced dirs share one physical schema
-            partial_ok = (man.get("n_buckets") == n_buckets
-                          and man.get("key") == key
-                          and bat_dtypes == tgt_dtypes)
+        carried: dict[str, str] = {}
+        prev_txn: dict[str, int] = {}
+        if prev is None:
+            merged = batch_unique
         else:
-            # legacy dir-rename snapshot: migrate via one full rewrite
-            target = _read_legacy(spark, path, legacy_vs[-1])
-            partial_ok = False
-        b = batch_unique.withColumn("__prio", F.lit(1))
-        if partial_ok:
-            # touched buckets: tiny distinct over the (deduped) batch
-            touched = {
-                r["b"] for r in batch_unique.select(
-                    _bucket_expr(key, n_buckets).alias("b"))
-                .distinct().collect()
-            }
-            touched_rels = [man["buckets"][s]
-                            for s in (str(t) for t in touched)
-                            if s in man["buckets"]]
-            # path-level pruning: ONLY touched bucket dirs are read
-            t = (spark.read.parquet(
-                    *[os.path.join(path, r) for r in touched_rels])
-                 .withColumn("__prio", F.lit(0))
-                 if touched_rels else None)
-            merged = (b if t is None else latest_per_key(
-                b.unionByName(t), key, ["__prio"], desc=True)
-            ).drop("__prio")
-            carried = {s: rel for s, rel in man["buckets"].items()
-                       if int(s) not in touched}
-        else:
-            # legacy/flat snapshot, bucket-count change, or schema
-            # evolution: one full rewrite into the bucketed layout.
-            # Schema evolution keeps ALL columns from both sides — a new
-            # batch column backfills null on historical rows, a dropped
-            # one stays (null on updated rows), so readers never break.
-            t = target.withColumn("__prio", F.lit(0))
-            merged = latest_per_key(
-                b.unionByName(t, allowMissingColumns=True),
-                key, ["__prio"], desc=True).drop("__prio")
+            if latest is not None:
+                man = _read_manifest(path, latest)
+                prev_txn = dict(man.get("txn", {}))
+                if (txn_app_id is not None
+                        and prev_txn.get(txn_app_id) is not None
+                        and int(prev_txn[txn_app_id]) >= txn_version):
+                    return latest  # replayed epoch: already applied
+                target = _manifest_df(spark, path, man)
+                tgt_dtypes = dict(man.get("schema") or target.dtypes)
+                bat_dtypes = dict(batch_unique.dtypes)
+                # exact column-set + dtype equality: anything else (new,
+                # dropped, or RETYPED columns) forces the full rewrite so
+                # all referenced dirs share one physical schema
+                partial_ok = (man.get("n_buckets") == n_buckets
+                              and man.get("key") == key
+                              and bat_dtypes == tgt_dtypes)
+            else:
+                # legacy dir-rename snapshot: migrate via one full rewrite
+                target = _read_legacy(spark, path, legacy_vs[-1])
+                partial_ok = False
+            b = batch_unique.withColumn("__prio", F.lit(1))
+            if partial_ok:
+                # touched buckets: tiny distinct over the (deduped) batch
+                touched = {
+                    r["b"] for r in batch_unique.select(
+                        _bucket_expr(key, n_buckets).alias("b"))
+                    .distinct().collect()
+                }
+                touched_rels = [man["buckets"][s]
+                                for s in (str(t) for t in touched)
+                                if s in man["buckets"]]
+                # path-level pruning: ONLY touched bucket dirs are read
+                t = (spark.read.parquet(
+                        *[os.path.join(path, r) for r in touched_rels])
+                     .withColumn("__prio", F.lit(0))
+                     if touched_rels else None)
+                merged = (b if t is None else latest_per_key(
+                    b.unionByName(t), key, ["__prio"], desc=True)
+                ).drop("__prio")
+                carried = {s: rel for s, rel in man["buckets"].items()
+                           if int(s) not in touched}
+            else:
+                # legacy/flat snapshot, bucket-count change, or schema
+                # evolution: one full rewrite into the bucketed layout.
+                # Schema evolution keeps ALL columns from both sides — a
+                # new batch column backfills null on historical rows, a
+                # dropped one stays (null on updated rows), so readers
+                # never break.
+                t = target.withColumn("__prio", F.lit(0))
+                merged = latest_per_key(
+                    b.unionByName(t, allowMissingColumns=True),
+                    key, ["__prio"], desc=True).drop("__prio")
 
-    _write_bucketed(merged, key, n_buckets, data_dir, files_per_bucket)
-    manifest = {
-        "n_buckets": n_buckets,
-        "key": key,
-        "schema": dict(merged.dtypes),
-        "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
-    }
-    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
-                       manifest)
-    # THE commit point: one atomic single-object publish, written last
-    _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
-    _apply_retention(path, new_v, keep_versions, legacy_vs)
-    return new_v
+        _write_bucketed(merged, key, n_buckets, data_dir, files_per_bucket)
+        manifest = {
+            "n_buckets": n_buckets,
+            "key": key,
+            "schema": dict(merged.dtypes),
+            "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
+            "txn": ({**prev_txn, txn_app_id: txn_version}
+                    if txn_app_id is not None else prev_txn),
+        }
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        # Version CAS, two portable checks: (1) the manifest name for
+        # new_v must be ours alone (create-if-absent — a same-version
+        # racer can never clobber a committed manifest); (2) the
+        # snapshot we merged against must still be current, else a
+        # committed writer's buckets would be dropped. Either failure
+        # discards the prepared snapshot and re-merges from the top.
+        man_path = os.path.join(path, _MANIFEST_FMT.format(new_v))
+        if not _create_exclusive_json(man_path, manifest):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue
+        if _latest_version(path) != latest:
+            try:
+                os.remove(man_path)
+            except OSError:
+                pass
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue
+        # THE commit point: one atomic single-object publish, written last
+        _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
+        _apply_retention(path, new_v, keep_versions, legacy_vs)
+        return new_v
+    raise ConcurrentWriteError(
+        f"lost the commit race at {path} {max_commit_retries + 1} times; "
+        "writers are expected to be serialized (ST6 overlap guard)")
 
 
 def merge_preview(batch: DataFrame, target: DataFrame,
@@ -463,6 +577,7 @@ def compact_snapshot(spark: SparkSession, path: str,
         "key": key,
         "schema": man.get("schema") or dict(df.dtypes),
         "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
+        "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
     _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
                        manifest)
@@ -499,6 +614,7 @@ def rebucket(spark: SparkSession, path: str, n_buckets: int,
         "key": key,
         "schema": man.get("schema") or dict(df.dtypes),
         "buckets": _scan_bucket_dirs(path, data_rel),
+        "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
     _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
                        manifest)

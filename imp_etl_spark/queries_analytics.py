@@ -1330,6 +1330,7 @@ def stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the monoid-merge invariant (partials over any arrival
     split == full recompute) makes the streaming answer exactly
     SQL-expressible, epoch boundaries and all."""
+    import shutil
     import tempfile
 
     from imp_etl_spark.plans.upsert import read_target
@@ -1338,26 +1339,38 @@ def stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="inc_view_")
-    src, view, ck = f"{tmp}/src", f"{tmp}/view", f"{tmp}/ck"
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
-    orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderkey") \
-        .write.parquet(f"{src}/w1", mode="overwrite")
-    stream = spark.readStream.schema(
-        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
-    ).option("recursiveFileLookup", "true").parquet(src)
-    run_incremental_view(spark, stream, view, ["o_custkey"],
-                         "o_totalprice", "o_orderdate", ck
-                         ).awaitTermination(300)
-    orders.filter(F.col("o_orderkey") % 2 == 1).drop("o_orderkey") \
-        .write.parquet(f"{src}/w2", mode="overwrite")
-    run_incremental_view(spark, stream, view, ["o_custkey"],
-                         "o_totalprice", "o_orderdate", ck
-                         ).awaitTermination(300)
-    return read_target(spark, view).select(
-        "o_custkey", "n_rows",
-        F.col("value_sum").cast("double").alias("value_sum"),
-        "first_seen", "last_seen")
+    try:
+        src, view, ck = f"{tmp}/src", f"{tmp}/view", f"{tmp}/ck"
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderkey") \
+            .write.parquet(f"{src}/w1", mode="overwrite")
+        stream = spark.readStream.schema(
+            "o_custkey BIGINT, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP_NTZ"
+        ).option("recursiveFileLookup", "true").parquet(src)
+        for wave in (1, 2):
+            if wave == 2:
+                orders.filter(F.col("o_orderkey") % 2 == 1) \
+                    .drop("o_orderkey") \
+                    .write.parquet(f"{src}/w2", mode="overwrite")
+            q = run_incremental_view(spark, stream, view, ["o_custkey"],
+                                     "o_totalprice", "o_orderdate", ck)
+            # availableNow terminates on its own; False = still running
+            # after the grace period, and reading now would return a
+            # PARTIAL view as if it were the answer — fail loudly.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"incremental-view wave {wave} did not drain in 300s")
+        out = read_target(spark, view).select(
+            "o_custkey", "n_rows",
+            F.col("value_sum").cast("double").alias("value_sum"),
+            "first_seen", "last_seen")
+        # pin the result off the scratch dir so it survives the cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -13,8 +13,17 @@ re-scanning the full queue every run (services/etlService.js:549-570):
   listed), combined monoid-wise (add counts/sums, least/greatest
   bounds), and MERGEd — which rewrites exactly those buckets and
   carries the rest by reference;
-- the checkpoint gives exactly-once epochs, and the merge's
-  last-writer-wins key semantics make replays harmless.
+- replays are fenced by a transaction stamp, NOT by last-writer-wins:
+  foreachBatch is only at-least-once (a crash between the sink commit
+  and the offset-log commit replays the epoch), and because this epoch
+  is a read-modify-write, a replay would re-read partials that already
+  include the batch and add it AGAIN — LWW only dedupes identical
+  writes, and the replayed write would be a different, inflated one.
+  So every merge carries (app_id = the checkpoint location, version =
+  epoch_id), committed atomically with the data by the same
+  ``_latest.json`` flip (plans/upsert.py, Exactly-once); a replayed
+  epoch sees its own stamp in the manifest and no-ops. This is the
+  Delta txnAppId/txnVersion idempotent-sink protocol.
 
 Per-epoch cost is O(batch + touched buckets), never O(view): the
 re-read rows are precisely the rows the merge would rewrite anyway, so
@@ -93,22 +102,40 @@ def run_incremental_view(spark: SparkSession, stream: DataFrame,
                          n_buckets: int = U.DEFAULT_BUCKETS,
                          available_now: bool = True,
                          processing_time: str | None = None,
+                         view_id: str | None = None,
                          ) -> StreamingQuery:
     """Maintain the per-key (n_rows, value_sum, first_seen, last_seen)
     view of ``stream`` at ``path``. Invariant (tested): after any
-    sequence of epochs the view equals the one-shot batch aggregation
-    of everything the stream has delivered."""
-    key = list(key)
+    sequence of epochs — including at-least-once REPLAYS of an epoch —
+    the view equals the one-shot batch aggregation of everything the
+    stream has delivered. The view's identity for the replay fence is
+    ``view_id``, defaulting to the checkpoint location (stable across
+    restarts of the same query, distinct across different queries
+    writing the same table); pass it explicitly if the checkpoint can
+    move (the fence must follow the query, not the path).
 
-    def _epoch(batch: DataFrame, _epoch_id: int) -> None:
+    If the table already exists, its manifest's bucket count is adopted
+    and ``n_buckets`` is ignored — a restart with a different default
+    must not silently degrade every epoch's partial merge into a full
+    O(view) rewrite (the bucket count only changes via an explicit
+    ``rebucket``)."""
+    key = list(key)
+    app_id = view_id or f"incview:{os.path.abspath(checkpoint_dir)}"
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        applied = U.last_txn_version(path, app_id)
+        if applied is not None and applied >= epoch_id:
+            return  # at-least-once replay of a committed epoch: no-op
         if not batch.head(1):
             return
         sp = batch.sparkSession
+        nb = U.current_n_buckets(path) or n_buckets
         part = _partials(batch, key, value_col, order_col)
         cur = _current_touched_partials(sp, path, part, key)
         merged = part if cur is None else _combine([part, cur], key)
         U.merge_upsert(sp, path, merged, key, order_col="last_seen",
-                       n_buckets=n_buckets)
+                       n_buckets=nb, txn_app_id=app_id,
+                       txn_version=epoch_id)
 
     writer = (stream.writeStream.outputMode("append")
               .option("checkpointLocation", checkpoint_dir)

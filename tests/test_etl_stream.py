@@ -169,3 +169,94 @@ def test_incremental_view_equals_batch_recompute(spark, tmp_path):
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 .alias("s")).collect()}
     assert got == want
+
+
+def test_incremental_view_replayed_epoch_does_not_double_count(
+        spark, tmp_path):
+    """Genuine at-least-once replay: after epoch 0 commits the sink,
+    delete the checkpoint's commit marker (the crash window between
+    sink commit and offset-log commit) and restart. Spark re-runs batch
+    0 with the same epoch id and the same data; without the txn fence
+    the read-modify-write epoch would re-add partials that already
+    contain the batch and double every count."""
+    import os
+
+    from imp_etl_spark.streaming.incremental_view import run_incremental_view
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate")
+    src, view, ck = (str(tmp_path / d) for d in ("src", "view", "ck"))
+    orders.write.parquet(f"{src}/w1", mode="overwrite")
+    stream = spark.readStream.schema(
+        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
+    ).option("recursiveFileLookup", "true").parquet(src)
+
+    q = run_incremental_view(spark, stream, view, ["o_custkey"],
+                             "o_totalprice", "o_orderdate", ck,
+                             n_buckets=8, view_id="replay-view")
+    assert q.awaitTermination(120)
+    # simulate the crash window: the checkpoint as it looked BEFORE the
+    # offset-log commit of epoch 0 (offsets/0 written, commits/0 not) —
+    # restarting from it replays batch 0 with the same epoch id and
+    # data. A fresh copy sidesteps Spark's per-path commit-log cache;
+    # the explicit view_id keeps the fence identity with the query.
+    import shutil
+
+    ck2 = str(tmp_path / "ck_replay")
+    shutil.copytree(ck, ck2)
+    os.remove(os.path.join(ck2, "commits", "0"))
+    # drop the local-FS checksum shadow too, else Hadoop's checksum FS
+    # chokes re-writing the commit marker it thinks it never wrote
+    crc = os.path.join(ck2, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = run_incremental_view(spark, stream, view, ["o_custkey"],
+                              "o_totalprice", "o_orderdate", ck2,
+                              n_buckets=8, view_id="replay-view")
+    assert q2.awaitTermination(120)
+
+    got = {r["o_custkey"]: (r["n_rows"], float(r["value_sum"]))
+           for r in read_target(spark, view).collect()}
+    want = {r["o_custkey"]: (r["n"], float(r["s"]))
+            for r in orders.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .alias("s")).collect()}
+    assert got == want
+
+
+def test_incremental_view_adopts_existing_bucket_count(spark, tmp_path):
+    """A restart with a different n_buckets default adopts the
+    manifest's bucket count instead of silently degrading every epoch
+    to a full rewrite."""
+    from imp_etl_spark.plans import upsert as U
+    from imp_etl_spark.streaming.incremental_view import run_incremental_view
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate")
+    src, view, ck = (str(tmp_path / d) for d in ("src", "view", "ck"))
+    orders.filter(F.col("o_custkey") % 2 == 0).write.parquet(
+        f"{src}/w1", mode="overwrite")
+    stream = spark.readStream.schema(
+        "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ"
+    ).option("recursiveFileLookup", "true").parquet(src)
+    q = run_incremental_view(spark, stream, view, ["o_custkey"],
+                             "o_totalprice", "o_orderdate", ck, n_buckets=8)
+    assert q.awaitTermination(120)
+    assert U.current_n_buckets(view) == 8
+
+    orders.filter(F.col("o_custkey") % 2 == 1).write.parquet(
+        f"{src}/w2", mode="overwrite")
+    # restart with a DIFFERENT default: must adopt 8, not rebucket to 16
+    q2 = run_incremental_view(spark, stream, view, ["o_custkey"],
+                              "o_totalprice", "o_orderdate", ck,
+                              n_buckets=16)
+    assert q2.awaitTermination(120)
+    assert U.current_n_buckets(view) == 8
+
+    got = {r["o_custkey"]: r["n_rows"]
+           for r in read_target(spark, view).collect()}
+    want = {r["o_custkey"]: r["n"]
+            for r in orders.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want

@@ -75,3 +75,30 @@ def test_cluster_assignments_covers_singletons(spark):
     expect = {i: i for i in range(10)}
     expect.update({3: 3, 5: 3, 9: 3})
     assert got == expect
+
+
+def test_cc_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment), CC
+    truncates lineage via reliable checkpoint — files actually land in
+    the configured dir — and the labels are unchanged."""
+    import os
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "cc_ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        edges = [(1, 2), (2, 3), (7, 8)]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["cluster_id"]
+               for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+        # reliable checkpoints materialized under the configured dir
+        entries = []
+        for root, _dirs, files in os.walk(ckdir):
+            entries += [os.path.join(root, f) for f in files]
+        assert entries, "no reliable checkpoint files were written"
+    finally:
+        # unset: Option(null) -> None on the Scala side, restoring the
+        # localCheckpoint fallback for the rest of the session
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None

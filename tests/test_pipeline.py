@@ -537,3 +537,86 @@ def test_point_lookup_reads_single_bucket_dir(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="full key"):
         lookup(spark, path, {"v": "v42"})
+
+
+def test_merge_upsert_txn_replay_is_noop(spark, tmp_path):
+    """Transaction stamps make at-least-once callers exactly-once: a
+    merge replayed with an already-committed (app_id, version) is a
+    no-op even when its PAYLOAD differs (the read-modify-write replay
+    that last-writer-wins alone cannot dedupe), and the stamp survives
+    unrelated merges and compaction."""
+    from imp_etl_spark.plans import upsert as U
+
+    path = str(tmp_path / "txn_tgt")
+    base = spark.createDataFrame([("K1", 10, 1), ("K2", 20, 1)],
+                                 "k string, n int, ord int")
+    v0 = merge_upsert(spark, path, base, ["k"], "ord",
+                      txn_app_id="app", txn_version=0)
+    assert v0 == 0
+    assert U.last_txn_version(path, "app") == 0
+
+    # the dangerous replay: same epoch, INFLATED payload (as a replayed
+    # read-modify-write epoch would produce) -> must not apply
+    inflated = spark.createDataFrame([("K1", 20, 2), ("K2", 40, 2)],
+                                     "k string, n int, ord int")
+    v_again = merge_upsert(spark, path, inflated, ["k"], "ord",
+                           txn_app_id="app", txn_version=0)
+    assert v_again == v0
+    state = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert state == {"K1": 10, "K2": 20}
+
+    # a NEW epoch applies; an unrelated (stampless) merge and a
+    # compaction both preserve the recorded stamp
+    nxt = spark.createDataFrame([("K1", 11, 3)], "k string, n int, ord int")
+    merge_upsert(spark, path, nxt, ["k"], "ord",
+                 txn_app_id="app", txn_version=1)
+    other = spark.createDataFrame([("K9", 99, 1)], "k string, n int, ord int")
+    merge_upsert(spark, path, other, ["k"], "ord")
+    U.compact_snapshot(spark, path)
+    assert U.last_txn_version(path, "app") == 1
+    state = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert state == {"K1": 11, "K2": 20, "K9": 99}
+    # and the replay fence still holds after maintenance
+    merge_upsert(spark, path, inflated, ["k"], "ord",
+                 txn_app_id="app", txn_version=1)
+    state2 = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert state2 == state
+
+
+def test_merge_upsert_concurrent_writer_cas(spark, tmp_path):
+    """Two interleaved writers: B commits between A's merge and A's
+    _latest.json flip. The version CAS makes A discard its prepared
+    snapshot and re-merge, so the final table holds BOTH writers' rows
+    — no lost buckets — and exactly one version per commit."""
+    from imp_etl_spark.plans import upsert as U
+
+    path = str(tmp_path / "cas_tgt")
+    base = spark.createDataFrame([(f"K{i}", 0, 1) for i in range(8)],
+                                 "k string, n int, ord int")
+    merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
+
+    b_batch = spark.createDataFrame([("K1", 100, 2)],
+                                    "k string, n int, ord int")
+    fired = {"n": 0}
+
+    def sneak_in_writer_b():
+        # fire only on A's FIRST attempt; A's retry must run clean
+        if fired["n"] == 0:
+            fired["n"] += 1
+            merge_upsert(spark, path, b_batch, ["k"], "ord", n_buckets=4)
+
+    a_batch = spark.createDataFrame([("K2", 200, 2)],
+                                    "k string, n int, ord int")
+    U._pre_commit_hook = sneak_in_writer_b
+    try:
+        merge_upsert(spark, path, a_batch, ["k"], "ord", n_buckets=4)
+    finally:
+        U._pre_commit_hook = None
+    assert fired["n"] == 1
+
+    state = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert state["K1"] == 100        # B's write survived A's retry
+    assert state["K2"] == 200        # A's write landed
+    assert len(state) == 8
+    # three committed versions: base, B, A-after-retry
+    assert U._latest_version(path) == 2
