@@ -1196,72 +1196,63 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-3 window. Priority inside the 50-slot budget:
-    # (1) never driver-rowed; (2) stale after round-2's d549719 rewrites
-    # (truthy_int / pipeline counters); (3) semantics changed THIS round
-    # (quantizer tie rule, dedup-stream watermark, manifest-commit sink,
-    # md5 compat hashes, LSH bucket caps, capped Jaccard sample);
-    # (4) round-1-green entries the round-2 window never re-ran.
-    # -- (1)+(2): the four the round-2 verdict put at the front
-    "pack_sequences", "t_cleanse_suite", "a2_processed_skipped",
-    "s1_workqueue_count",
-    # -- (3): behavior/protocol changed in round 3
-    "per_group_trend", "stateful_user_stats", "stream_dedup_events",
-    "j4_merge_preview", "jaccard_sampled_pairs", "minhash_lsh_pairs",
-    "dedup_pipeline_survivors",
-    # -- (3): flipped from rows-only to oracle-backed (md5 compat tier)
-    "simhash_docs", "simhash_near_dup", "srp_bucket_topk",
-    "embedding_near_dup", "split_hash_counts", "stratified_sample_langs",
-    # -- (4): round-1-only greens rotated in (33 fit; the 5 lowest-risk
-    #    r1-green entries whose implementing files are untouched this
-    #    round sit at position 51+)
-    "agg_cube", "agg_grouping_sets", "agg_rollup", "ann_cosine_topk",
-    "bpe_token_count", "dedup_exact_content", "dedup_exact_group",
-    "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
-    "events_session_10m", "events_sliding_1h_30m", "events_tumbling_1h",
-    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
-    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
-    "log_parse_tail", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "setops_suite", "stream_interval_join",
-    "t_time_format_suite", "text_stats", "topk_orders", "win_lag_lead",
-    "win_rank_dense", "win_running_sum", "win_topn_per_group",
-    "word_counts_top50",
-    # -- position 51+: run only if the driver's budget exceeds 50.
-    #    r1-green, implementation and implementing helpers untouched in
-    #    round 3 (temporal.py / skew & dq / json paths), then the IVF
-    #    pair newly flipped to oracle-backed (exact-integer training).
-    "asof_click_before_purchase", "range_clicks_before_purchase",
-    "json_extract_props", "dq_rule_violations", "salted_skew_agg",
+    # round-4 VERIFICATION window (VERDICT.md r3, next-round item 1):
+    # the registry is frozen this round; the 50-slot budget goes to
+    # entries with no currently-valid driver row. Priority:
+    # (1) stale r2 greens — operators/sampling.py's _assign /
+    #     mixture_sample changed in r3 after their last driver row;
+    # (2) the IVF pair — rewritten to exact-integer Lloyd in r3 and
+    #     flipped to oracle-backed without ever earning a row (and
+    #     build_ivf_index's index projection changed THIS round);
+    # (3) entries whose implementing code changed THIS round
+    #     (upsert.py txn/CAS commit, incremental_view epoch fence,
+    #     graph.py checkpoint truncation);
+    # (4) the round-3 additions that have never been sampled, novel
+    #     algorithms first, then the behavioral/corpus tiers.
+    # -- (1) stale greens
+    "split_train_counts", "mixture_by_source",
+    # -- (2) rewritten + changed this round, never validly rowed
     "ivf_cosine_topk", "ivf_indexed_topk",
-    # -- new in round 3 (oracle-backed, first driver signal next round)
-    "doc_token_rarity", "contamination_overlap", "tfidf_top_term",
-    "dedup_cluster_assign", "agg_stats_moments", "agg_percentiles_disc",
-    "events_value_histogram", "weighted_sample_docs", "passage_dedup_docs",
-    "cross_corpus_survivors", "profile_orders",
-    # -- behavioral/fuzzy/statistical analytics tier (round 3, oracle-
-    #    backed, first driver signal when a later window rotates them in)
+    # -- (3) code changed this round (j4 holds an r3 green that would
+    #    otherwise go stale; the other two have never been rowed)
+    "j4_merge_preview", "stream_incremental_view", "dedup_cluster_assign",
+    # -- (4a) never-rowed novel algorithms
+    "cross_corpus_survivors", "passage_dedup_docs", "agg_stats_moments",
+    "agg_percentiles_disc", "rfm_customer_segments",
+    "corpus_curation_funnel", "peak_click_concurrency",
+    "parts_pareto_cumshare", "doc_token_rarity", "contamination_overlap",
+    "tfidf_top_term", "weighted_sample_docs", "profile_orders",
+    # -- (4b) never-rowed behavioral/fuzzy/statistical tier
     "funnel_signup_purchase", "cohort_retention_daily",
     "resample_ffill_hourly", "outlier_events_zscore", "fuzzy_part_pairs",
     "shard_documents_balanced", "user_activity_streaks", "scd2_user_state",
-    "rolling_24h_user_value", "doc_length_quartile_bins",
-    "twap_user_value", "attribution_last_touch", "cap_docs_per_source",
-    "win_percentile_position", "outlier_events_mad", "snm_part_pairs",
-    "top_event_paths", "peak_click_concurrency",
-    # -- corpus-curation tier 2 + layout/incremental batch (late round 3,
-    #    oracle-backed, first driver signal when a later window rotates
-    #    them in)
-    "ngram_novelty", "bpe_pair_counts", "lang_confusion_matrix",
-    "dup_rate_by_source", "quality_percentile_filter",
+    "rolling_24h_user_value", "twap_user_value", "attribution_last_touch",
+    "cap_docs_per_source", "win_percentile_position", "outlier_events_mad",
+    "snm_part_pairs", "top_event_paths", "seasonal_anomaly_events",
+    "events_dau_wau", "basket_part_pairs_lift", "event_type_transitions",
+    # -- (4c) never-rowed corpus tier 2 + layout/incremental + TPC-H
+    "ngram_novelty", "bpe_pair_counts", "quality_percentile_filter",
     "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
-    "q12_priority_class", "q2_min_cost_supplier", "q20_bolt_suppliers",
+    "q2_min_cost_supplier", "q20_bolt_suppliers",
     "skew_profile_orders_custkey", "oov_rate_docs",
-    "corpus_curation_funnel", "seasonal_anomaly_events",
-    "rfm_customer_segments", "events_dau_wau",
-    "basket_part_pairs_lift", "event_type_transitions",
-    "stream_incremental_view", "orders_backlog_aging",
-    "events_inactivity_churn", "events_wow_growth",
-    "parts_pareto_cumshare", "nation_supplier_hhi",
-    "customer_order_gaps",
+    # -- position 51+: the r5 queue (VERDICT item 4) — the remaining
+    #    never-rowed entries, all simple aggregation shapes with the
+    #    least novel plan surface, picked up if the driver budget
+    #    exceeds 50 and front-loaded next round otherwise.
+    "events_wow_growth", "orders_backlog_aging", "customer_order_gaps",
+    "nation_supplier_hhi", "events_inactivity_churn",
+    "doc_length_quartile_bins", "dup_rate_by_source",
+    "lang_confusion_matrix", "events_value_histogram",
+    "q12_priority_class",
+    # -- green and unchanged: everything below holds a valid driver row
+    #    (r3, or r1/r2 with implementing code untouched since) and
+    #    rotates behind the no-signal set.
+    "pack_sequences", "t_cleanse_suite", "a2_processed_skipped",
+    "s1_workqueue_count", "per_group_trend", "stateful_user_stats",
+    "stream_dedup_events", "jaccard_sampled_pairs", "minhash_lsh_pairs",
+    "dedup_pipeline_survivors", "simhash_docs", "simhash_near_dup",
+    "srp_bucket_topk", "embedding_near_dup", "split_hash_counts",
+    "stratified_sample_langs",
 ]
 
 
