@@ -579,8 +579,15 @@ def compact_snapshot(spark: SparkSession, path: str,
         "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
         "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
-    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
-                       manifest)
+    # same commit protocol as merge_upsert: create-if-absent manifest +
+    # version CAS before the flip (maintenance runs under the same
+    # single-writer rule; this is the backstop, not the lock)
+    if not _create_exclusive_json(
+            os.path.join(path, _MANIFEST_FMT.format(new_v)), manifest) \
+            or _latest_version(path) != latest:
+        shutil.rmtree(os.path.join(path, data_rel), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"maintenance lost the commit race at {path}; re-run it")
     _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
     _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
     return new_v
@@ -616,8 +623,15 @@ def rebucket(spark: SparkSession, path: str, n_buckets: int,
         "buckets": _scan_bucket_dirs(path, data_rel),
         "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
-    _atomic_write_json(os.path.join(path, _MANIFEST_FMT.format(new_v)),
-                       manifest)
+    # same commit protocol as merge_upsert: create-if-absent manifest +
+    # version CAS before the flip (maintenance runs under the same
+    # single-writer rule; this is the backstop, not the lock)
+    if not _create_exclusive_json(
+            os.path.join(path, _MANIFEST_FMT.format(new_v)), manifest) \
+            or _latest_version(path) != latest:
+        shutil.rmtree(os.path.join(path, data_rel), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"maintenance lost the commit race at {path}; re-run it")
     _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
     _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
     return new_v
