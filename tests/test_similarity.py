@@ -196,3 +196,31 @@ def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
         sorted(map(tuple, expected.collect()))
     # index now holds the full corpus
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivf_index_schema_uniform_with_extra_corpus_columns(spark, tmp_path):
+    """Regression: a corpus carrying payload columns must not leak them
+    into the persisted index — build projects to (id, vec, list), so
+    appended batches share ONE physical parquet schema (mixed footers
+    under a partition dir resolve nondeterministically) and probes read
+    no payload bytes."""
+    from imp_etl_spark.operators.similarity import (
+        build_ivf_index, ivf_index_append, ivf_topk_indexed)
+
+    emb = spark.read.parquet(f"{ORACLE_SF_DIR}/embeddings.parquet")
+    wide = emb.withColumn("payload", F.concat_ws("-", "vec_id", "vec_id"))
+    first = wide.filter(F.col("vec_id") % 2 == 0)
+    rest = wide.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding")  # append path takes (id, vec) only
+    path = str(tmp_path / "ivf_wide")
+
+    build_ivf_index(first, path, nlist=8, kmeans_iters=2)
+    ivf_index_append(spark, path, rest)
+    resident = spark.read.parquet(path)
+    assert set(resident.columns) == {"vec_id", "embedding", "__list"}
+    assert resident.count() == wide.count()
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_topk_indexed(spark, path, queries, k=5, nprobe=4)
+    assert got.count() == 4 * 5
