@@ -109,3 +109,43 @@ def test_cross_corpus_cap_collapse_keeps_match(spark):
     # over-cap ref bucket collapses to its min-id representative — the
     # new doc still matches, and ONLY via that representative
     assert got == {(500, 0)}
+
+
+def test_capped_star_fallback_preserves_clusters_and_survivors(spark):
+    """The experiment finding (SCALING.md, high-dup section) as a
+    permanent guard: on an over-cap NEAR-identical group (perturbed
+    variants, not byte-identical), the capped pipeline loses pair
+    IDENTITIES but never cluster MEMBERSHIP — connected components and
+    the survivor set match the uncapped ground truth exactly."""
+    from imp_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from imp_etl_spark.operators.graph import cluster_assignments
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    rows = [(i, base + f" variant {i}") for i in range(40)]  # one group
+    rows += [(100 + i, f"unrelated content number {i} with words "
+              f"{'x' * (i % 7)} {'y' * (i % 5)} padd{i}")
+             for i in range(20)]  # singletons
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def clusters(max_bucket):
+        obs = Observation(f"cap_{max_bucket}")
+        cands = minhash_lsh_candidates(docs, "text", "doc_id",
+                                       max_bucket=max_bucket,
+                                       observation=obs)
+        ver = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                                  threshold=0.5, candidates=cands)
+        cl = {(r["doc_id"], r["cluster_id"])
+              for r in cluster_assignments(
+                  docs.select("doc_id"), ver, id_col="doc_id").collect()}
+        return cl, obs.get
+
+    capped, m = clusters(16)
+    uncapped, m_un = clusters(1 << 30)
+    assert m["capped_buckets"] > 0        # the cap actually engaged
+    assert m_un["capped_buckets"] == 0
+    assert capped == uncapped             # identical clusters
+    # and therefore identical survivor (cluster-min) sets
+    surv = lambda cl: {min(d for d, c in cl if c == cid)
+                       for cid in {c for _, c in cl}}
+    assert surv(capped) == surv(uncapped)
