@@ -115,3 +115,67 @@ def test_chunking_covers_text_exactly(spark, texts):
             assert chunks == [r["text"]]
         rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
         assert rebuilt == r["text"]
+
+
+# --- sink state machine: merge/replay/compact vs a dict model -------------
+
+_OPS = st.lists(
+    st.one_of(
+        # merge: batch of (key, value) pairs with an order stamp
+        st.tuples(st.just("merge"),
+                  st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=6)),
+        # stamped merge: same, plus an epoch number (replays included —
+        # the strategy may repeat an epoch with a DIFFERENT batch, which
+        # must be ignored)
+        st.tuples(st.just("stamped"),
+                  st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=6),
+                  st.integers(0, 3)),
+        st.tuples(st.just("compact")),
+    ),
+    min_size=1, max_size=6)
+
+
+@given(ops=_OPS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_state_machine_matches_model(spark, tmp_path_factory,
+                                                  ops):
+    """The sink against a dict model under arbitrary op sequences:
+    unstamped merges always apply (last-writer-wins per batch order);
+    stamped merges apply only when the epoch exceeds the recorded one
+    (at-least-once replays — possibly with different payloads — are
+    no-ops); compaction never changes contents. After every op the
+    table equals the model exactly."""
+    from imp_etl_spark.plans import upsert as U
+
+    path = str(tmp_path_factory.mktemp("sm")) + "/t"
+    model: dict[int, int] = {}
+    applied_epoch = -1
+    seq = 0
+    for op in ops:
+        if op[0] == "merge":
+            batch = [(k, v, seq + i) for i, (k, v) in enumerate(op[1])]
+            seq += len(batch)
+            df = spark.createDataFrame(batch, "k INT, v INT, ord INT")
+            U.merge_upsert(spark, path, df, ["k"], "ord", n_buckets=4)
+            for k, v, _ in batch:          # batch order = LWW order
+                model[k] = v
+        elif op[0] == "stamped":
+            batch = [(k, v, seq + i) for i, (k, v) in enumerate(op[1])]
+            seq += len(batch)
+            df = spark.createDataFrame(batch, "k INT, v INT, ord INT")
+            U.merge_upsert(spark, path, df, ["k"], "ord", n_buckets=4,
+                           txn_app_id="sm", txn_version=op[2])
+            if op[2] > applied_epoch:
+                applied_epoch = op[2]
+                for k, v, _ in batch:
+                    model[k] = v
+        else:
+            if U._latest_version(path) is not None:
+                U.compact_snapshot(spark, path)
+        if U._latest_version(path) is None:
+            assert not model
+            continue
+        got = {r["k"]: r["v"]
+               for r in U.read_target(spark, path).collect()}
+        assert got == model
