@@ -359,7 +359,9 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  files_per_bucket: int = 1,
                  txn_app_id: str | None = None,
                  txn_version: int | None = None,
-                 max_commit_retries: int = 3) -> int:
+                 max_commit_retries: int = 3,
+                 batch_replaces_touched_buckets: bool = False,
+                 expected_version: int | None = None) -> int:
     """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
     ``key``.
 
@@ -381,6 +383,24 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     ``_latest.json`` flip). ``max_commit_retries`` bounds the CAS retry
     loop (module doc, Concurrency); each retry re-reads the then-current
     snapshot and re-merges, so no committed writer's buckets are lost.
+
+    ``batch_replaces_touched_buckets``: caller's promise that the batch
+    holds EVERY surviving row of every bucket it touches (the
+    read-modify-write shape: the caller already read those buckets back
+    and folded them in). The merge then skips re-reading the touched
+    buckets — each epoch reads them exactly once instead of twice — and
+    rows absent from the batch are dropped from touched buckets (on the
+    fallback full rewrite too). Meaningless without the schema/bucket
+    preconditions of a partial merge holding OR a full rewrite.
+
+    ``expected_version``: optimistic concurrency for read-modify-write
+    callers — the snapshot version the caller's read was based on (-1
+    for "table must not exist yet"). If the table has moved past it by
+    commit time, the prepared snapshot would clobber a committed write
+    the caller never read, so the merge raises ``ConcurrentWriteError``
+    WITHOUT retrying (a blind re-merge can't help: the caller must
+    re-read and recompute). Plain merges leave it None and keep the
+    re-merge retry loop.
     """
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
@@ -391,6 +411,13 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     os.makedirs(path, exist_ok=True)
     for _attempt in range(max_commit_retries + 1):
         latest = _latest_version(path)
+        if expected_version is not None:
+            base = latest if latest is not None else -1
+            if base != expected_version:
+                raise ConcurrentWriteError(
+                    f"{path} moved to version {base} but the caller's "
+                    f"read-modify-write was based on {expected_version}; "
+                    "re-read and recompute")
         legacy_vs = _legacy_versions(path)
         _gc_orphans(path, latest)
         prev = latest if latest is not None else (
@@ -432,17 +459,22 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                         _bucket_expr(key, n_buckets).alias("b"))
                     .distinct().collect()
                 }
-                touched_rels = [man["buckets"][s]
-                                for s in (str(t) for t in touched)
-                                if s in man["buckets"]]
-                # path-level pruning: ONLY touched bucket dirs are read
-                t = (spark.read.parquet(
-                        *[os.path.join(path, r) for r in touched_rels])
-                     .withColumn("__prio", F.lit(0))
-                     if touched_rels else None)
-                merged = (b if t is None else latest_per_key(
-                    b.unionByName(t), key, ["__prio"], desc=True)
-                ).drop("__prio")
+                if batch_replaces_touched_buckets:
+                    # caller already folded the touched buckets' rows in:
+                    # no second read, the batch IS those buckets' content
+                    merged = batch_unique
+                else:
+                    touched_rels = [man["buckets"][s]
+                                    for s in (str(t) for t in touched)
+                                    if s in man["buckets"]]
+                    # path-level pruning: ONLY touched bucket dirs read
+                    t = (spark.read.parquet(
+                            *[os.path.join(path, r) for r in touched_rels])
+                         .withColumn("__prio", F.lit(0))
+                         if touched_rels else None)
+                    merged = (b if t is None else latest_per_key(
+                        b.unionByName(t), key, ["__prio"], desc=True)
+                    ).drop("__prio")
                 carried = {s: rel for s, rel in man["buckets"].items()
                            if int(s) not in touched}
             else:
@@ -453,6 +485,16 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                 # dropped one stays (null on updated rows), so readers
                 # never break.
                 t = target.withColumn("__prio", F.lit(0))
+                if batch_replaces_touched_buckets:
+                    # replace semantics under a full rewrite: target rows
+                    # in batch-touched buckets are superseded wholesale
+                    tb = _bucket_expr(key, n_buckets)
+                    touched_df = batch_unique.select(
+                        _bucket_expr(key, n_buckets).alias("__tb")
+                    ).distinct()
+                    t = (t.withColumn("__tb", tb)
+                         .join(F.broadcast(touched_df), on="__tb",
+                               how="left_anti").drop("__tb"))
                 merged = latest_per_key(
                     b.unionByName(t, allowMissingColumns=True),
                     key, ["__prio"], desc=True).drop("__prio")

@@ -26,9 +26,11 @@ re-scanning the full queue every run (services/etlService.js:549-570):
   Delta txnAppId/txnVersion idempotent-sink protocol.
 
 Per-epoch cost is O(batch + touched buckets), never O(view): the
-re-read rows are precisely the rows the merge would rewrite anyway, so
-reading whole touched buckets (instead of semi-joining to touched
-keys) adds no extra I/O and needs no second shuffle.
+read-back rows are precisely the rows the merge rewrites, and the
+merge is told so (``batch_replaces_touched_buckets``) — each touched
+bucket is read ONCE per epoch and replaced wholesale, with
+``expected_version`` pinning the commit to the snapshot the read-back
+came from (OCC for the read-modify-write).
 
 Dtype stability across epochs: the sum partial re-aggregates its own
 column, which would widen DECIMAL precision every epoch and trip the
@@ -129,13 +131,23 @@ def run_incremental_view(spark: SparkSession, stream: DataFrame,
         if not batch.head(1):
             return
         sp = batch.sparkSession
+        base_v = U._latest_version(path)
         nb = U.current_n_buckets(path) or n_buckets
         part = _partials(batch, key, value_col, order_col)
         cur = _current_touched_partials(sp, path, part, key)
         merged = part if cur is None else _combine([part, cur], key)
+        # `merged` holds EVERY surviving row of the buckets it touches
+        # (cur was the full read-back of exactly those buckets), so the
+        # merge replaces them wholesale — one bucket read per epoch, not
+        # two — and `expected_version` pins the commit to the snapshot
+        # `cur` came from (read-modify-write OCC: if another writer
+        # slipped in, fail loudly rather than clobber its keys).
         U.merge_upsert(sp, path, merged, key, order_col="last_seen",
                        n_buckets=nb, txn_app_id=app_id,
-                       txn_version=epoch_id)
+                       txn_version=epoch_id,
+                       batch_replaces_touched_buckets=True,
+                       expected_version=base_v if base_v is not None
+                       else -1)
 
     writer = (stream.writeStream.outputMode("append")
               .option("checkpointLocation", checkpoint_dir)

@@ -620,3 +620,53 @@ def test_merge_upsert_concurrent_writer_cas(spark, tmp_path):
     assert len(state) == 8
     # three committed versions: base, B, A-after-retry
     assert U._latest_version(path) == 2
+
+
+def test_merge_replace_touched_buckets_and_expected_version(spark, tmp_path):
+    """Replace semantics: a batch declared to hold its touched buckets'
+    full content replaces them wholesale (stale keys in those buckets
+    drop; other buckets untouched, carried by reference), and
+    expected_version raises instead of clobbering when the table moved
+    past the caller's read."""
+    import pytest
+
+    from imp_etl_spark.plans import upsert as U
+
+    path = str(tmp_path / "repl_tgt")
+    base = spark.createDataFrame([(f"K{i}", i, 1) for i in range(12)],
+                                 "k string, n int, ord int")
+    v0 = merge_upsert(spark, path, base, ["k"], "ord", n_buckets=4)
+
+    # find two keys in the same bucket; replace that bucket with ONE
+    from pyspark.sql import functions as F
+    buck = {r["k"]: r["b"] for r in base.select(
+        "k", U._bucket_expr(["k"], 4).alias("b")).collect()}
+    by_bucket = {}
+    for k, b in buck.items():
+        by_bucket.setdefault(b, []).append(k)
+    b_id, keys = next((b, ks) for b, ks in by_bucket.items()
+                      if len(ks) >= 2)
+    keep, drop = keys[0], keys[1]
+    repl = spark.createDataFrame([(keep, 999, 2)],
+                                 "k string, n int, ord int")
+    merge_upsert(spark, path, repl, ["k"], "ord", n_buckets=4,
+                 batch_replaces_touched_buckets=True,
+                 expected_version=v0)
+    state = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert state[keep] == 999
+    assert drop not in state                    # replaced wholesale
+    others = set(buck) - set(keys)
+    assert others <= set(state)                 # untouched buckets intact
+
+    # stale expected_version: the table moved -> loud failure, no write
+    before = dict(state)
+    with pytest.raises(U.ConcurrentWriteError):
+        merge_upsert(spark, path, repl, ["k"], "ord", n_buckets=4,
+                     batch_replaces_touched_buckets=True,
+                     expected_version=v0)       # table is at v0+1 now
+    after = {r["k"]: r["n"] for r in read_target(spark, path).collect()}
+    assert after == before
+    # expected_version=-1 means "table must not exist": it does -> raise
+    with pytest.raises(U.ConcurrentWriteError):
+        merge_upsert(spark, path, repl, ["k"], "ord", n_buckets=4,
+                     expected_version=-1)
