@@ -34,14 +34,15 @@ Scale notes:
   localCheckpoint would pin executors against decommission and lose
   rounds on executor failure), falling back to ``localCheckpoint``
   when none is set (local/test mode).
-- The convergence probe is a ``sum`` over the changed-flag column of the
-  ALREADY-checkpointed label frame — a scan of 16-byte rows, no
-  recomputation of the round's join.
+- The convergence probe is an ``observe`` metric (exact DECIMAL(38,0)
+  label sum — labels are pointwise monotone, so an unchanged sum means
+  an unchanged labeling) collected by the round's own checkpoint job:
+  zero extra jobs, no recomputation of the round's join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -55,8 +56,21 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _truncate_with_sum(df: DataFrame, col: str) -> tuple[DataFrame, int]:
+    """Checkpoint ``df`` AND return the exact DECIMAL(38,0) sum of
+    ``col``, collected as an ``observe`` metric riding the checkpoint's
+    own materialization job — the convergence probe costs zero extra
+    jobs (verified to fire on both localCheckpoint and reliable
+    checkpoint)."""
+    obs = Observation()
+    out = _truncate_lineage(df.observe(
+        obs, F.sum(F.col(col).cast("decimal(38,0)")).alias("s")))
+    return out, obs.get["s"]
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         dedupe_edges: bool = False) -> DataFrame:
     """Connected components of the undirected graph given by pair rows.
 
     Returns (node, cluster_id) for every node that appears in ``edges``,
@@ -64,34 +78,45 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``max_iter`` rounds don't converge (component diameter > max_iter —
     at that point use the large-star/small-star variant, not a bigger
     cap).
+
+    ``dedupe_edges``: min-propagation is idempotent to duplicate edges
+    (the per-node MIN sees the same label twice), so the symmetrized
+    edge list is NOT distinct'd by default — LSH-verified pair streams
+    are canonical (id_a < id_b, unique) and the distinct would be a
+    full extra shuffle of the largest frame here. Set True only when
+    the pair stream carries heavy duplication; then one up-front
+    distinct shrinks every round's join probe.
     """
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionByName(
             edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .distinct()
     )
+    if dedupe_edges:
+        sym = sym.distinct()
     sym = _truncate_lineage(sym)
     labels = (
         sym.groupBy("node").agg(F.min("nbr").alias("__mn"))
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("label"))
     )
-    labels = _truncate_lineage(labels)
+    # Convergence probe: labels are pointwise monotone non-increasing
+    # (every update is a MIN that includes the node's own label), so the
+    # label SUM strictly decreases iff ANY label changed — one exact
+    # DECIMAL(38,0) observe metric per round, riding the checkpoint job,
+    # replaces carrying an old-label column through an extra join plus a
+    # separate probe scan.
+    labels, prev_sum = _truncate_with_sum(labels, "label")
     for _ in range(max_iter):
-        # label(v) <- min(label(v), min_{u in N(v)} label(u))
-        nbr_min = (
+        # label(v) <- min(label(v), min_{u in N(v)} label(u)):
+        # the node's own label rides the same groupBy as a union leg,
+        # fusing what was a separate (labels JOIN nbr_min) exchange.
+        cand = (
             sym.join(labels.withColumnsRenamed(
                 {"node": "nbr", "label": "nbr_label"}), on="nbr")
-            .groupBy("node").agg(F.min("nbr_label").alias("nbr_min"))
-        )
-        cand = (
-            labels.join(nbr_min, on="node", how="left")
-            .select(
-                "node", F.col("label").alias("old"),
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nbr_min"), F.col("label")))
-                .alias("cl"),
-            )
+            .select("node", "nbr_label")
+            .unionByName(labels.select(
+                "node", F.col("label").alias("nbr_label")))
+            .groupBy("node").agg(F.min("nbr_label").alias("cl"))
         )
         # pointer jump: label(v) <- label(label(v)); labels are monotone
         # (label(u) <= u), so the parent's label can only be smaller
@@ -103,17 +128,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 F.least(F.col("cl"),
                         F.coalesce(F.col("plabel"), F.col("cl")))
                 .alias("label"),
-                (F.least(F.col("cl"),
-                         F.coalesce(F.col("plabel"), F.col("cl")))
-                 < F.col("old")).cast("int").alias("__chg"),
             )
         )
-        # materializes the round's joins and cuts lineage
-        new_labels = _truncate_lineage(new_labels)
-        changed = new_labels.agg(F.sum("__chg")).first()[0] or 0
-        labels = new_labels.drop("__chg")
-        if not changed:
+        # materializes the round's joins and cuts lineage; the probe
+        # metric rides the same job
+        labels, cur_sum = _truncate_with_sum(new_labels, "label")
+        if cur_sum == prev_sum:
             return labels.withColumnRenamed("label", "cluster_id")
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
 
