@@ -335,17 +335,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     among them. At LSH-like candidate rates that collapses the posting
     join from O(corpus²-per-gram) to O(candidates).
     """
-    grams = spread_small_scan(df).select(
+    raw = df
+    if candidates is not None:
+        cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                    .unionByName(
+                        candidates.select(F.col("id_b").alias(id_col)))
+                    .distinct())
+        # prune BEFORE tokenizing: the semi join sits below the n-gram
+        # Generate (Catalyst won't push a join through an explode on its
+        # own), so only candidate docs are ever tokenized — verify cost
+        # is O(candidate docs), not O(corpus). Per-doc gram sets are
+        # self-contained, so pruning changes no surviving pair's |A|,
+        # |B| or |A∩B|.
+        df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    # probe=raw: decide the spread from the scan, not the joined plan
+    # (whose .rdd probe would eagerly build the broadcast — util.py)
+    grams = spread_small_scan(df, probe=raw).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("g"),
     )
-    if candidates is not None:
-        cand_ids = (candidates.select(F.col("id_a").alias("id"))
-                    .unionByName(candidates.select(F.col("id_b").alias("id")))
-                    .distinct())
-        # per-doc gram sets are self-contained, so pruning postings to
-        # candidate docs changes no surviving pair's |A|, |B| or |A∩B|
-        grams = grams.join(F.broadcast(cand_ids), on="id", how="left_semi")
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.alias("ga")
     b = grams.alias("gb")

@@ -161,8 +161,11 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
             cleanse_fn, order_col: str, compat: bool,
             persist: bool) -> BranchResult:
     # cleanse is CPU-bound (regex/timestamp parsing); widen few-partition
-    # local scans to all cores first (no-op on real multi-split tables)
-    pruned = spread_small_scan(semi_prune(entity, keys, "reference_no"))
+    # local scans to all cores first (no-op on real multi-split tables).
+    # probe=entity: the partition decision reads the raw scan, so the
+    # semi join's broadcast isn't eagerly built just to count partitions
+    pruned = spread_small_scan(semi_prune(entity, keys, "reference_no"),
+                               probe=entity)
     cleansed = cleanse_fn(pruned, compat=compat)
     invalid = cleanse.any_falsy_key(pk)
     # counters ride the data (A2): recorded when the MERGE executes the
