@@ -1,0 +1,378 @@
+"""HTTP/SSE control plane: the reference's Express API, stdlib-only.
+
+The reference serves its lifecycle verbs over Express (``index.js``):
+``POST /api/start-etl`` (cron schedule, index.js:46-112),
+``POST /api/start-etl-force`` (run now, index.js:114-164),
+``POST /api/stop-etl`` (index.js:166-206), ``GET /api/etl-status``
+(index.js:329-342), ``GET /health`` (index.js:344-355), plus a log
+surface: ``GET /api/logs`` (last 100, newest first, index.js:208-252),
+``DELETE /api/logs`` (truncate + broadcast ``event: clear``,
+index.js:254-276) and ``GET /api/logs/stream`` (SSE tail,
+index.js:278-318). This module reproduces that surface with
+``http.server.ThreadingHTTPServer`` — no third-party web framework —
+wrapping :class:`~imp_etl_spark.plans.control.EtlController`, whose
+Structured-Streaming scheduler serializes epochs and therefore cannot
+reproduce the reference's cron-overlap bug (ST6).
+
+Design notes:
+- The server is control-plane only: one driver-side thread pool taking
+  JSON verbs; all data movement stays inside Spark jobs. Nothing here
+  is on the 100 TB data path.
+- Schedules: the reference validates node-cron patterns but its uniform
+  use is fixed-interval fires. ``parse_schedule`` accepts either a
+  Spark processing-time interval ("30 seconds") or the fixed-interval
+  cron shapes ("* * * * *", "*/5 * * * *", hourly "M * * * *", daily
+  "M H * * *"), mapping them onto the processing-time trigger — the
+  same fire cadence without a wall-clock phase (documented, not hidden).
+  Irregular calendar patterns (weekday fields, lists) are rejected with
+  the reference's 400 response shape.
+- SSE tail: each connection polls the log file by offset (the ``tail``
+  package's fs.watch, minus the dependency); truncation is detected by
+  shrinkage and surfaces as the same ``event: clear`` the reference
+  broadcasts from DELETE.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Callable
+
+from imp_etl_spark.plans.control import EtlController
+
+_TS_RE = re.compile(r"^\[(.*?)\]")
+_INTERVAL_RE = re.compile(
+    r"^\d+ (millisecond|second|minute|hour|day)s?$")
+_CRON_RE = re.compile(r"^\S+ \S+ \S+ \S+ \S+$")
+
+
+def format_uptime(seconds: float) -> str:
+    """``XhYmZs`` — the reference's formatUptime (index.js:38-43)."""
+    s = int(seconds)
+    return f"{s // 3600}h {(s // 60) % 60}m {s % 60}s"
+
+
+def parse_schedule(pattern: str) -> str | None:
+    """Map a schedule request onto a processing-time trigger interval.
+
+    Returns the interval string, or None when the pattern is invalid /
+    not a fixed-interval schedule. Accepted: Spark intervals
+    ("45 seconds"), every-minute ("* * * * *"), every-N-minutes
+    ("*/N * * * *"), hourly ("M * * * *"), daily ("M H * * *").
+    """
+    pattern = pattern.strip()
+    if _INTERVAL_RE.match(pattern):
+        return pattern
+    if not _CRON_RE.match(pattern):
+        return None
+    minute, hour, dom, month, dow = pattern.split()
+    if (dom, month, dow) != ("*", "*", "*"):
+        return None
+    if hour == "*":
+        if minute == "*":
+            return "1 minute"
+        m = re.fullmatch(r"\*/(\d+)", minute)
+        if m and 0 < int(m.group(1)) < 60:
+            return f"{m.group(1)} minutes"
+        if minute.isdigit() and int(minute) < 60:
+            return "1 hour"
+        return None
+    if minute.isdigit() and hour.isdigit() \
+            and int(minute) < 60 and int(hour) < 24:
+        return "1 day"
+    return None
+
+
+def parse_log_line(line: str) -> dict[str, str]:
+    """``[ts] message`` -> {timestamp, message} (index.js:218-228)."""
+    m = _TS_RE.match(line)
+    if m:
+        return {"timestamp": m.group(1),
+                "message": line[m.end():].strip()}
+    return {"timestamp": "", "message": line.strip()}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Routes are thin delegates to the owning :class:`EtlHttpServer`."""
+
+    protocol_version = "HTTP/1.1"
+
+    # silence the default stderr access log
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    @property
+    def api(self) -> "EtlHttpServer":
+        return self.server.api  # type: ignore[attr-defined]
+
+    def _json(self, code: int, payload: dict[str, Any]) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict[str, Any]:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        try:
+            return json.loads(self.rfile.read(n) or b"{}")
+        except json.JSONDecodeError:
+            return {}
+
+    def _route(self, method: str) -> None:
+        try:
+            handler = self.api.routes.get((method, self.path))
+            if handler is None:
+                self._json(404, {"message": "Not found"})
+                return
+            handler(self)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
+        except Exception as exc:  # the Express error middleware
+            try:
+                self._json(500, {"message": "Internal server error",
+                                 "error": str(exc)})
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    def do_GET(self) -> None:  # noqa: N802
+        self._route("GET")
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._route("POST")
+
+    def do_DELETE(self) -> None:  # noqa: N802
+        self._route("DELETE")
+
+
+class EtlHttpServer:
+    """The reference's control API over an :class:`EtlController`.
+
+    ``workload`` is a zero-arg factory returning the frames/paths the
+    controller verbs need — keys ``queue, voucher, transaction,
+    voucher_path, txn_path`` for run-now, plus ``queue_stream,
+    checkpoint_dir`` to allow scheduling. Built per request so each run
+    reads fresh inputs (the reference re-queries MySQL each fire).
+    """
+
+    def __init__(self, controller: EtlController,
+                 workload: Callable[[], dict[str, Any]],
+                 log_path: str, host: str = "127.0.0.1", port: int = 0):
+        self.controller = controller
+        self.workload = workload
+        self.log_path = Path(log_path)
+        self.log_path.parent.mkdir(parents=True, exist_ok=True)
+        self.log_path.touch(exist_ok=True)
+        self._stopping = threading.Event()
+        self._lock = threading.Lock()
+        self._forcing = False
+        self._schedule_pattern: str | None = None
+        self._started_at: float | None = None
+        self._last_run: float | None = None
+        self.routes: dict[tuple[str, str], Callable[[_Handler], None]] = {
+            ("POST", "/api/start-etl"): self._start_etl,
+            ("POST", "/api/start-etl-force"): self._start_etl_force,
+            ("POST", "/api/stop-etl"): self._stop_etl,
+            ("GET", "/api/etl-status"): self._etl_status,
+            ("GET", "/health"): self._health,
+            ("GET", "/api/logs"): self._get_logs,
+            ("DELETE", "/api/logs"): self._clear_logs,
+            ("GET", "/api/logs/stream"): self._stream_logs,
+        }
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
+        self._httpd.daemon_threads = True
+        self._httpd.api = self  # type: ignore[attr-defined]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "EtlHttpServer":
+        self._thread.start()
+        return self
+
+    @property
+    def address(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def close(self) -> None:
+        """Graceful shutdown (index.js:378-390): stop the schedule, let
+        the in-flight epoch finish, then close the server."""
+        self._stopping.set()
+        if self.controller.is_running and self._schedule_pattern:
+            self.controller.stop()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10)
+
+    def __enter__(self) -> "EtlHttpServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _now_iso(self) -> str:
+        return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()) + "Z"
+
+    # -- control verbs -----------------------------------------------------
+
+    def _start_etl(self, h: _Handler) -> None:
+        with self._lock:
+            if self.controller.is_running:
+                h._json(400, {
+                    "message": "ETL scheduler is already running",
+                    "currentSchedule": self._schedule_pattern,
+                })
+                return
+            pattern = h._body().get("schedule") or "* * * * *"
+            every = parse_schedule(str(pattern))
+            if every is None:
+                h._json(400, {
+                    "message": "Invalid cron schedule pattern",
+                    "validExample": "* * * * * (every minute)",
+                })
+                return
+            w = self.workload()
+            self.controller.schedule(
+                w["queue_stream"], w["voucher"], w["transaction"],
+                w["voucher_path"], w["txn_path"], w["checkpoint_dir"],
+                every=every)
+            self._schedule_pattern = str(pattern)
+            self._started_at = time.time()
+            h._json(200, {
+                "message": "ETL scheduler started successfully",
+                "schedule": str(pattern),
+                "trigger": every,
+                "startTime": self._now_iso(),
+            })
+
+    def _start_etl_force(self, h: _Handler) -> None:
+        # guard under the lock, run outside it: a second force during a
+        # long run must get the reference's 400, not queue behind it
+        with self._lock:
+            if self.controller.is_running or getattr(
+                    self, "_forcing", False):
+                h._json(400, {
+                    "message": "ETL process is already running. Stop the "
+                               "scheduler first or wait for it to complete.",
+                    "currentSchedule": self._schedule_pattern,
+                })
+                return
+            self._forcing = True
+        try:
+            t0 = time.time()
+            self._last_run = t0
+            w = self.workload()
+            summary = self.controller.run_once(
+                w["queue"], w["voucher"], w["transaction"],
+                w["voucher_path"], w["txn_path"])
+        finally:
+            self._forcing = False
+        h._json(200, {
+            "message": "Forced ETL process completed successfully",
+            "processed": summary["processedVoucherCount"]
+            + summary["processedTransactionCount"],
+            "skipped": summary["skippedVoucherCount"]
+            + summary["skippedTransactionCount"],
+            "summary": summary,
+            "duration": format_uptime(time.time() - t0),
+        })
+
+    def _stop_etl(self, h: _Handler) -> None:
+        with self._lock:
+            if not self.controller.is_running:
+                h._json(400, {"message": "ETL scheduler is not running"})
+                return
+            self.controller.stop()
+            stopped = self._schedule_pattern
+            uptime = time.time() - (self._started_at or time.time())
+            self._schedule_pattern = None
+            self._started_at = None
+        h._json(200, {
+            "message": "ETL scheduler stopped successfully",
+            "stoppedSchedule": stopped,
+            "stoppedAt": self._now_iso(),
+            "totalUptime": format_uptime(uptime),
+        })
+
+    def _etl_status(self, h: _Handler) -> None:
+        running = self.controller.is_running
+        h._json(200, {
+            "isRunning": running,
+            "currentSchedule": self._schedule_pattern,
+            "lastRun": self._last_run,
+            "startTime": self._started_at,
+            "uptime": format_uptime(time.time() - self._started_at)
+            if running and self._started_at else "0h 0m 0s",
+            "epochsCompleted": len(self.controller.epoch_summaries),
+        })
+
+    def _health(self, h: _Handler) -> None:
+        running = self.controller.is_running
+        h._json(200, {
+            "status": "healthy",
+            "etlScheduler": "running" if running else "stopped",
+            "uptime": format_uptime(time.time() - self._started_at)
+            if running and self._started_at else "0h 0m 0s",
+        })
+
+    # -- log surface -------------------------------------------------------
+
+    def _get_logs(self, h: _Handler) -> None:
+        lines = [ln for ln in
+                 self.log_path.read_text().splitlines() if ln.strip()]
+        last = [parse_log_line(ln) for ln in lines[-100:]][::-1]
+        h._json(200, {
+            "message": "Logs retrieved successfully",
+            "logs": last,
+            "count": len(last),
+            "path": str(self.log_path),
+        })
+
+    def _clear_logs(self, h: _Handler) -> None:
+        # truncation is the broadcast: every attached SSE tail sees the
+        # shrink and emits `event: clear` (reference: index.js:259-262)
+        self.log_path.write_text("")
+        h._json(200, {"message": "Logs cleared successfully"})
+
+    def _stream_logs(self, h: _Handler) -> None:
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.send_header("Connection", "keep-alive")
+        h.end_headers()
+
+        def emit(event: str, payload: dict[str, Any]) -> None:
+            h.wfile.write(
+                f"event: {event}\ndata: {json.dumps(payload)}\n\n".encode())
+            h.wfile.flush()
+
+        emit("connected", {"message": "Connected to log stream"})
+        offset = self.log_path.stat().st_size  # tail from NOW, like Tail
+        try:
+            while not self._stopping.is_set():
+                size = self.log_path.stat().st_size
+                if size < offset:
+                    emit("clear", {})
+                    offset = 0
+                    continue
+                if size > offset:
+                    with self.log_path.open("r") as f:
+                        f.seek(offset)
+                        chunk = f.read()
+                        offset = f.tell()
+                    for ln in chunk.splitlines():
+                        if ln.strip():
+                            emit("log", parse_log_line(ln))
+                    continue
+                time.sleep(0.1)
+        except (BrokenPipeError, ConnectionResetError):
+            pass
