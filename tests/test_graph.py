@@ -102,3 +102,18 @@ def test_cc_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
         # localCheckpoint fallback for the rest of the session
         sc._jsc.sc().setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+def test_duplicate_and_reversed_edges_are_idempotent(spark):
+    """Min-propagation must not depend on edge multiplicity: the default
+    path skips the edge distinct, so duplicated and direction-flipped
+    pairs have to yield the same components as the deduped run."""
+    base = [(1, 2), (2, 3), (7, 8)]
+    noisy = base + [(2, 1), (1, 2), (3, 2), (8, 7), (7, 8), (7, 8)]
+    want = _cc_reference(base)
+    for dedupe in (False, True):
+        df = spark.createDataFrame(noisy, ["id_a", "id_b"])
+        got = {r["node"]: r["cluster_id"]
+               for r in connected_components(
+                   df, dedupe_edges=dedupe).collect()}
+        assert got == want, f"dedupe_edges={dedupe}"

@@ -117,16 +117,21 @@ def time_etl(spark, sf_dir: str) -> tuple[float, int]:
                    F.col("l_returnflag").alias("payout"),
                    F.col("l_linestatus").alias("ishold"),
                    F.col("l_shipdate").cast("string").alias("transac_date")))
-    out = tempfile.mkdtemp(prefix="scale_etl_")
-    t0 = time.perf_counter()
-    summary = run_etl(spark, queue, voucher, txn,
-                      os.path.join(out, "voucher"),
-                      os.path.join(out, "txn"))
-    dt = time.perf_counter() - t0
-    shutil.rmtree(out, ignore_errors=True)
-    recs = (summary["processedVoucherCount"]
-            + summary["processedTransactionCount"])
-    return dt, recs
+    # best-of-2 like time_query: the first execution pays one-time
+    # codegen/broadcast warm-up that showed up as a 2x-noisy 5x etl row
+    best = recs = None
+    for _ in range(2):
+        out = tempfile.mkdtemp(prefix="scale_etl_")
+        t0 = time.perf_counter()
+        summary = run_etl(spark, queue, voucher, txn,
+                          os.path.join(out, "voucher"),
+                          os.path.join(out, "txn"))
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        recs = (summary["processedVoucherCount"]
+                + summary["processedTransactionCount"])
+        best = dt if best is None else min(best, dt)
+    return best, recs
 
 
 def time_partial_merge(spark, sf_dir: str) -> tuple[float, float, str]:
