@@ -156,13 +156,20 @@ def main() -> None:
             F.col("l_shipdate").cast("string").alias("transac_date"),
         )
     )
-    out = tempfile.mkdtemp(prefix="imp_etl_bench_")
-    t0 = time.perf_counter()
-    summary = run_etl(spark, queue, voucher, txn,
-                      os.path.join(out, "voucher"),
-                      os.path.join(out, "txn"))
-    timings["etl_pipeline"] = round(time.perf_counter() - t0, 3)
-    shutil.rmtree(out, ignore_errors=True)
+    # best-of-2, same methodology as the queries above (round 4; earlier
+    # rounds timed the ETL once, so their etl_pipeline rows carry ~2 s of
+    # one-time codegen/broadcast warm-up on top of the steady-state wall)
+    best = summary = None
+    for _attempt in range(2):
+        out = tempfile.mkdtemp(prefix="imp_etl_bench_")
+        t0 = time.perf_counter()
+        summary = run_etl(spark, queue, voucher, txn,
+                          os.path.join(out, "voucher"),
+                          os.path.join(out, "txn"))
+        dt = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        best = dt if best is None else min(best, dt)
+    timings["etl_pipeline"] = round(best, 3)
 
     queue_records = summary["processedVoucherCount"] + summary[
         "processedTransactionCount"]
