@@ -346,7 +346,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # own), so only candidate docs are ever tokenized — verify cost
         # is O(candidate docs), not O(corpus). Per-doc gram sets are
         # self-contained, so pruning changes no surviving pair's |A|,
-        # |B| or |A∩B|.
+        # |B| or |A∩B|. The broadcast hint assumes the candidate-id set
+        # is the small side (8-byte ids, LSH-bounded) — true until dup
+        # rates make candidates a corpus-scale fraction, at which point
+        # the caller should verify in partitioned batches anyway.
         df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     # probe=raw: decide the spread from the scan, not the joined plan
     # (whose .rdd probe would eagerly build the broadcast — util.py)

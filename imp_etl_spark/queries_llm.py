@@ -592,8 +592,10 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the O(n^2) pair space never materializes — candidates
     come from band-bucket collisions, verification touches candidate
-    pairs only, and the final anti join broadcasts the (small) removal
-    set against the corpus."""
+    pairs only, and the final anti join broadcasts the removal set —
+    the small side by the LSH-bounded candidate contract (at a
+    high-dup-rate crawl where removals are a corpus-scale fraction, the
+    hint comes off and the join shuffles ids; see SCALING.md)."""
     from pyspark.storagelevel import StorageLevel
 
     from imp_etl_spark.operators.dedup import (
@@ -612,8 +614,8 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                                    threshold=0.5, candidates=cands)
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
-    return docs.join(F.broadcast(removed), on="doc_id", how="left_anti").select(
-        "doc_id", "n_chars")
+    return docs.join(F.broadcast(removed), on="doc_id",
+                     how="left_anti").select("doc_id", "n_chars")
 
 
 def _cross_corpus_sql(k: int = 5, num_hashes: int = 12, bands: int = 4,
@@ -763,9 +765,11 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per cluster_id — correct on chains a~b~c where pair-based
     survivor picks can disagree.
 
-    Scale: the pair graph is the (small) near-dup subset; per CC round
-    the shuffle carries 16-byte (node,label) rows; the final corpus join
-    broadcasts the component map."""
+    Scale: the pair graph is the near-dup subset; per CC round the
+    shuffle carries 16-byte (node,label) rows; the final corpus join
+    broadcasts the component map (cluster_assignments' broadcast_map
+    knob turns that off for high-dup corpora where the map is a
+    corpus-scale fraction)."""
     from pyspark.storagelevel import StorageLevel
 
     from imp_etl_spark.operators.dedup import (
