@@ -1235,10 +1235,19 @@ _DRIVER_WINDOW_FIRST = [
     "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
     "q2_min_cost_supplier", "q20_bolt_suppliers",
     "skew_profile_orders_custkey", "oov_rate_docs",
-    # -- position 51+: the r5 queue (VERDICT item 4) — the remaining
-    #    never-rowed entries, all simple aggregation shapes with the
-    #    least novel plan surface, picked up if the driver budget
-    #    exceeds 50 and front-loaded next round otherwise.
+    # -- position 51+: the r5 queue (VERDICT item 4). First the two
+    #    hash-tier greens whose call chain brushes late-round-4 edits:
+    #    minhash_lsh_pairs / simhash_near_dup call spread_small_scan
+    #    (util.py gained an optional `probe` param — the probe=None
+    #    path they use is line-for-line the old behavior) and sit in
+    #    dedup.py, where only ngram_jaccard_pairs / _capped_band_pairs
+    #    callers changed (all of those are already in the front 50).
+    #    Function-level hunk inspection clears them, but a re-row is
+    #    free insurance if the driver budget exceeds 50. Then the
+    #    remaining never-rowed entries — simple aggregation shapes with
+    #    the least novel plan surface — front-loaded next round
+    #    otherwise.
+    "minhash_lsh_pairs", "simhash_near_dup",
     "events_wow_growth", "orders_backlog_aging", "customer_order_gaps",
     "nation_supplier_hhi", "events_inactivity_churn",
     "doc_length_quartile_bins", "dup_rate_by_source",
@@ -1249,8 +1258,8 @@ _DRIVER_WINDOW_FIRST = [
     #    rotates behind the no-signal set.
     "pack_sequences", "t_cleanse_suite", "a2_processed_skipped",
     "s1_workqueue_count", "per_group_trend", "stateful_user_stats",
-    "stream_dedup_events", "jaccard_sampled_pairs", "minhash_lsh_pairs",
-    "dedup_pipeline_survivors", "simhash_docs", "simhash_near_dup",
+    "stream_dedup_events", "jaccard_sampled_pairs",
+    "dedup_pipeline_survivors", "simhash_docs",
     "srp_bucket_topk", "embedding_near_dup", "split_hash_counts",
     "stratified_sample_langs",
 ]
