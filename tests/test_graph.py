@@ -117,3 +117,21 @@ def test_duplicate_and_reversed_edges_are_idempotent(spark):
                for r in connected_components(
                    df, dedupe_edges=dedupe).collect()}
         assert got == want, f"dedupe_edges={dedupe}"
+
+
+def test_cluster_assignments_shuffled_path_matches_broadcast(spark):
+    """broadcast_map=False (the high-dup-rate scale path, where the
+    component map is too large to broadcast) must produce exactly the
+    same assignment as the default broadcast join."""
+    docs = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    from imp_etl_spark.operators.graph import cluster_assignments
+    want = sorted(map(tuple, cluster_assignments(
+        docs, pairs, broadcast_map=True).collect()))
+    got = sorted(map(tuple, cluster_assignments(
+        docs, pairs, broadcast_map=False).collect()))
+    assert got == want
+    by_doc = dict(got)
+    assert by_doc[2] == 1 and by_doc[3] == 1 and by_doc[11] == 10
+    assert by_doc[5] == 5  # singleton keeps its own id
