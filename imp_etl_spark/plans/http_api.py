@@ -172,7 +172,11 @@ class EtlHttpServer:
         self.log_path.touch(exist_ok=True)
         self._stopping = threading.Event()
         self._lock = threading.Lock()
+        self._log_write_lock = threading.Lock()
         self._forcing = False
+        # epoch completions log themselves into the served log file,
+        # like the reference's per-run logger lines
+        controller.epoch_summaries = EtlHttpServer._EpochLog(self)
         self._schedule_pattern: str | None = None
         self._started_at: float | None = None
         self._last_run: float | None = None
@@ -222,6 +226,36 @@ class EtlHttpServer:
     def _now_iso(self) -> str:
         return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()) + "Z"
 
+    def log(self, message: str) -> None:
+        """Append a ``[timestamp] message`` line to the log file — the
+        reference's logger writes these for every lifecycle event and
+        ETL run, and /api/logs + the SSE stream serve the same file
+        (utils/logger via index.js). Appends are line-atomic enough for
+        the tail's line-based parser; the SSE pollers pick the line up
+        on their next offset check."""
+        with self._log_write_lock:
+            with self.log_path.open("a") as f:
+                f.write(f"[{self._now_iso()}] {message}\n")
+
+    class _EpochLog(list):
+        """epoch_summaries list that also logs each completed epoch."""
+
+        def __init__(self, server: "EtlHttpServer"):
+            super().__init__()
+            self._server = server
+
+        def append(self, summary) -> None:  # noqa: D102
+            super().append(summary)
+            try:
+                p = summary.get("processedVoucherCount", 0) \
+                    + summary.get("processedTransactionCount", 0)
+                s = summary.get("skippedVoucherCount", 0) \
+                    + summary.get("skippedTransactionCount", 0)
+                self._server.log(
+                    f"ETL epoch completed: processed={p} skipped={s}")
+            except Exception:
+                pass
+
     # -- control verbs -----------------------------------------------------
 
     def _start_etl(self, h: _Handler) -> None:
@@ -247,6 +281,8 @@ class EtlHttpServer:
                 every=every)
             self._schedule_pattern = str(pattern)
             self._started_at = time.time()
+            self.log(f"ETL scheduler started (schedule: {pattern}, "
+                     f"trigger: {every})")
             h._json(200, {
                 "message": "ETL scheduler started successfully",
                 "schedule": str(pattern),
@@ -270,12 +306,18 @@ class EtlHttpServer:
         try:
             t0 = time.time()
             self._last_run = t0
+            self.log("Starting forced ETL process")
             w = self.workload()
             summary = self.controller.run_once(
                 w["queue"], w["voucher"], w["transaction"],
                 w["voucher_path"], w["txn_path"])
         finally:
             self._forcing = False
+        self.log(
+            "Forced ETL process completed: processed="
+            f"{summary['processedVoucherCount'] + summary['processedTransactionCount']}"
+            f" skipped="
+            f"{summary['skippedVoucherCount'] + summary['skippedTransactionCount']}")
         h._json(200, {
             "message": "Forced ETL process completed successfully",
             "processed": summary["processedVoucherCount"]
@@ -296,6 +338,8 @@ class EtlHttpServer:
             uptime = time.time() - (self._started_at or time.time())
             self._schedule_pattern = None
             self._started_at = None
+        self.log(f"ETL scheduler stopped (was: {stopped}, uptime: "
+                 f"{format_uptime(uptime)})")
         h._json(200, {
             "message": "ETL scheduler stopped successfully",
             "stoppedSchedule": stopped,

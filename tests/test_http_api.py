@@ -116,6 +116,11 @@ def test_force_run_and_double_stop(server):
     # not running afterwards; stop without a schedule is the 400 path
     code, out = _call(server.address, "POST", "/api/stop-etl", {})
     assert code == 400 and "not running" in out["message"]
+    # lifecycle events land in the served log, reference-style
+    code, logs = _call(server.address, "GET", "/api/logs")
+    msgs = [entry["message"] for entry in logs["logs"]]
+    assert any(m.startswith("Starting forced ETL process") for m in msgs)
+    assert any(m.startswith("Forced ETL process completed") for m in msgs)
 
 
 def test_invalid_schedule_is_400(server):
@@ -148,6 +153,12 @@ def test_schedule_status_conflict_stop_cycle(server):
     assert code == 200 and out["stoppedSchedule"] == "2 seconds"
     _, st = _call(server.address, "GET", "/api/etl-status")
     assert st["isRunning"] is False
+    # the schedule's epochs logged themselves into the served file
+    _, logs = _call(server.address, "GET", "/api/logs")
+    msgs = [entry["message"] for entry in logs["logs"]]
+    assert any(m.startswith("ETL scheduler started") for m in msgs)
+    assert any(m.startswith("ETL epoch completed") for m in msgs)
+    assert any(m.startswith("ETL scheduler stopped") for m in msgs)
 
 
 def test_logs_roundtrip_last100_reversed(server):
