@@ -371,8 +371,16 @@ class EtlHttpServer:
     # -- log surface -------------------------------------------------------
 
     def _get_logs(self, h: _Handler) -> None:
-        lines = [ln for ln in
-                 self.log_path.read_text().splitlines() if ln.strip()]
+        # read only the tail (the reference readFileSync's the whole
+        # file — fine for its rotation habits, unbounded for a
+        # long-lived scheduler); 256 KiB >> 100 lines of log text
+        size = self.log_path.stat().st_size
+        with self.log_path.open("rb") as f:
+            f.seek(max(0, size - 262144))
+            chunk = f.read().decode(errors="replace")
+        if size > 262144:
+            chunk = chunk.split("\n", 1)[-1]  # drop the cut first line
+        lines = [ln for ln in chunk.splitlines() if ln.strip()]
         last = [parse_log_line(ln) for ln in lines[-100:]][::-1]
         h._json(200, {
             "message": "Logs retrieved successfully",
