@@ -197,6 +197,25 @@ def main() -> None:
     print(f"| survivors capped / uncapped | {n_cap} / {n_unc} |")
     print(f"| survivor-set Jaccard | {inter / max(union, 1):.3f} |")
 
+    # 4. the shuffled cluster-map path (broadcast_map=False): this
+    # high-dup corpus is exactly the regime the knob exists for — the
+    # component map covers most of the corpus. Verify identical output
+    # and report the cost of forgoing the broadcast.
+    t0 = time.perf_counter()
+    shuffled = cluster_assignments(
+        docs.select("doc_id"), cap_p, id_col="doc_id",
+        broadcast_map=False).persist(StorageLevel.MEMORY_AND_DISK)
+    shuffled.count()
+    t_shuf = time.perf_counter() - t0
+    mismatch = (shuffled
+                .join(ccl.withColumnsRenamed({"cluster_id": "cb"}),
+                      on="doc_id")
+                .filter(F.col("cluster_id") != F.col("cb")).count())
+    print(f"\n| cluster-map join path | wall (s) | mismatches |")
+    print("|---|---|---|")
+    print(f"| broadcast (default) | {results['capped']['t_cc']:.2f} | — |")
+    print(f"| shuffled (broadcast_map=False) | {t_shuf:.2f} | {mismatch} |")
+
     shutil.rmtree(big, ignore_errors=True)
 
 
