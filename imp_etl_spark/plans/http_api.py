@@ -109,9 +109,22 @@ class _Handler(BaseHTTPRequestHandler):
     def api(self) -> "EtlHttpServer":
         return self.server.api  # type: ignore[attr-defined]
 
+    def _cors(self) -> None:
+        """The reference's cors() config (index.js:14-19): a fixed
+        allowed origin (configurable here), credentials, and the same
+        method/header lists."""
+        self.send_header("Access-Control-Allow-Origin",
+                         self.api.cors_origin)
+        self.send_header("Access-Control-Allow-Credentials", "true")
+        self.send_header("Access-Control-Allow-Methods",
+                         "GET, POST, DELETE, OPTIONS")
+        self.send_header("Access-Control-Allow-Headers",
+                         "Content-Type, Authorization")
+
     def _json(self, code: int, payload: dict[str, Any]) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
+        self._cors()
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
@@ -151,6 +164,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self) -> None:  # noqa: N802
         self._route("DELETE")
 
+    def do_OPTIONS(self) -> None:  # noqa: N802
+        # CORS preflight: Express's cors() answers 204 with the allow
+        # headers for any route
+        self.send_response(204)
+        self._cors()
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
 
 class EtlHttpServer:
     """The reference's control API over an :class:`EtlController`.
@@ -164,8 +185,10 @@ class EtlHttpServer:
 
     def __init__(self, controller: EtlController,
                  workload: Callable[[], dict[str, Any]],
-                 log_path: str, host: str = "127.0.0.1", port: int = 0):
+                 log_path: str, host: str = "127.0.0.1", port: int = 0,
+                 cors_origin: str = "http://localhost:3001"):
         self.controller = controller
+        self.cors_origin = cors_origin  # reference default, index.js:15
         self.workload = workload
         self.log_path = Path(log_path)
         self.log_path.parent.mkdir(parents=True, exist_ok=True)
@@ -397,6 +420,7 @@ class EtlHttpServer:
 
     def _stream_logs(self, h: _Handler) -> None:
         h.send_response(200)
+        h._cors()
         h.send_header("Content-Type", "text/event-stream")
         h.send_header("Cache-Control", "no-cache")
         h.send_header("Connection", "keep-alive")

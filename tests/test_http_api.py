@@ -220,3 +220,18 @@ def test_sse_stream_tail_and_clear(server):
     assert [e for e, _ in events] == ["clear", "log"]
     assert events[1][1]["message"] == "after clear"
     sock.close()
+
+
+def test_cors_headers_and_preflight(server):
+    req = urllib.request.Request(server.address + "/health")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] \
+            == "http://localhost:3001"
+        assert resp.headers["Access-Control-Allow-Credentials"] == "true"
+    pre = urllib.request.Request(server.address + "/api/start-etl",
+                                 method="OPTIONS")
+    with urllib.request.urlopen(pre, timeout=30) as resp:
+        assert resp.status == 204
+        assert "POST" in resp.headers["Access-Control-Allow-Methods"]
+        assert "Content-Type" in resp.headers[
+            "Access-Control-Allow-Headers"]
