@@ -247,7 +247,14 @@ class EtlHttpServer:
         self.close()
 
     def _now_iso(self) -> str:
-        return time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()) + "Z"
+        """Manila-time ISO with explicit +08:00 offset and millis — the
+        reference's getPHTTimestamp (utils/logger.js:22-42; PHT has no
+        DST, so a fixed offset is exact)."""
+        now = time.time()
+        t = time.gmtime(now + 8 * 3600)
+        ms = int((now % 1) * 1000)
+        return (time.strftime("%Y-%m-%dT%H:%M:%S", t)
+                + f".{ms:03d}+08:00")
 
     def log(self, message: str) -> None:
         """Append a ``[timestamp] message`` line to the log file — the

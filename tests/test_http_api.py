@@ -235,3 +235,14 @@ def test_cors_headers_and_preflight(server):
         assert "POST" in resp.headers["Access-Control-Allow-Methods"]
         assert "Content-Type" in resp.headers[
             "Access-Control-Allow-Headers"]
+
+
+def test_log_timestamps_are_manila_iso(server):
+    code, _ = _call(server.address, "POST", "/api/start-etl-force", {})
+    assert code == 200
+    _, logs = _call(server.address, "GET", "/api/logs")
+    import re
+    ts = logs["logs"][0]["timestamp"]
+    # reference format: 2024-01-01T12:34:56.789+08:00 (utils/logger.js)
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+08:00", ts), ts
