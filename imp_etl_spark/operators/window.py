@@ -26,50 +26,68 @@ from pyspark.sql import functions as F
 
 
 def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 release: list[DataFrame] | None = None) -> DataFrame:
     """Distributed 1-based global row index over a total order on
     ``order_col`` (ties broken arbitrarily but ranked consistently).
 
-    Two jobs: a per-partition count (tiny collect) and the indexed
-    output; no single-task sort anywhere.
+    Shape: ONE range exchange + in-partition sort, then a per-partition
+    (count, base) collect — n tiny rows — and a pure projection for the
+    output: ``rn = (mid - partition base) + partition offset + 1`` where
+    ``mid`` is ``monotonically_increasing_id`` frozen at persist time
+    (consecutive within a partition by construction). No single-task
+    sort, no second shuffle, no window state anywhere.
+
+    Persist lifecycle: two jobs consume the ranged frame (the stats
+    collect here, then the caller's output action). It is persisted so
+    both see the SAME materialized partitions — without that, range
+    boundaries and any nondeterministic upstream (sample(), changed
+    input files) would recompute between jobs and could duplicate or
+    skip indices. Pass ``release=[]`` to receive the persisted
+    intermediate and ``unpersist()`` it after the consuming action
+    (long-lived drivers: controller/scheduled runs); with
+    ``release=None`` the blocks wait for ContextCleaner GC — fine for
+    one-shot queries, documented pressure for resident processes.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = (df.repartitionByRange(n, F.col(order_col).asc())
-         .withColumn("__pid", F.spark_partition_id()))
-    # Two jobs consume d (the counts collect below, then the caller's
-    # output action). Persist so both see the SAME partition contents —
-    # without it the range boundaries and any nondeterministic upstream
-    # (sample(), changed input files) recompute between jobs and can
-    # duplicate or skip indices. ContextCleaner reclaims the blocks when
-    # the frame is garbage collected.
+         .sortWithinPartitions(F.col(order_col).asc())
+         .select("*", F.monotonically_increasing_id().alias("__mid"),
+                 F.spark_partition_id().alias("__pid")))
     from pyspark.storagelevel import StorageLevel
 
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r["__pid"]: r["c"] for r in
-              d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        off = F.element_at(
-            F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
-                           for x in kv]),
+    if release is not None:
+        release.append(d)
+    stats = {r["__pid"]: (r["c"], r["mn"]) for r in
+             d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"),
+                                    F.min("__mid").alias("mn")).collect()}
+    entries, acc = [], 0
+    for pid in sorted(stats):
+        c, mn = stats[pid]
+        # fold the partition's id base and its global offset into ONE
+        # per-pid constant: rn = mid - mn + acc + 1 = mid + adj[pid]
+        entries.append((pid, acc - mn + 1))
+        acc += c
+    if entries:
+        adj = F.element_at(
+            F.create_map(*[F.lit(x) for kv in entries for x in kv]),
             F.col("__pid"))
     else:
-        off = F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
+        adj = F.lit(1)
     return (
-        d.withColumn(col_name, (F.row_number().over(w) + off).cast("long"))
-        .drop("__pid")
+        d.withColumn(col_name, (F.col("__mid") + adj).cast("long"))
+        .drop("__pid", "__mid")
     )
 
 
-def paginate(df: DataFrame, order_col: str, offset: int, limit: int) -> DataFrame:
+def paginate(df: DataFrame, order_col: str, offset: int, limit: int,
+             release: list[DataFrame] | None = None) -> DataFrame:
     """S2/O2 — deterministic batch window over a total order, built on
-    the distributed ``global_index`` (no single-partition sort)."""
+    the distributed ``global_index`` (no single-partition sort).
+    ``release`` forwards to :func:`global_index` (persist lifecycle)."""
     return (
-        global_index(df, order_col)
+        global_index(df, order_col, release=release)
         .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
         .drop("__rn")
     )
@@ -125,7 +143,8 @@ def rolling_time(df: DataFrame, key: Sequence[str] | str, ts_col: str,
 
 def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
                out_col: str = "cum",
-               num_partitions: int | None = None) -> DataFrame:
+               num_partitions: int | None = None,
+               release: list[DataFrame] | None = None) -> DataFrame:
     """Distributed inclusive running sum of ``value_col`` over the total
     order given by ``order_cols`` (which must be a UNIQUE key — ties
     would make the intermediate sums order-dependent).
@@ -135,6 +154,8 @@ def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
     partition base offsets from a totals pass (one tiny collect of one
     sum per partition). The naive empty-partitionBy running-sum window
     funnels the entire table through one task; this never does.
+    ``release`` receives the persisted intermediate for explicit
+    ``unpersist()`` after the consuming action (see ``global_index``).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c).asc() for c in order_cols]
@@ -143,6 +164,8 @@ def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
     from pyspark.storagelevel import StorageLevel
 
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    if release is not None:
+        release.append(d)
     totals = {r["__pid"]: r["t"] for r in
               d.groupBy("__pid").agg(
                   F.sum(F.col(value_col)).alias("t")).collect()}

@@ -141,6 +141,72 @@ def test_global_index_is_distributed_and_correct(spark):
     assert "SinglePartition" not in plan
 
 
+def test_global_index_single_shuffle_no_window(spark):
+    """The r5 shape: ONE range exchange, then a pure projection — no
+    second hashpartitioning exchange, no WindowExec re-sort (the index
+    is mid - partition base + offset over the persisted frame)."""
+    from imp_etl_spark.operators.window import global_index
+    from imp_etl_spark.sources.parquet import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    handle: list = []
+    idx = global_index(o, "o_orderkey", "gidx", num_partitions=8,
+                       release=handle)
+    try:
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        assert "hashpartitioning" not in plan.lower()
+        assert "Window" not in plan
+    finally:
+        for d in handle:
+            d.unpersist()
+
+
+def test_window_ops_release_lifecycle(spark):
+    """global_index/prefix_sum with release=[] leave NO persisted RDD
+    blocks behind once the caller unpersists after its action — the
+    long-lived-driver contract (VERDICT r4 item 4)."""
+    from imp_etl_spark.operators.window import global_index, prefix_sum
+    from imp_etl_spark.sources.parquet import read_table
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    before = persisted_ids()
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    handle: list = []
+    idx = global_index(o, "o_orderkey", "gidx", num_partitions=8,
+                       release=handle)
+    ps = prefix_sum(o, ["o_orderkey"], "o_orderkey", out_col="cum",
+                    num_partitions=8, release=handle)
+    assert idx.count() > 0 and ps.count() > 0
+    assert len(handle) == 2
+    assert persisted_ids() - before  # blocks live until released
+    for d in handle:
+        d.unpersist(blocking=True)
+    assert persisted_ids() - before == set()
+
+
+def test_run_etl_leaves_no_persisted_blocks(spark, tmp_path):
+    """A full batch ETL epoch (the controller/scheduled-run unit) must
+    unpersist every intermediate it persisted — resident schedulers
+    would otherwise accumulate block-manager pressure epoch over
+    epoch."""
+    from imp_etl_spark.plans.runner import run_etl
+    from tests.fixtures_b import make_frames
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    before = persisted_ids()
+    queue, voucher, txn = make_frames(spark)
+    run_etl(spark, queue, voucher, txn,
+            str(tmp_path / "voucher"), str(tmp_path / "txn"))
+    assert persisted_ids() - before == set()
+
+
 def test_bucketed_merge_scan_reads_only_touched_bucket_dirs(spark,
                                                             tmp_path):
     """The partial merge prunes at the PATH level: it reads exactly the
