@@ -206,6 +206,17 @@ def minhash_stacked(df: DataFrame, text_col: str = "text",
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
+def minhash_candidates_from_stacked(stacked: DataFrame,
+                                    id_col: str = "doc_id",
+                                    max_bucket: int = 256,
+                                    observation=None) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from an ALREADY-BANDED signature
+    table — the consumer half of :func:`build_minhash_index`. One wide
+    exchange on (band, sig); over-cap buckets degrade to star pairs."""
+    return _capped_band_pairs(stacked, id_col, max_bucket,
+                              observation).distinct()
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", shingle_k: int = 5,
                            num_hashes: int = 12, bands: int = 4,
@@ -218,12 +229,68 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     docs meet, and buckets beyond ``max_bucket`` degrade to star pairs
     (see ``_capped_band_pairs``) so a boilerplate bucket stays linear.
     Candidate verification (exact Jaccard) is the caller's choice — see
-    ``ngram_jaccard_pairs`` with a candidate frame.
+    ``ngram_jaccard_pairs`` with a candidate frame. When several
+    consumers need the same signatures (pair listing, survivor
+    selection, clustering, cross-corpus matching), build them ONCE with
+    :func:`build_minhash_index` and feed
+    :func:`minhash_candidates_from_stacked` instead.
     """
     stacked = minhash_stacked(df, text_col, id_col, shingle_k,
                               num_hashes, bands)
-    return _capped_band_pairs(stacked, id_col, max_bucket,
-                              observation).distinct()
+    return minhash_candidates_from_stacked(stacked, id_col, max_bucket,
+                                           observation)
+
+
+def build_minhash_index(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 5,
+                        num_hashes: int = 12, bands: int = 4) -> dict:
+    """Persist the banded MinHash signature table: one parquet row per
+    (doc, band), PARTITIONED BY band, with a ``_params.json`` sidecar
+    recording the signature scheme. The disk-backed artifact the whole
+    dedup tier shares — the same build-once/consume-many pattern as the
+    IVF index (operators/similarity.build_ivf_index).
+
+    Why it exists at 100 TB: the shingle→md5→minhash pass is the
+    CPU-dominant stage of every near-dup job, and a crawl pipeline runs
+    SEVERAL of those jobs over the same corpus (pair audit, survivor
+    selection, cluster assignment, next-batch cross-corpus matching —
+    ``cross_corpus_candidates`` already assumes a precomputed reference
+    signature table). Building the signatures once turns each consumer
+    into a narrow 3-column parquet scan; signatures are ~num_hashes
+    ints per doc, i.e. orders of magnitude smaller than the corpus.
+    Band-partitioning keeps each band's bucket shuffle reading only its
+    own directory.
+
+    Deterministic: signatures are pure functions of the text (keyed
+    md5), so rebuilds reproduce bit-identical tables and incremental
+    batches can be signed independently and unioned.
+    """
+    import json
+    import os
+
+    stacked = minhash_stacked(df, text_col, id_col, shingle_k,
+                              num_hashes, bands)
+    stacked.write.mode("overwrite").partitionBy("band").parquet(path)
+    params = {"id_col": id_col, "text_col": text_col,
+              "shingle_k": shingle_k, "num_hashes": num_hashes,
+              "bands": bands}
+    with open(os.path.join(path, "_params.json"), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a persisted banded signature table -> ((id, band, sig)
+    frame, build params). Column order is restored so consumers see the
+    exact ``minhash_stacked`` shape regardless of partition-column
+    placement."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_params.json")) as f:
+        params = json.load(f)
+    df = spark.read.parquet(path)
+    return df.select(params["id_col"], "band", "sig"), params
 
 
 def cross_corpus_candidates(new_stacked: DataFrame, ref_stacked: DataFrame,

@@ -149,3 +149,38 @@ def test_capped_star_fallback_preserves_clusters_and_survivors(spark):
     surv = lambda cl: {min(d for d, c in cl if c == cid)
                        for cid in {c for _, c in cl}}
     assert surv(capped) == surv(uncapped)
+
+
+def test_minhash_index_roundtrip_matches_inline(spark, tmp_path):
+    """build_minhash_index -> read_minhash_index reproduces the inline
+    minhash_stacked frame bit-for-bit, and candidates off the persisted
+    table equal candidates off the inline pass (the shared-artifact
+    contract: consumers must not be able to tell the difference)."""
+    from imp_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_candidates_from_stacked,
+        minhash_lsh_candidates,
+        minhash_stacked,
+        read_minhash_index,
+    )
+
+    rows = [(i, f"the quick brown fox number {i % 7} jumps over the "
+             f"lazy dog {i % 3} again and again tail {i % 5}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "mh_index")
+    params = build_minhash_index(docs, path, "text", "doc_id",
+                                 shingle_k=3, num_hashes=12, bands=4)
+    assert params["bands"] == 4
+    stacked, got_params = read_minhash_index(spark, path)
+    assert got_params == params
+    inline = minhash_stacked(docs, "text", "doc_id", shingle_k=3,
+                             num_hashes=12, bands=4)
+    assert (sorted(map(tuple, stacked.collect()))
+            == sorted(map(tuple, inline.collect())))
+    got_pairs = sorted(map(tuple, minhash_candidates_from_stacked(
+        stacked, "doc_id").collect()))
+    want_pairs = sorted(map(tuple, minhash_lsh_candidates(
+        docs, "text", "doc_id", shingle_k=3, num_hashes=12,
+        bands=4).collect()))
+    assert got_pairs == want_pairs
