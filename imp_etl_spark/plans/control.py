@@ -21,6 +21,7 @@ wrap these four calls.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Any
 
@@ -31,10 +32,19 @@ from imp_etl_spark.streaming.etl_stream import run_etl_stream
 
 
 class EtlController:
-    """Lifecycle wrapper over the batch runner and the streaming epochs."""
+    """Lifecycle wrapper over the batch runner and the streaming epochs.
+
+    ``run_once``/``schedule`` make their is_running check-and-start
+    ATOMIC under an internal lock: two concurrent callers (e.g. the
+    HTTP server's force and schedule verbs racing) cannot both pass the
+    guard and write the same sink paths — the reference's isEtlRunning
+    overlap hole (ST6) closed at the controller itself, not just in the
+    transport above it.
+    """
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._guard = threading.Lock()
         self._query = None
         self._schedule: str | None = None
         self._started_at: float | None = None
@@ -48,9 +58,10 @@ class EtlController:
         """Synchronous single run; returns the reference-shaped summary
         (etlService.js:576-583). Refuses while a schedule is active —
         the isEtlRunning guard, minus its overlap hole."""
-        if self.is_running:
-            raise RuntimeError("ETL is already running; stop it first")
-        self._started_at = time.time()
+        with self._guard:
+            if self.is_running:
+                raise RuntimeError("ETL is already running; stop it first")
+            self._started_at = time.time()
         try:
             self._last_summary = run_etl(
                 self.spark, queue, voucher, transaction,
@@ -66,16 +77,23 @@ class EtlController:
                  **kwargs) -> None:
         """Start the recurring micro-batch query (the cron analog —
         ``every`` plays the cron pattern, ST1)."""
-        if self.is_running:
-            raise RuntimeError("ETL is already scheduled")
-        self.epoch_summaries.clear()
-        self._query = run_etl_stream(
-            self.spark, queue_stream, voucher, transaction,
-            voucher_path, txn_path, checkpoint_dir,
-            available_now=False, processing_time=every,
-            epoch_summaries=self.epoch_summaries, **kwargs)
+        with self._guard:
+            if self.is_running:
+                raise RuntimeError("ETL is already scheduled")
+            # claim the slot BEFORE the (slow) stream start so a racing
+            # run_once/schedule sees is_running immediately
+            self._started_at = time.time()
+        try:
+            self.epoch_summaries.clear()
+            self._query = run_etl_stream(
+                self.spark, queue_stream, voucher, transaction,
+                voucher_path, txn_path, checkpoint_dir,
+                available_now=False, processing_time=every,
+                epoch_summaries=self.epoch_summaries, **kwargs)
+        except BaseException:
+            self._started_at = None
+            raise
         self._schedule = every
-        self._started_at = time.time()
 
     # -- stop-etl ----------------------------------------------------------
     def stop(self) -> dict[str, Any]:

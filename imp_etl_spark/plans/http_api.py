@@ -66,6 +66,10 @@ def parse_schedule(pattern: str) -> str | None:
     """
     pattern = pattern.strip()
     if _INTERVAL_RE.match(pattern):
+        # a zero-valued interval would compile to a continuous trigger —
+        # reject it like any other invalid pattern
+        if int(pattern.split()[0]) == 0:
+            return None
         return pattern
     if not _CRON_RE.match(pattern):
         return None
@@ -246,15 +250,23 @@ class EtlHttpServer:
     def __exit__(self, *exc) -> None:
         self.close()
 
-    def _now_iso(self) -> str:
-        """Manila-time ISO with explicit +08:00 offset and millis — the
-        reference's getPHTTimestamp (utils/logger.js:22-42; PHT has no
-        DST, so a fixed offset is exact)."""
-        now = time.time()
-        t = time.gmtime(now + 8 * 3600)
-        ms = int((now % 1) * 1000)
+    @staticmethod
+    def _iso_at(ts: float | None) -> str | None:
+        """Epoch seconds -> Manila-time ISO with explicit +08:00 offset
+        and millis (None passes through) — the reference's
+        getPHTTimestamp (utils/logger.js:22-42; PHT has no DST, so a
+        fixed offset is exact). Status/stop responses use this so every
+        timestamp the API emits has one shape (index.js:329-342 returns
+        ISO strings or null, never raw epochs)."""
+        if ts is None:
+            return None
+        t = time.gmtime(ts + 8 * 3600)
+        ms = int((ts % 1) * 1000)
         return (time.strftime("%Y-%m-%dT%H:%M:%S", t)
                 + f".{ms:03d}+08:00")
+
+    def _now_iso(self) -> str:
+        return self._iso_at(time.time())
 
     def log(self, message: str) -> None:
         """Append a ``[timestamp] message`` line to the log file — the
@@ -290,7 +302,15 @@ class EtlHttpServer:
 
     def _start_etl(self, h: _Handler) -> None:
         with self._lock:
-            if self.controller.is_running:
+            # _forcing joins the guard: a forced batch run executes
+            # OUTSIDE the server lock (long Spark jobs must not block
+            # status/log verbs), so between its claim and run_once
+            # stamping the controller there is a window where
+            # controller.is_running alone would let a schedule start
+            # concurrently — the reference's isEtlRunning overlap hole
+            # (ST6). The controller's own guard is the backstop; this
+            # check gives the clean 400 instead of a 500.
+            if self.controller.is_running or self._forcing:
                 h._json(400, {
                     "message": "ETL scheduler is already running",
                     "currentSchedule": self._schedule_pattern,
@@ -313,12 +333,22 @@ class EtlHttpServer:
             self._started_at = time.time()
             self.log(f"ETL scheduler started (schedule: {pattern}, "
                      f"trigger: {every})")
-            h._json(200, {
+            resp = {
                 "message": "ETL scheduler started successfully",
                 "schedule": str(pattern),
                 "trigger": every,
                 "startTime": self._now_iso(),
-            })
+            }
+            if str(pattern).strip() != every:
+                # cron shapes map onto phase-less processing-time
+                # triggers: same cadence, first fire at start rather
+                # than at the cron's wall-clock minute. Say so instead
+                # of silently shifting the client's expected fire times.
+                resp["note"] = (
+                    f"cron pattern mapped to a fixed '{every}' trigger; "
+                    "fires start immediately, wall-clock phase is not "
+                    "preserved")
+            h._json(200, resp)
 
     def _start_etl_force(self, h: _Handler) -> None:
         # guard under the lock, run outside it: a second force during a
@@ -374,6 +404,7 @@ class EtlHttpServer:
             "message": "ETL scheduler stopped successfully",
             "stoppedSchedule": stopped,
             "stoppedAt": self._now_iso(),
+            "lastRun": self._iso_at(self._last_run),
             "totalUptime": format_uptime(uptime),
         })
 
@@ -382,8 +413,8 @@ class EtlHttpServer:
         h._json(200, {
             "isRunning": running,
             "currentSchedule": self._schedule_pattern,
-            "lastRun": self._last_run,
-            "startTime": self._started_at,
+            "lastRun": self._iso_at(self._last_run),
+            "startTime": self._iso_at(self._started_at),
             "uptime": format_uptime(time.time() - self._started_at)
             if running and self._started_at else "0h 0m 0s",
             "epochsCompleted": len(self.controller.epoch_summaries),
@@ -440,12 +471,14 @@ class EtlHttpServer:
 
         emit("connected", {"message": "Connected to log stream"})
         offset = self.log_path.stat().st_size  # tail from NOW, like Tail
+        last_write = time.monotonic()
         try:
             while not self._stopping.is_set():
                 size = self.log_path.stat().st_size
                 if size < offset:
                     emit("clear", {})
                     offset = 0
+                    last_write = time.monotonic()
                     continue
                 if size > offset:
                     with self.log_path.open("r") as f:
@@ -455,7 +488,17 @@ class EtlHttpServer:
                     for ln in chunk.splitlines():
                         if ln.strip():
                             emit("log", parse_log_line(ln))
+                    last_write = time.monotonic()
                     continue
+                # idle heartbeat: an SSE comment every couple of seconds
+                # makes writes to a dead socket fail, so a client that
+                # disconnected during a quiet stretch tears this thread
+                # down instead of polling the file forever (the
+                # reference unwatches the tail on req 'close')
+                if time.monotonic() - last_write >= 2.0:
+                    h.wfile.write(b": ping\n\n")
+                    h.wfile.flush()
+                    last_write = time.monotonic()
                 time.sleep(0.1)
-        except (BrokenPipeError, ConnectionResetError):
+        except (BrokenPipeError, ConnectionResetError, OSError):
             pass

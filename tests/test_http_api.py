@@ -246,3 +246,117 @@ def test_log_timestamps_are_manila_iso(server):
     # reference format: 2024-01-01T12:34:56.789+08:00 (utils/logger.js)
     assert re.fullmatch(
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+08:00", ts), ts
+
+
+def test_zero_interval_rejected():
+    assert parse_schedule("0 seconds") is None
+    assert parse_schedule("0 minutes") is None
+
+
+def test_status_timestamps_iso_or_null(server):
+    """lastRun/startTime are ISO strings or null, never raw epochs —
+    shape parity with index.js:329-342."""
+    import re
+    _, st = _call(server.address, "GET", "/api/etl-status")
+    assert st["lastRun"] is None and st["startTime"] is None
+    code, _ = _call(server.address, "POST", "/api/start-etl-force", {})
+    assert code == 200
+    _, st = _call(server.address, "GET", "/api/etl-status")
+    iso = r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}\+08:00"
+    assert re.fullmatch(iso, st["lastRun"]), st["lastRun"]
+    # force run finished -> startTime back to null
+    assert st["startTime"] is None
+    # stop response carries lastRun for shape parity too
+    code, out = _call(server.address, "POST", "/api/start-etl",
+                      {"schedule": "2 seconds"})
+    assert code == 200
+    code, out = _call(server.address, "POST", "/api/stop-etl", {})
+    assert code == 200 and re.fullmatch(iso, out["lastRun"])
+
+
+def test_cron_shape_start_notes_phase_loss(server):
+    code, out = _call(server.address, "POST", "/api/start-etl",
+                      {"schedule": "*/5 * * * *"})
+    assert code == 200 and out["trigger"] == "5 minutes"
+    assert "phase" in out.get("note", "")
+    code, out2 = _call(server.address, "POST", "/api/stop-etl", {})
+    assert code == 200
+    # a literal interval needs no note
+    code, out = _call(server.address, "POST", "/api/start-etl",
+                      {"schedule": "2 seconds"})
+    assert code == 200 and "note" not in out
+    _call(server.address, "POST", "/api/stop-etl", {})
+
+
+def test_start_etl_blocked_while_force_in_flight(server):
+    """The ST6 overlap hole from ADVICE r4: while a forced run is in
+    its pre-stamp window (_forcing set, controller not yet running), a
+    schedule request must get the 400, not start a concurrent writer."""
+    with server._lock:
+        server._forcing = True
+    try:
+        code, out = _call(server.address, "POST", "/api/start-etl",
+                          {"schedule": "2 seconds"})
+        assert code == 400 and "already running" in out["message"]
+        code, _ = _call(server.address, "POST", "/api/start-etl-force", {})
+        assert code == 400
+    finally:
+        with server._lock:
+            server._forcing = False
+
+
+def test_controller_guard_is_atomic(spark, tmp_path, monkeypatch):
+    """EtlController.run_once claim-and-check is atomic: with a slow
+    run in flight, a concurrent schedule() (and a second run_once)
+    refuses instead of double-starting — the backstop below the HTTP
+    layer."""
+    import threading
+
+    from imp_etl_spark.plans import control as control_mod
+
+    ctl = EtlController(spark)
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow_run_etl(*a, **k):
+        started.set()
+        release.wait(30)
+        return {"ok": True}
+
+    monkeypatch.setattr(control_mod, "run_etl", slow_run_etl)
+    t = threading.Thread(
+        target=lambda: ctl.run_once(None, None, None, "v", "t"))
+    t.start()
+    try:
+        assert started.wait(10)
+        assert ctl.is_running
+        with pytest.raises(RuntimeError, match="already"):
+            ctl.run_once(None, None, None, "v", "t")
+        with pytest.raises(RuntimeError, match="already"):
+            ctl.schedule(None, None, None, "v", "t", "ck")
+    finally:
+        release.set()
+        t.join(30)
+    assert not ctl.is_running
+
+
+def test_sse_idle_heartbeat_reaches_client(server):
+    """With no log activity the stream emits ': ping' comments, so a
+    dead client socket fails a write and the handler thread exits
+    rather than polling forever."""
+    import urllib.parse
+    u = urllib.parse.urlparse(server.address)
+    sock = socket.create_connection((u.hostname, u.port), timeout=30)
+    sock.sendall(b"GET /api/logs/stream HTTP/1.1\r\n"
+                 b"Host: x\r\nAccept: text/event-stream\r\n\r\n")
+    f = sock.makefile("rb")
+    while f.readline().strip():
+        pass
+    deadline = time.time() + 15
+    saw_ping = False
+    while time.time() < deadline and not saw_ping:
+        line = f.readline().decode()
+        if line.startswith(": ping"):
+            saw_ping = True
+    assert saw_ping
+    sock.close()
