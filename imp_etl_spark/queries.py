@@ -1196,72 +1196,62 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-4 VERIFICATION window (VERDICT.md r3, next-round item 1):
-    # the registry is frozen this round; the 50-slot budget goes to
-    # entries with no currently-valid driver row. Priority:
-    # (1) stale r2 greens — operators/sampling.py's _assign /
-    #     mixture_sample changed in r3 after their last driver row;
-    # (2) the IVF pair — rewritten to exact-integer Lloyd in r3 and
-    #     flipped to oracle-backed without ever earning a row (and
-    #     build_ivf_index's index projection changed THIS round);
-    # (3) entries whose implementing code changed THIS round
-    #     (upsert.py txn/CAS commit, incremental_view epoch fence,
-    #     graph.py checkpoint truncation);
-    # (4) the round-3 additions that have never been sampled, novel
-    #     algorithms first, then the behavioral/corpus tiers.
-    # -- (1) stale greens
-    "split_train_counts", "mixture_by_source",
-    # -- (2) rewritten + changed this round, never validly rowed
-    "ivf_cosine_topk", "ivf_indexed_topk",
-    # -- (3) code changed this round (j4 holds an r3 green that would
-    #    otherwise go stale; the other two have never been rowed)
-    "j4_merge_preview", "stream_incremental_view", "dedup_cluster_assign",
-    # -- (4a) never-rowed novel algorithms
-    "cross_corpus_survivors", "passage_dedup_docs", "agg_stats_moments",
-    "agg_percentiles_disc", "rfm_customer_segments",
-    "corpus_curation_funnel", "peak_click_concurrency",
-    "parts_pareto_cumshare", "doc_token_rarity", "contamination_overlap",
-    "tfidf_top_term", "weighted_sample_docs", "profile_orders",
-    # -- (4b) never-rowed behavioral/fuzzy/statistical tier
-    "funnel_signup_purchase", "cohort_retention_daily",
-    "resample_ffill_hourly", "outlier_events_zscore", "fuzzy_part_pairs",
-    "shard_documents_balanced", "user_activity_streaks", "scd2_user_state",
-    "rolling_24h_user_value", "twap_user_value", "attribution_last_touch",
-    "cap_docs_per_source", "win_percentile_position", "outlier_events_mad",
-    "snm_part_pairs", "top_event_paths", "seasonal_anomaly_events",
-    "events_dau_wau", "basket_part_pairs_lift", "event_type_transitions",
-    # -- (4c) never-rowed corpus tier 2 + layout/incremental + TPC-H
-    "ngram_novelty", "bpe_pair_counts", "quality_percentile_filter",
-    "ewma_user_value", "incremental_agg_merge", "zorder_events_layout",
-    "q2_min_cost_supplier", "q20_bolt_suppliers",
-    "skew_profile_orders_custkey", "oov_rate_docs",
-    # -- position 51+: the r5 queue (VERDICT item 4). First the two
-    #    hash-tier greens whose call chain brushes late-round-4 edits:
-    #    minhash_lsh_pairs / simhash_near_dup call spread_small_scan
-    #    (util.py gained an optional `probe` param — the probe=None
-    #    path they use is line-for-line the old behavior) and sit in
-    #    dedup.py, where only ngram_jaccard_pairs / _capped_band_pairs
-    #    callers changed (all of those are already in the front 50).
-    #    Function-level hunk inspection clears them, but a re-row is
-    #    free insurance if the driver budget exceeds 50. Then the
-    #    remaining never-rowed entries — simple aggregation shapes with
-    #    the least novel plan surface — front-loaded next round
-    #    otherwise.
-    "minhash_lsh_pairs", "simhash_near_dup",
-    "events_wow_growth", "orders_backlog_aging", "customer_order_gaps",
-    "nation_supplier_hhi", "events_inactivity_churn",
-    "doc_length_quartile_bins", "dup_rate_by_source",
-    "lang_confusion_matrix", "events_value_histogram",
-    "q12_priority_class",
-    # -- green and unchanged: everything below holds a valid driver row
-    #    (r3, or r1/r2 with implementing code untouched since) and
-    #    rotates behind the no-signal set.
-    "pack_sequences", "t_cleanse_suite", "a2_processed_skipped",
-    "s1_workqueue_count", "per_group_trend", "stateful_user_stats",
-    "stream_dedup_events", "jaccard_sampled_pairs",
-    "dedup_pipeline_survivors", "simhash_docs",
-    "srp_bucket_topk", "embedding_near_dup", "split_hash_counts",
-    "stratified_sample_langs",
+    # round-5 SIGNAL-CLOSEOUT window (VERDICT.md r4, next-round item 1):
+    # registry frozen at 150; the 50-slot budget closes the gap to zero.
+    # Priority:
+    # (1) the 10 entries that have NEVER had a driver row (queued at
+    #     51+ last round, budget-capped out);
+    # (2) the 5 r3 greens staled by the round-4 dedup/similarity edits;
+    # (3) entries whose implementing code changed THIS round:
+    #     - shared MinHash signature artifact (dedup.py build/read,
+    #       queries_llm consumers): dedup_cluster_assign,
+    #       cross_corpus_survivors (the pair-listing/survivor entries
+    #       are already in (2)); simhash_docs rides along because its
+    #       file changed, though its function did not;
+    #     - graph.py star-contraction fallback: dedup_cluster_assign;
+    #     - window.py global_index/prefix_sum reshape (one-shuffle
+    #       index + release lifecycle): s2_paginated_scan,
+    #       peak_click_concurrency, skew_profile_orders_custkey,
+    #       rfm_customer_segments, parts_pareto_cumshare (and
+    #       doc_length_quartile_bins, already in (1));
+    # (4) oldest-green backfill with the remaining slots: the r1-era
+    #     rows first, then the r2 tier VERDICT named (j1/q6,
+    #     multimodal/text, classic TPC-H columns).
+    # -- (1) never driver-rowed
+    "q12_priority_class", "events_value_histogram",
+    "doc_length_quartile_bins", "lang_confusion_matrix",
+    "dup_rate_by_source", "nation_supplier_hhi", "customer_order_gaps",
+    "events_wow_growth", "events_inactivity_churn", "orders_backlog_aging",
+    # -- (2) staled r3 greens
+    "minhash_lsh_pairs", "dedup_pipeline_survivors",
+    "jaccard_sampled_pairs", "simhash_near_dup", "embedding_near_dup",
+    # -- (3) implementing code changed in round 5
+    "dedup_cluster_assign", "cross_corpus_survivors", "simhash_docs",
+    "s2_paginated_scan", "peak_click_concurrency",
+    "skew_profile_orders_custkey", "rfm_customer_segments",
+    "parts_pareto_cumshare",
+    # -- (4a) r1-era greens (oldest rows in the ledger)
+    "dq_rule_violations", "json_extract_props", "salted_skew_agg",
+    "asof_click_before_purchase", "range_clicks_before_purchase",
+    # -- (4b) r2-era greens: join/filter anchors, multimodal/text tier
+    "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
+    "multimodal_frame_sample", "pii_redact_docs", "text_quality_gopher",
+    "chunk_documents", "nested_types_suite",
+    # -- (4c) r2-era greens: the classic TPC-H tier
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_important_balance",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
+    "q19_disjunctive_bands", "q21_sole_late_supplier",
+    # -- position 51+: the r6 backfill queue if the budget exceeds 50 —
+    #    the rest of the r2 tier (function suites + remaining
+    #    aggregates), then the two rows-only entries (re-executed for
+    #    the record; they stay outside the hash gate by contract).
+    "q22_dormant_customers", "agg_distinct_customers",
+    "pivot_status_counts", "unpivot_measures", "agg_exact_median",
+    "string_funcs_suite", "date_funcs_suite", "math_funcs_suite",
+    "null_cond_suite", "regex_funcs_suite", "hof_array_suite",
+    "agg_approx_stats", "math_transcendental",
 ]
 
 
