@@ -645,8 +645,15 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidates_from_stacked(
         _shared_minhash_stacked(spark, sf_dir)) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # the verified-pair table is the NEXT staged artifact after the
+    # signatures: survivor selection here and cluster assignment
+    # (dedup_cluster_assign) consume the SAME pairs, so persist them —
+    # the cache manager dedupes by logical plan and the second consumer
+    # skips the whole Jaccard verify (a production crawl materializes
+    # exactly this table between its verify and cluster stages)
     verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                                   threshold=0.5, candidates=cands)
+                                   threshold=0.5, candidates=cands) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(F.broadcast(removed), on="doc_id",
                      how="left_anti").select("doc_id", "n_chars")
@@ -816,8 +823,12 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidates_from_stacked(
         _shared_minhash_stacked(spark, sf_dir)) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # same logical plan as dedup_pipeline_survivors' verified frame —
+    # the persist makes the shared Jaccard verify a cache hit when both
+    # run in one session (the staged pair-table artifact)
     verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                                   threshold=0.5, candidates=cands)
+                                   threshold=0.5, candidates=cands) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     return cluster_assignments(docs.select("doc_id"), verified,
                                id_col="doc_id")
 
