@@ -184,7 +184,13 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
     valid = latest_per_key(
         cleansed.filter(~invalid), pk, [order_col], desc=True
     ).observe(obs_valid, F.count(F.lit(1)).alias("processed"))
-    missing = anti_missing(keys, entity, "reference_no")
+    # J3 off the SAME branch point the merge materializes: a key present
+    # in the entity always survives the semi prune, and cleanse never
+    # rewrites reference_no, so keys ∖ cleansed.refs == keys ∖
+    # entity.refs — the runner's warning sample then reads the persisted
+    # blocks instead of re-running the entity scan (which for derived
+    # entities is a whole join)
+    missing = anti_missing(keys, cleansed, "reference_no")
     return BranchResult(valid=valid, skipped=skipped, missing_refs=missing,
                         cleansed=cleansed if persist else None,
                         obs_cleansed=obs_cleansed, obs_valid=obs_valid)
