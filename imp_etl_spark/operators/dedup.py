@@ -266,7 +266,8 @@ def build_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     batches can be signed independently and unioned.
     """
     import json
-    import os
+
+    from imp_etl_spark.operators.util import fs_write_text
 
     stacked = minhash_stacked(df, text_col, id_col, shingle_k,
                               num_hashes, bands)
@@ -274,8 +275,11 @@ def build_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     params = {"id_col": id_col, "text_col": text_col,
               "shingle_k": shingle_k, "num_hashes": num_hashes,
               "bands": bands}
-    with open(os.path.join(path, "_params.json"), "w") as f:
-        json.dump(params, f)
+    # sidecar through the Hadoop FS API: the parquet write above works
+    # on any scheme, so the sidecar must too (driver-local open() would
+    # silently pin the artifact to the driver's disk)
+    fs_write_text(df.sparkSession, path.rstrip("/") + "/_params.json",
+                  json.dumps(params))
     return params
 
 
@@ -285,10 +289,11 @@ def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
     exact ``minhash_stacked`` shape regardless of partition-column
     placement."""
     import json
-    import os
 
-    with open(os.path.join(path, "_params.json")) as f:
-        params = json.load(f)
+    from imp_etl_spark.operators.util import fs_read_text
+
+    params = json.loads(fs_read_text(
+        spark, path.rstrip("/") + "/_params.json"))
     df = spark.read.parquet(path)
     return df.select(params["id_col"], "band", "sig"), params
 

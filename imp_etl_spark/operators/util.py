@@ -34,3 +34,33 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None,
     if (probe if probe is not None else df).rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def fs_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so
+    index sidecars (_params.json and friends) work on ANY scheme the
+    cluster can reach (file://, hdfs://, s3a://...) — a driver-local
+    ``open()`` silently restricts an artifact documented as shared to
+    the driver's own disk. Driver-side only; never on the data path."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (the
+    counterpart of :func:`fs_write_text`)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")

@@ -59,15 +59,24 @@ def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
     if release is not None:
         release.append(d)
-    stats = {r["__pid"]: (r["c"], r["mn"]) for r in
+    stats = {r["__pid"]: (r["c"], r["mn"], r["mx"]) for r in
              d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"),
-                                    F.min("__mid").alias("mn")).collect()}
+                                    F.min("__mid").alias("mn"),
+                                    F.max("__mid").alias("mx")).collect()}
+    # The projection path requires mid to be CONSECUTIVE within each
+    # partition. That is the current allocation behavior (per-partition
+    # counter in the low 33 bits) but NOT the API contract
+    # ("monotonically increasing and unique, but not consecutive"), so
+    # verify it from the SAME stats collect — max-min+1 == count per
+    # partition — and fall back to the row_number window (correct under
+    # any allocation, one extra exchange) if allocation ever changes.
+    consecutive = all(mx - mn + 1 == c for c, mn, mx in stats.values())
     entries, acc = [], 0
     for pid in sorted(stats):
-        c, mn = stats[pid]
+        c, mn, _mx = stats[pid]
         # fold the partition's id base and its global offset into ONE
         # per-pid constant: rn = mid - mn + acc + 1 = mid + adj[pid]
-        entries.append((pid, acc - mn + 1))
+        entries.append((pid, acc - mn + 1) if consecutive else (pid, acc))
         acc += c
     if entries:
         adj = F.element_at(
@@ -75,6 +84,14 @@ def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
             F.col("__pid"))
     else:
         adj = F.lit(1)
+    if not consecutive and entries:
+        w = Window.partitionBy("__pid").orderBy(F.col(order_col).asc(),
+                                                F.col("__mid").asc())
+        return (
+            d.withColumn(col_name,
+                         (F.row_number().over(w) + adj).cast("long"))
+            .drop("__pid", "__mid")
+        )
     return (
         d.withColumn(col_name, (F.col("__mid") + adj).cast("long"))
         .drop("__pid", "__mid")

@@ -98,14 +98,25 @@ class EtlController:
     # -- stop-etl ----------------------------------------------------------
     def stop(self) -> dict[str, Any]:
         """Stop the schedule; the in-flight epoch completes first (the
-        reference's task.stop() likewise only halts FUTURE fires, ST5)."""
-        if self._query is not None:
-            self._query.stop()
-            self._query.awaitTermination(60)
-            self._query = None
+        reference's task.stop() likewise only halts FUTURE fires, ST5).
+
+        Claim-aware: if no query exists but ``_started_at`` is set, a
+        ``run_once``/``schedule`` start is IN FLIGHT (slot claimed under
+        the guard, work not yet registered) — stop must not erase that
+        claim, or a concurrent third caller could pass the guard and
+        double-start (the ST6 hole through the back door). In that case
+        this is a no-op on state; call again once the start completes.
+        """
+        with self._guard:
+            q, self._query = self._query, None
+        if q is not None:
+            q.stop()
+            q.awaitTermination(60)
         out = self.status()
-        self._schedule = None
-        self._started_at = None
+        if q is not None:
+            with self._guard:
+                self._schedule = None
+                self._started_at = None
         return out
 
     # -- etl-status / health ----------------------------------------------

@@ -583,11 +583,13 @@ FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 """
 
 
-# one banded-signature build per (process, sf_dir); every dedup-tier
-# consumer below reads the persisted table instead of re-running the
-# shingle->md5->minhash pass (VERDICT r4 item 5 — the disk artifact the
-# cross-corpus matcher already presumes for its reference side)
-_MINHASH_IDX: dict[str, str] = {}
+# one banded-signature build per (process, corpus version); every
+# dedup-tier consumer below reads the persisted table instead of
+# re-running the shingle->md5->minhash pass (VERDICT r4 item 5 — the
+# disk artifact the cross-corpus matcher already presumes for its
+# reference side)
+_MINHASH_IDX: dict[tuple, str] = {}
+_MINHASH_IDX_LOCK = None  # created lazily to keep module import light
 
 
 def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,23 +598,40 @@ def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once via operators/dedup.build_minhash_index and re-read as a
     narrow band-partitioned parquet scan by all four consumers
     (minhash_lsh_pairs, dedup_pipeline_survivors, dedup_cluster_assign,
-    cross_corpus_survivors)."""
+    cross_corpus_survivors).
+
+    The memo key includes the documents table's mtime, so a rewritten
+    corpus at the same path invalidates the cached index (signatures
+    must never go stale vs the live table the oracle reads); a lock
+    serializes first-build so concurrent callers don't duplicate the
+    signature pass.
+    """
     import os
     import tempfile
+    import threading
 
     from imp_etl_spark.operators.dedup import (
         build_minhash_index,
         read_minhash_index,
     )
 
-    key = os.path.abspath(sf_dir)
-    if key not in _MINHASH_IDX:
-        path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"),
-                            "index")
-        docs = read_table(spark, sf_dir, "documents")
-        build_minhash_index(docs, path, "text", "doc_id", shingle_k=5,
-                            num_hashes=12, bands=4)
-        _MINHASH_IDX[key] = path
+    global _MINHASH_IDX_LOCK
+    if _MINHASH_IDX_LOCK is None:
+        _MINHASH_IDX_LOCK = threading.Lock()
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.path.getmtime(doc_path)
+    except OSError:
+        mtime = None  # remote/unstattable path: fall back to path-only key
+    key = (os.path.abspath(sf_dir), mtime)
+    with _MINHASH_IDX_LOCK:
+        if key not in _MINHASH_IDX:
+            path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"),
+                                "index")
+            docs = read_table(spark, sf_dir, "documents")
+            build_minhash_index(docs, path, "text", "doc_id", shingle_k=5,
+                                num_hashes=12, bands=4)
+            _MINHASH_IDX[key] = path
     stacked, _params = read_minhash_index(spark, _MINHASH_IDX[key])
     return stacked
 

@@ -334,6 +334,13 @@ def test_controller_guard_is_atomic(spark, tmp_path, monkeypatch):
             ctl.run_once(None, None, None, "v", "t")
         with pytest.raises(RuntimeError, match="already"):
             ctl.schedule(None, None, None, "v", "t", "ck")
+        # stop() with no query but a claim in flight must NOT erase the
+        # claim (else a third caller could double-start through the
+        # stop-side of the ST6 hole)
+        ctl.stop()
+        assert ctl.is_running
+        with pytest.raises(RuntimeError, match="already"):
+            ctl.run_once(None, None, None, "v", "t")
     finally:
         release.set()
         t.join(30)
