@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
                  num_partitions: int | None = None,
-                 release: list[DataFrame] | None = None) -> DataFrame:
+                 release: list[DataFrame] | None = None,
+                 use_id_projection: bool = True) -> DataFrame:
     """Distributed 1-based global row index over a total order on
     ``order_col`` (ties broken arbitrarily but ranked consistently).
 
@@ -70,7 +71,11 @@ def global_index(df: DataFrame, order_col: str, col_name: str = "__rn",
     # verify it from the SAME stats collect — max-min+1 == count per
     # partition — and fall back to the row_number window (correct under
     # any allocation, one extra exchange) if allocation ever changes.
-    consecutive = all(mx - mn + 1 == c for c, mn, mx in stats.values())
+    # use_id_projection=False forces the window path — exposed so tests
+    # exercise the fallback branch without having to fake a Spark whose
+    # id allocation is non-consecutive
+    consecutive = use_id_projection and all(
+        mx - mn + 1 == c for c, mn, mx in stats.values())
     entries, acc = [], 0
     for pid in sorted(stats):
         c, mn, _mx = stats[pid]

@@ -580,3 +580,24 @@ def test_hhi_and_order_gaps_shapes(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "partitionBy=[]" not in p.replace(" ", "")
+
+
+def test_global_index_window_fallback_matches_projection(spark):
+    """The row_number fallback (taken automatically if the id allocation
+    ever stops being consecutive) must produce the same index as the
+    projection fast path."""
+    from imp_etl_spark.operators.window import global_index
+    from imp_etl_spark.sources.parquet import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+    handle: list = []
+    fast = global_index(o, "o_orderkey", "gidx", num_partitions=8,
+                        release=handle)
+    slow = global_index(o, "o_orderkey", "gidx", num_partitions=8,
+                        release=handle, use_id_projection=False)
+    try:
+        assert (sorted(map(tuple, fast.collect()))
+                == sorted(map(tuple, slow.collect())))
+    finally:
+        for d in handle:
+            d.unpersist()
