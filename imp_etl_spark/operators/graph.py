@@ -272,7 +272,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 def cluster_assignments(docs: DataFrame, pairs: DataFrame,
                         id_col: str = "doc_id",
                         src: str = "id_a", dst: str = "id_b",
-                        broadcast_map: bool = True) -> DataFrame:
+                        broadcast_map: bool = True,
+                        **cc_kwargs) -> DataFrame:
     """(doc, cluster_id) for EVERY doc: component min for paired docs,
     the doc's own id for singletons.
 
@@ -282,8 +283,10 @@ def cluster_assignments(docs: DataFrame, pairs: DataFrame,
     hint costs ~30% locally because the static planner picks a
     sort-merge join that shuffles the full corpus). Pass False for a
     high-dup-rate corpus (30-60% paired) where the map is a constant
-    fraction of the corpus and must shuffle instead of broadcast."""
-    comp = connected_components(pairs, src=src, dst=dst)
+    fraction of the corpus and must shuffle instead of broadcast.
+    Extra keyword args (``max_iter``, ``algorithm``, ``dedupe_edges``)
+    forward to :func:`connected_components`."""
+    comp = connected_components(pairs, src=src, dst=dst, **cc_kwargs)
     comp = comp.withColumnRenamed("node", id_col)
     if broadcast_map:
         comp = F.broadcast(comp)

@@ -179,3 +179,18 @@ def test_cluster_assignments_shuffled_path_matches_broadcast(spark):
     by_doc = dict(got)
     assert by_doc[2] == 1 and by_doc[3] == 1 and by_doc[11] == 10
     assert by_doc[5] == 5  # singleton keeps its own id
+
+
+def test_cluster_assignments_forwards_cc_kwargs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(35)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    # a deep chain with a tiny cap: the forwarded algorithm knob decides
+    # between the old raise and the star fallback
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_assignments(docs, pairs, max_iter=2,
+                            algorithm="label").collect()
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_assignments(docs, pairs, max_iter=2).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert all(got[i] == i for i in range(31, 35))
