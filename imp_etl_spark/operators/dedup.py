@@ -283,6 +283,31 @@ def build_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     return params
 
 
+def minhash_index_append(spark, path: str, batch: DataFrame) -> dict:
+    """Incrementally sign ``batch`` with a persisted index's OWN scheme
+    (params sidecar) and append to the band-partitioned table — the
+    crawl-batch maintenance verb of the reference signature table that
+    ``cross_corpus_candidates`` matches against. Signatures are pure
+    per-doc functions (no trained state, unlike IVF centroids), so an
+    appended index is bit-identical to a full rebuild over the union —
+    zero recall drift, ever. Cost is one signature pass over the batch
+    plus a partitioned parquet append; the resident corpus is never
+    read or rewritten. Same single-writer assumption as
+    ``ivf_index_append`` (route through the manifest sink if concurrent
+    readers need snapshot isolation during ingest)."""
+    import json
+
+    from imp_etl_spark.operators.util import fs_read_text
+
+    params = json.loads(fs_read_text(
+        spark, path.rstrip("/") + "/_params.json"))
+    stacked = minhash_stacked(
+        batch, params["text_col"], params["id_col"],
+        params["shingle_k"], params["num_hashes"], params["bands"])
+    stacked.write.mode("append").partitionBy("band").parquet(path)
+    return params
+
+
 def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Load a persisted banded signature table -> ((id, band, sig)
     frame, build params). Column order is restored so consumers see the

@@ -184,3 +184,33 @@ def test_minhash_index_roundtrip_matches_inline(spark, tmp_path):
         docs, "text", "doc_id", shingle_k=3, num_hashes=12,
         bands=4).collect()))
     assert got_pairs == want_pairs
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """Appending a crawl batch must leave the index bit-identical to a
+    full rebuild over the union (signatures are stateless per-doc
+    functions), and the appended table must serve cross-corpus
+    candidate matching unchanged."""
+    from imp_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_append,
+        minhash_stacked,
+        read_minhash_index,
+    )
+
+    def corpus(lo, hi):
+        return spark.createDataFrame(
+            [(i, f"shared boilerplate header words {i % 4} "
+              f"then body text number {i} with tail {i % 6}")
+             for i in range(lo, hi)], ["doc_id", "text"])
+
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus(0, 40), path, "text", "doc_id",
+                        shingle_k=3, num_hashes=12, bands=4)
+    params = minhash_index_append(spark, path, corpus(40, 60))
+    assert params["shingle_k"] == 3
+    stacked, _ = read_minhash_index(spark, path)
+    rebuilt = minhash_stacked(corpus(0, 60), "text", "doc_id",
+                              shingle_k=3, num_hashes=12, bands=4)
+    assert (sorted(map(tuple, stacked.collect()))
+            == sorted(map(tuple, rebuilt.collect())))
