@@ -38,21 +38,14 @@ from imp_etl_spark.functions.vector import cosine
 from imp_etl_spark.operators import dedup, join, similarity
 from imp_etl_spark.sources.parquet import read_table
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn: QueryFn):
-        REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
+# registry core lives in the LEAF module imp_etl_spark.registry so the
+# queries_* files can be imported directly without re-entering this
+# module's full late-import chain; re-exported here for all existing
+# entry points (__spark_entry__, tests, bench).
+from imp_etl_spark.registry import REGISTRY, QueryFn, register  # noqa: F401
 
 
-def _dec_sum(col, alias, scale=2):
-    """SUM over exact decimals, surfaced as double (see module doc)."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+from imp_etl_spark.queries_sqlfrag import dec_sum as _dec_sum  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imp_etl_spark.operators import behavior, join, quality, sampling
-from imp_etl_spark.queries import register
+from imp_etl_spark.registry import register
 from imp_etl_spark.sources.parquet import read_table
 
 # ---------------------------------------------------------------------------

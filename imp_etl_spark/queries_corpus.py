@@ -37,8 +37,9 @@ from pyspark.sql import functions as F
 
 from imp_etl_spark.functions.hashing import shingles
 from imp_etl_spark.functions.text import lang_id, quality_score, tokens
-from imp_etl_spark.queries import register
-from imp_etl_spark.queries_llm import _DUCK_TOKS, _lang_sql
+from imp_etl_spark.registry import register
+from imp_etl_spark.queries_sqlfrag import DUCK_TOKS as _DUCK_TOKS
+from imp_etl_spark.queries_sqlfrag import lang_sql as _lang_sql
 from imp_etl_spark.sources.parquet import read_table
 
 # ---------------------------------------------------------------------------

@@ -40,11 +40,11 @@ from imp_etl_spark.functions.text import (
 )
 from imp_etl_spark.functions.vector import cosine
 from imp_etl_spark.operators import similarity
-from imp_etl_spark.queries import register
+from imp_etl_spark.registry import register
 from imp_etl_spark.sources.parquet import read_table
 
-_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
-              "x -> x <> '')")
+from imp_etl_spark.queries_sqlfrag import DUCK_TOKS as _DUCK_TOKS
+from imp_etl_spark.queries_sqlfrag import lang_sql as _lang_sql
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -75,24 +75,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         punct_ratio("text").alias("punct_ratio"),
         mean_token_len("text").alias("mean_token_len"),
     )
-
-
-def _lang_sql() -> str:
-    score_cols = []
-    for lang in sorted(LANG_MARKERS):
-        words = "[" + ",".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
-        score_cols.append(
-            f"len(list_filter(t, x -> list_contains({words}, x))) AS c_{lang}")
-    langs = sorted(LANG_MARKERS)
-    gre = "greatest(" + ",".join(f"c_{la}" for la in langs) + ")"
-    case = " ".join(f"WHEN c_{la} = {gre} THEN '{la}'" for la in langs)
-    return f"""
-WITH toks AS (SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents),
-sc AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM toks)
-SELECT doc_id, lang AS lang_label,
-       CASE WHEN {gre} = 0 THEN 'und' {case} END AS lang_pred
-FROM sc
-"""
 
 
 @register("lang_id_docs", _lang_sql())
@@ -626,6 +608,13 @@ def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), mtime)
     with _MINHASH_IDX_LOCK:
         if key not in _MINHASH_IDX:
+            # a rewritten corpus supersedes its old index: drop the
+            # stale temp dir so invalidations don't accumulate on disk
+            import shutil
+
+            for old in [k for k in _MINHASH_IDX if k[0] == key[0]]:
+                shutil.rmtree(os.path.dirname(_MINHASH_IDX.pop(old)),
+                              ignore_errors=True)
             path = os.path.join(tempfile.mkdtemp(prefix="minhash_idx_"),
                                 "index")
             docs = read_table(spark, sf_dir, "documents")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from imp_etl_spark.queries import register
+from imp_etl_spark.registry import register
 from imp_etl_spark.sources.parquet import read_table
 
 
@@ -197,7 +197,7 @@ def regex_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from imp_etl_spark.queries_llm import _DUCK_TOKS  # noqa: E402
+from imp_etl_spark.queries_sqlfrag import DUCK_TOKS as _DUCK_TOKS  # noqa: E402
 
 
 @register("hof_array_suite", f"""

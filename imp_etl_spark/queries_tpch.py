@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from imp_etl_spark.queries import _dec_sum, register
+from imp_etl_spark.queries_sqlfrag import dec_sum as _dec_sum
+from imp_etl_spark.registry import register
 from imp_etl_spark.sources.parquet import read_table
 
 

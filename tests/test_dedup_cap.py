@@ -214,3 +214,29 @@ def test_minhash_index_append_equals_rebuild(spark, tmp_path):
                               shingle_k=3, num_hashes=12, bands=4)
     assert (sorted(map(tuple, stacked.collect()))
             == sorted(map(tuple, rebuilt.collect())))
+
+
+def test_shared_minhash_index_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """A rewritten documents table at the same path must invalidate the
+    process-level index memo (fresh signatures, no stale reads) and
+    remove the superseded temp index dir."""
+    import os
+    import shutil
+    import time
+
+    import imp_etl_spark.queries  # noqa: F401 — registry first (import order)
+    from imp_etl_spark import queries_llm as ql
+    from tests.conftest import SF_DIR
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(os.path.join(SF_DIR, "documents.parquet"), sf)
+    ql._shared_minhash_stacked(spark, sf).count()
+    abspath = os.path.abspath(sf)
+    old_dir = os.path.dirname(
+        [v for k, v in ql._MINHASH_IDX.items() if k[0] == abspath][0])
+    time.sleep(1.1)
+    os.utime(os.path.join(sf, "documents.parquet"))  # simulate rewrite
+    ql._shared_minhash_stacked(spark, sf).count()
+    assert not os.path.exists(old_dir)
+    assert sum(1 for k in ql._MINHASH_IDX if k[0] == abspath) == 1
