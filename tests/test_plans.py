@@ -601,3 +601,13 @@ def test_global_index_window_fallback_matches_projection(spark):
     finally:
         for d in handle:
             d.unpersist()
+
+
+def test_minhash_pairs_plan_reads_index_not_text(spark):
+    """The pair listing must consume the persisted signature table: its
+    plan scans the band-partitioned index parquet and contains no md5 /
+    tokenize work (the signature pass is amortized, not replayed)."""
+    plan = _executed(_run("minhash_lsh_pairs", spark))
+    assert "minhash_idx_" in plan          # scans the index artifact
+    assert "md5" not in plan.lower()       # no signature recompute
+    assert "documents.parquet" not in plan # raw text never touched
