@@ -168,21 +168,29 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
                                probe=entity)
     cleansed = cleanse_fn(pruned, compat=compat)
     invalid = cleanse.any_falsy_key(pk)
+    if persist:
+        # skipped side-output, missing-ref warnings and the MERGE all
+        # consume this node; persist turns the recomputation of
+        # scan->semi-join->cleanse into one pass (MEMORY_AND_DISK:
+        # spills rather than OOMs)
+        cleansed = cleansed.persist(StorageLevel.MEMORY_AND_DISK)
     # counters ride the data (A2): recorded when the MERGE executes the
-    # branch — no dedicated count jobs
+    # branch — no dedicated count jobs. The observation sits ON TOP of
+    # the persisted node, on the merge-bound lineage ONLY: the
+    # side-consumers (skipped sample, missing-ref warnings — possibly
+    # partial actions like limit()) share the cache underneath without
+    # ever executing the observed node, so they can run concurrently
+    # with the merge and cannot fulfill the observation with partial
+    # metrics. The filter(~invalid) is DOWNSTREAM of the observe, so
+    # the metric still sees every cleansed row.
     tag = uuid.uuid4().hex[:8]
     obs_cleansed = Observation(f"cleansed_{tag}")
-    cleansed = cleansed.observe(
+    observed = cleansed.observe(
         obs_cleansed, F.sum(invalid.cast("long")).alias("skipped"))
-    if persist:
-        # skipped side-output and the MERGE both consume this node;
-        # persist turns the recomputation of scan->semi-join->cleanse
-        # into one pass (MEMORY_AND_DISK: spills rather than OOMs)
-        cleansed = cleansed.persist(StorageLevel.MEMORY_AND_DISK)
     skipped = cleansed.filter(invalid)
     obs_valid = Observation(f"valid_{tag}")
     valid = latest_per_key(
-        cleansed.filter(~invalid), pk, [order_col], desc=True
+        observed.filter(~invalid), pk, [order_col], desc=True
     ).observe(obs_valid, F.count(F.lit(1)).alias("processed"))
     # J3 off the SAME branch point the merge materializes: a key present
     # in the entity always survives the semi prune, and cleanse never

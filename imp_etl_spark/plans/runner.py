@@ -91,13 +91,29 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
     # etlService.js:545-556).
     from concurrent.futures import ThreadPoolExecutor
 
+    # The warning sample (J3 anti joins over the persisted branch
+    # points) and the high-watermark scan are independent of the sink
+    # writes — submit them into the same pool so their jobs overlap the
+    # merges instead of serializing after them (the persisted cleansed
+    # blocks are computed once whichever consumer gets there first;
+    # BlockManager serializes per-block computation).
+    warnings = (
+        result.voucher.missing_refs.withColumn(
+            "warning", F.concat(F.lit("No voucher data found for reference: "),
+                                F.col("reference_no")))
+        .unionByName(result.transaction.missing_refs.withColumn(
+            "warning", F.concat(
+                F.lit("No transaction data found for reference: "),
+                F.col("reference_no"))))
+    )
     retry_warnings: list[str] = []
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         fv = pool.submit(
             retry_with_delay,
             lambda: merge_upsert(
                 spark, voucher_path, result.voucher.valid,
-                voucher_key or ["voucher_id", "reference_no"], order_col),
+                voucher_key or ["voucher_id", "reference_no"], order_col,
+                batch_is_unique=True),
             "voucher records", retry_warnings,
             limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
         ft = pool.submit(
@@ -105,11 +121,18 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             lambda: merge_upsert(
                 spark, txn_path, result.transaction.valid,
                 transaction_key or ["voucher_details_id", "reference_no"],
-                order_col),
+                order_col, batch_is_unique=True),
             "transaction records", retry_warnings,
             limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
+        # sample 5, as the reference logs slice(0,5) (etlService.js:499-510)
+        fw = pool.submit(
+            lambda: [r["warning"] for r in warnings.limit(5).collect()])
+        fwm = pool.submit(
+            lambda: queue.agg(F.max("log_id").alias("wm")).collect()[0])
         _, _, v_ok = fv.result()
         _, _, t_ok = ft.result()
+        missing_warnings = fw.result()
+        new_wm_row = fwm.result()
     # a successful merge executed the branch's observed plan — counter
     # reads are free; a failed branch falls back to one count() (needed
     # to account its rows as skipped, matching etlService.js:86-92)
@@ -128,25 +151,13 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
         skipped_txn += processed_txn
         processed_txn = 0
 
-    warnings = (
-        result.voucher.missing_refs.withColumn(
-            "warning", F.concat(F.lit("No voucher data found for reference: "),
-                                F.col("reference_no")))
-        .unionByName(result.transaction.missing_refs.withColumn(
-            "warning", F.concat(
-                F.lit("No transaction data found for reference: "),
-                F.col("reference_no"))))
-    )
-    # sample 5, as the reference logs slice(0,5) (etlService.js:499-510);
     # sink-retry failures (ST8) surface ahead of missing-ref warnings
-    warning_sample = (retry_warnings
-                      + [r["warning"] for r in warnings.limit(5).collect()])[:5]
+    warning_sample = (retry_warnings + missing_warnings)[:5]
 
     for branch in (result.voucher, result.transaction):
         if branch.cleansed is not None:
             branch.cleansed.unpersist()
 
-    new_wm_row = queue.agg(F.max("log_id").alias("wm")).collect()[0]
     summary = {
         "processedVoucherCount": processed_voucher,
         "processedTransactionCount": processed_txn,

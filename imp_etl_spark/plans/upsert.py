@@ -361,7 +361,8 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  txn_version: int | None = None,
                  max_commit_retries: int = 3,
                  batch_replaces_touched_buckets: bool = False,
-                 expected_version: int | None = None) -> int:
+                 expected_version: int | None = None,
+                 batch_is_unique: bool = False) -> int:
     """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
     ``key``.
 
@@ -401,12 +402,18 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     WITHOUT retrying (a blind re-merge can't help: the caller must
     re-read and recompute). Plain merges leave it None and keep the
     re-merge retry loop.
+
+    ``batch_is_unique``: caller's promise that ``batch`` already holds
+    at most one row per ``key`` (e.g. the ETL pipeline's branches end in
+    their own ``latest_per_key``) — the merge then skips its defensive
+    re-dedup, dropping one Window pass from every epoch's plan.
     """
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
     key = list(key)
     order = [order_col] if order_col else key
-    batch_unique = latest_per_key(batch, key, order, desc=True)
+    batch_unique = (batch if batch_is_unique
+                    else latest_per_key(batch, key, order, desc=True))
 
     os.makedirs(path, exist_ok=True)
     for _attempt in range(max_commit_retries + 1):
