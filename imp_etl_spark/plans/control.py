@@ -108,13 +108,19 @@ class EtlController:
         this is a no-op on state; call again once the start completes.
         """
         with self._guard:
-            q, self._query = self._query, None
+            q = self._query
         if q is not None:
+            # stop BEFORE releasing the handle: if q.stop() raises (a
+            # dying stream's py4j error), _query stays set and a retry
+            # stop() can still succeed — popping first would strand the
+            # controller with is_running=True and no recovery path
             q.stop()
             q.awaitTermination(60)
-        out = self.status()
+        out = self.status()  # uptime snapshot before the claim clears
         if q is not None:
             with self._guard:
+                if self._query is q:
+                    self._query = None
                 self._schedule = None
                 self._started_at = None
         return out

@@ -396,8 +396,15 @@ class EtlHttpServer:
             self.controller.stop()
             stopped = self._schedule_pattern
             uptime = time.time() - (self._started_at or time.time())
-            self._schedule_pattern = None
-            self._started_at = None
+            if stopped is not None:
+                # only a real schedule clears the display fields; a
+                # stop during a forced run (controller.stop() is a
+                # claim-aware no-op there) must not erase state the
+                # force path still owns — the reference likewise 200s
+                # with stoppedSchedule null in that window
+                # (index.js:166-206 with etlTask null)
+                self._schedule_pattern = None
+                self._started_at = None
         self.log(f"ETL scheduler stopped (was: {stopped}, uptime: "
                  f"{format_uptime(uptime)})")
         h._json(200, {

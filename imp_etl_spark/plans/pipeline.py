@@ -197,8 +197,12 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
     # rewrites reference_no, so keys ∖ cleansed.refs == keys ∖
     # entity.refs — the runner's warning sample then reads the persisted
     # blocks instead of re-running the entity scan (which for derived
-    # entities is a whole join)
-    missing = anti_missing(keys, cleansed, "reference_no")
+    # entities is a whole join). Without the persisted branch point the
+    # equivalence still holds but the cleansed lineage would RECOMPUTE
+    # the CPU-bound cleanse just to list refs — anti-join the raw
+    # entity there instead.
+    missing = anti_missing(keys, cleansed if persist else entity,
+                           "reference_no")
     return BranchResult(valid=valid, skipped=skipped, missing_refs=missing,
                         cleansed=cleansed if persist else None,
                         obs_cleansed=obs_cleansed, obs_valid=obs_valid)

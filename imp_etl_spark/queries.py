@@ -818,8 +818,11 @@ def events_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-checked (functions/hashing.py).
 # ===========================================================================
 
-_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
-              "x -> x <> '')")
+# the one tokenizer fragment every oracle shares (Spark tokens() and
+# this DuckDB expression must stay semantically identical) — imported,
+# not duplicated, so a tweak can never diverge this module's oracles
+# from the rest of the suite
+from imp_etl_spark.queries_sqlfrag import DUCK_TOKS as _DUCK_TOKS  # noqa: E402
 
 
 @register("dedup_exact_group", """

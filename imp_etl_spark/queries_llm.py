@@ -23,6 +23,8 @@ Portability strategy per operator:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -571,7 +573,9 @@ FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 # disk artifact the cross-corpus matcher already presumes for its
 # reference side)
 _MINHASH_IDX: dict[tuple, str] = {}
-_MINHASH_IDX_LOCK = None  # created lazily to keep module import light
+# created at import: a lazily check-then-set lock is itself racy (two
+# first callers would each mint their own lock and both run the build)
+_MINHASH_IDX_LOCK = threading.Lock()
 
 
 def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,16 +594,12 @@ def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import tempfile
-    import threading
 
     from imp_etl_spark.operators.dedup import (
         build_minhash_index,
         read_minhash_index,
     )
 
-    global _MINHASH_IDX_LOCK
-    if _MINHASH_IDX_LOCK is None:
-        _MINHASH_IDX_LOCK = threading.Lock()
     doc_path = os.path.join(sf_dir, "documents.parquet")
     try:
         mtime = os.path.getmtime(doc_path)

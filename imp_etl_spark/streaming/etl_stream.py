@@ -64,8 +64,12 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
         result = build_pipeline(batch_queue, voucher, transaction,
                                 voucher_key=vkey, transaction_key=tkey,
                                 order_col=order_col, compat=compat)
-        merge_upsert(spark, voucher_path, result.voucher.valid, vkey, order_col)
-        merge_upsert(spark, txn_path, result.transaction.valid, tkey, order_col)
+        # the branches end in their own latest_per_key on the same keys,
+        # so the merge's defensive re-dedup Window pass is skipped
+        merge_upsert(spark, voucher_path, result.voucher.valid, vkey,
+                     order_col, batch_is_unique=True)
+        merge_upsert(spark, txn_path, result.transaction.valid, tkey,
+                     order_col, batch_is_unique=True)
         pv = result.voucher.processed_count()
         pt = result.transaction.processed_count()
         sv = result.voucher.skipped_count()

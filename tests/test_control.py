@@ -64,3 +64,39 @@ def test_schedule_fires_epochs_then_stop(spark, tmp_path):
     assert st["epochsCompleted"] >= 1
     assert ctl.status()["isRunning"] is False
     assert ctl.epoch_summaries[0]["processedVoucherCount"] > 0
+
+
+def test_stop_survives_a_failing_query_stop(spark):
+    """A q.stop() that raises must leave the controller recoverable: the
+    handle stays registered, so a retry stop() still lands and clears
+    the running state (instead of stranding is_running=True forever)."""
+
+    class _FlakyQuery:
+        def __init__(self):
+            self.stops = 0
+            self.isActive = True
+
+        def stop(self):
+            self.stops += 1
+            if self.stops == 1:
+                raise RuntimeError("stream already dying")
+            self.isActive = False
+
+        def awaitTermination(self, timeout=None):
+            return True
+
+    ctl = EtlController(spark)
+    ctl._query = _FlakyQuery()
+    ctl._schedule = "2 seconds"
+    ctl._started_at = time.time()
+
+    with pytest.raises(RuntimeError, match="dying"):
+        ctl.stop()
+    # the failed stop must not have erased the handle or the claim
+    assert ctl._query is not None
+    assert ctl.is_running is True
+
+    ctl.stop()  # retry succeeds and clears everything
+    assert ctl._query is None
+    assert ctl.is_running is False
+    assert ctl.status()["schedule"] is None
