@@ -75,6 +75,39 @@ def test_merge_upsert_idempotent_and_lww(spark, tmp_path):
     assert state2 == state
 
 
+def test_merge_batch_is_unique_matches_default_path(spark, tmp_path):
+    """batch_is_unique=True on a pre-deduped batch commits the identical
+    sink state as the default defensive-re-dedup path on the raw batch
+    (the flag only elides a provably-no-op Window pass)."""
+    from imp_etl_spark.operators.dedup import latest_per_key
+
+    raw = spark.createDataFrame(
+        [("V1", "R1", "old", 1), ("V1", "R1", "new", 2),
+         ("V2", "R1", "only", 1), ("V3", "R2", "x1", 3),
+         ("V3", "R2", "x0", 1)],
+        "voucher_id string, reference_no string, payload string, seq int")
+    key = ["voucher_id", "reference_no"]
+
+    p_default = str(tmp_path / "via_default")
+    merge_upsert(spark, p_default, raw, key, "seq")
+    p_flagged = str(tmp_path / "via_flag")
+    merge_upsert(spark, p_flagged,
+                 latest_per_key(raw, key, ["seq"], desc=True), key, "seq",
+                 batch_is_unique=True)
+
+    rows = lambda p: sorted(map(tuple, read_target(spark, p).collect()))
+    assert rows(p_flagged) == rows(p_default)
+    assert {r[2] for r in rows(p_flagged)} == {"new", "only", "x1"}
+
+    # and the partial-merge path (existing target) agrees too
+    upd = spark.createDataFrame(
+        [("V2", "R1", "upd", 5)],
+        "voucher_id string, reference_no string, payload string, seq int")
+    merge_upsert(spark, p_default, upd, key, "seq")
+    merge_upsert(spark, p_flagged, upd, key, "seq", batch_is_unique=True)
+    assert rows(p_flagged) == rows(p_default)
+
+
 def test_run_etl_summary_and_watermark(spark, tmp_path):
     queue, voucher, txn = make_frames(spark)
     summary = run_etl(spark, queue, voucher, txn,
