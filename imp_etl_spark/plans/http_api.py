@@ -145,7 +145,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self, method: str) -> None:
         try:
-            handler = self.api.routes.get((method, self.path))
+            # match the path component only (Express semantics): query
+            # strings like /api/logs?limit=50 or dashboard cache-busters
+            # must not 404 a route that exists
+            path = self.path.split("?", 1)[0]
+            handler = self.api.routes.get((method, path))
             if handler is None:
                 self._json(404, {"message": "Not found"})
                 return

@@ -158,6 +158,13 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
         if branch.cleansed is not None:
             branch.cleansed.unpersist()
 
+    # The watermark only advances when BOTH branches committed: a run
+    # whose merge exhausted its retries must leave the failed rows
+    # below the watermark so the next run reprocesses them (the
+    # reference's full-queue rescan retries them on the next cron fire;
+    # advancing here would silently drop them forever in watermark
+    # mode — the idempotent sink makes the reprocess harmless).
+    new_wm = new_wm_row["wm"] if new_wm_row["wm"] is not None else watermark
     summary = {
         "processedVoucherCount": processed_voucher,
         "processedTransactionCount": processed_txn,
@@ -165,6 +172,6 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
         "skippedTransactionCount": skipped_txn,
         "warningSample": warning_sample,
         "durationSec": round(time.time() - started, 3),
-        "watermark": new_wm_row["wm"] if new_wm_row["wm"] is not None else watermark,
+        "watermark": new_wm if (v_ok and t_ok) else watermark,
     }
     return summary

@@ -62,6 +62,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -227,35 +228,68 @@ def _referenced_data_dirs(path: str) -> set[str]:
     return refs
 
 
-def _gc_orphans(path: str, latest: int | None) -> None:
+#: Debris younger than this is spared by the GC sweeps. A racing
+#: writer's snapshot passes through states that LOOK like crash debris
+#: (data dirs written before their manifest exists; a manifest created
+#: ahead of its ``_latest.json`` flip) — deleting those out from under
+#: it would let the racer flip ``_latest`` onto a manifest/data dir
+#: that no longer exists, bricking the table. Age-gating makes the
+#: advertised CAS backstop real: genuine crash debris ages past the
+#: threshold and is swept by a later writer, while anything younger is
+#: presumed in-flight. (Same rule object-store table formats apply to
+#: orphan-file cleanup.)
+_GC_MIN_AGE_S = 300.0
+
+
+def _older_than(p: str, min_age_s: float) -> bool:
+    try:
+        return (os.path.getmtime(p) + min_age_s) < time.time()
+    except OSError:
+        return False  # vanished mid-scan: nothing to sweep
+
+
+def _gc_orphans(path: str, latest: int | None,
+                min_age_s: float = _GC_MIN_AGE_S) -> None:
     """Sweep debris from crashed writers: legacy staging dirs, manifests
     written after the last successful ``_latest.json`` flip, and data
-    dirs no manifest references. Safe under the single-writer rule."""
+    dirs no manifest references — each only once older than
+    ``min_age_s`` (see ``_GC_MIN_AGE_S``: younger entries may belong to
+    a concurrent writer between its data write and its commit flip)."""
     if not os.path.isdir(path):
         return
     for d in os.listdir(path):
-        if d.startswith("_staging_"):
+        if d.startswith("_staging_") and _older_than(
+                os.path.join(path, d), min_age_s):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     for v in _manifest_versions(path):
         if latest is None or v > latest:
-            try:
-                os.remove(os.path.join(path, _MANIFEST_FMT.format(v)))
-            except OSError:
-                pass
+            mp = os.path.join(path, _MANIFEST_FMT.format(v))
+            if _older_than(mp, min_age_s):
+                try:
+                    os.remove(mp)
+                except OSError:
+                    pass
     refs = _referenced_data_dirs(path)
     for d in os.listdir(path):
-        if d.startswith(_DATA_PREFIX) and d not in refs:
+        if (d.startswith(_DATA_PREFIX) and d not in refs
+                and _older_than(os.path.join(path, d), min_age_s)):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _apply_retention(path: str, new_v: int, keep_versions: int,
                      legacy_vs: list[int]) -> None:
     """Keep the newest ``keep_versions`` snapshot versions (always
-    including the one just committed), then drop unreferenced data."""
+    including the one just committed), then drop the data dirs those
+    removed manifests were the last to reference. The before/after
+    reference diff removes EXACTLY the dirs this retention orphaned —
+    never a dir some concurrent writer wrote but has not published a
+    manifest for yet (that is presumed in flight; genuine crash debris
+    is ``_gc_orphans``' job, age-gated)."""
     keep = keep_versions if keep_versions >= 1 else 1
     all_vs = sorted(set(_manifest_versions(path)) | set(legacy_vs)
                     | {new_v})
     retained = set(all_vs[-keep:]) | {new_v}
+    refs_before = _referenced_data_dirs(path)
     for v in legacy_vs:
         if v not in retained:
             shutil.rmtree(os.path.join(path, f"{_LEGACY_PREFIX}{v}"),
@@ -266,10 +300,8 @@ def _apply_retention(path: str, new_v: int, keep_versions: int,
                 os.remove(os.path.join(path, _MANIFEST_FMT.format(v)))
             except OSError:
                 pass
-    refs = _referenced_data_dirs(path)
-    for d in os.listdir(path):
-        if d.startswith(_DATA_PREFIX) and d not in refs:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for d in refs_before - _referenced_data_dirs(path):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -628,18 +660,33 @@ def compact_snapshot(spark: SparkSession, path: str,
         "buckets": {**carried, **_scan_bucket_dirs(path, data_rel)},
         "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
-    # same commit protocol as merge_upsert: create-if-absent manifest +
-    # version CAS before the flip (maintenance runs under the same
-    # single-writer rule; this is the backstop, not the lock)
-    if not _create_exclusive_json(
-            os.path.join(path, _MANIFEST_FMT.format(new_v)), manifest) \
-            or _latest_version(path) != latest:
+    _maintenance_commit(path, new_v, latest, data_rel, manifest)
+    _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
+    return new_v
+
+
+def _maintenance_commit(path: str, new_v: int, latest: int,
+                        data_rel: str, manifest: dict) -> None:
+    """Same commit protocol as merge_upsert: create-if-absent manifest +
+    version CAS before the flip (maintenance runs under the same
+    single-writer rule; this is the backstop, not the lock). On either
+    failure the prepared data dir AND the just-created manifest are
+    removed — a surviving manifest would reference deleted dirs and
+    skew retention/`bucket_paths` until the next GC sweep."""
+    man_path = os.path.join(path, _MANIFEST_FMT.format(new_v))
+    if not _create_exclusive_json(man_path, manifest):
+        shutil.rmtree(os.path.join(path, data_rel), ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"maintenance lost the commit race at {path}; re-run it")
+    if _latest_version(path) != latest:
+        try:
+            os.remove(man_path)
+        except OSError:
+            pass
         shutil.rmtree(os.path.join(path, data_rel), ignore_errors=True)
         raise ConcurrentWriteError(
             f"maintenance lost the commit race at {path}; re-run it")
     _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
-    _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
-    return new_v
 
 
 def rebucket(spark: SparkSession, path: str, n_buckets: int,
@@ -672,16 +719,7 @@ def rebucket(spark: SparkSession, path: str, n_buckets: int,
         "buckets": _scan_bucket_dirs(path, data_rel),
         "txn": dict(man.get("txn", {})),  # maintenance keeps the stamps
     }
-    # same commit protocol as merge_upsert: create-if-absent manifest +
-    # version CAS before the flip (maintenance runs under the same
-    # single-writer rule; this is the backstop, not the lock)
-    if not _create_exclusive_json(
-            os.path.join(path, _MANIFEST_FMT.format(new_v)), manifest) \
-            or _latest_version(path) != latest:
-        shutil.rmtree(os.path.join(path, data_rel), ignore_errors=True)
-        raise ConcurrentWriteError(
-            f"maintenance lost the commit race at {path}; re-run it")
-    _atomic_write_json(os.path.join(path, _LATEST), {"version": new_v})
+    _maintenance_commit(path, new_v, latest, data_rel, manifest)
     _apply_retention(path, new_v, keep_versions, _legacy_versions(path))
     return new_v
 

@@ -87,10 +87,21 @@ def overwrite_partitions(df: DataFrame, fmt: str, path: str,
 def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 128) -> int:
     """Small-file compaction: rewrite a parquet directory into files of
-    ~``target_mb`` each and atomically swap it in. Streaming sinks and
-    per-epoch merges accrete small files; at scale the file count (not
-    the bytes) dominates scan planning time, so periodic compaction is
-    part of the table's lifecycle. Returns the new file count.
+    ~``target_mb`` each and swap it in. Streaming sinks and per-epoch
+    merges accrete small files; at scale the file count (not the bytes)
+    dominates scan planning time, so periodic compaction is part of the
+    table's lifecycle. Returns the new file count.
+
+    Hive-partitioned layouts (``col=value`` subdirectories) are
+    preserved: the rewrite re-emits ``partitionBy`` on the discovered
+    partition columns, so pruning and the physical schema survive.
+
+    The swap is two directory renames (old out, staging in) — NOT
+    atomic: a reader that lists the path in the gap between them sees
+    it missing. Run under the single-writer/maintenance rule like the
+    manifest sink's ``compact_snapshot`` (which has no such window —
+    prefer it for tables that need concurrent readers; this helper is
+    for plain-directory layouts with a maintenance window).
     """
     import math
     import os
@@ -98,13 +109,32 @@ def compact_parquet(spark: SparkSession, path: str,
     import uuid
 
     df = spark.read.parquet(path)
+    # discover hive partition columns from the directory shape (one
+    # level is enough to seed recursion: every dir level is key=value)
+    part_cols: list[str] = []
+    probe = path
+    while True:
+        subs = [d for d in os.listdir(probe)
+                if "=" in d and os.path.isdir(os.path.join(probe, d))]
+        if not subs:
+            break
+        key = subs[0].split("=", 1)[0]
+        if key in part_cols:
+            break
+        part_cols.append(key)
+        probe = os.path.join(probe, subs[0])
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _dirs, files in os.walk(path) for f in files
         if f.endswith(".parquet"))
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     staging = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex}"
-    df.repartition(n).write.mode("overwrite").parquet(staging)
+    writer = df.repartition(n, *part_cols) if part_cols \
+        else df.repartition(n)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
     old = f"{path.rstrip('/')}_old_{uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(staging, path)

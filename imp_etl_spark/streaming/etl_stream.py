@@ -70,6 +70,12 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
                      order_col, batch_is_unique=True)
         merge_upsert(spark, txn_path, result.transaction.valid, tkey,
                      order_col, batch_is_unique=True)
+        # the merges executed both observed plans: mark the branches so
+        # the counter reads below come free from observe() instead of
+        # re-running two count() jobs per epoch (same contract as the
+        # batch runner, plans/runner.py)
+        result.voucher.executed = True
+        result.transaction.executed = True
         pv = result.voucher.processed_count()
         pt = result.transaction.processed_count()
         sv = result.voucher.skipped_count()
@@ -119,6 +125,14 @@ def interval_join_stream(left: DataFrame, right: DataFrame, on: str,
     ``(left_ts - lower, left_ts]`` per key — e.g. clicks preceding a
     purchase. Both sides carry watermarks so the join state store evicts
     rows older than watermark + interval bound (unbounded without them).
+
+    Output contract: alongside both sides' original columns, the frame
+    carries ``__l_<left_ts>`` / ``__r_<right_ts>`` — the timestamp-cast
+    copies the watermarks ride on. They are deliberately KEPT: when the
+    two sides name their event time identically (the common case), the
+    originals are ambiguous after the join and these copies are the
+    only unambiguous per-side handles (see `stream_interval_join` in
+    queries.py). Select/rename away what you don't need.
     """
     from pyspark.sql import functions as F
 

@@ -155,8 +155,11 @@ def run_incremental_view(spark: SparkSession, stream: DataFrame,
     writer = (stream.writeStream.outputMode("append")
               .option("checkpointLocation", checkpoint_dir)
               .foreachBatch(_epoch))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
+    # processing_time wins over the available_now default — a caller
+    # asking for a cadence wants a live schedule, not a one-shot drain
+    # (same precedence as run_etl_stream, streaming/etl_stream.py)
+    if processing_time:
         writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -186,6 +186,17 @@ def test_st8_retry_final_failure_counts_skipped_with_warning(
     # transaction branch unaffected
     assert summary["processedTransactionCount"] == 3
     assert read_target(spark, str(tmp_path / "t")).count() == 3
+    # the watermark must NOT advance past rows a failed sink never
+    # took — the next incremental run has to see them again (advancing
+    # would silently drop them forever in watermark mode)
+    assert summary["watermark"] is None
+
+    # with both sinks healthy the same run advances the watermark
+    monkeypatch.setattr(runner, "merge_upsert", real)
+    summary2 = run_etl(spark, queue, voucher, txn,
+                       str(tmp_path / "v2"), str(tmp_path / "t2"),
+                       retry_delay_s=0.0, _sleep=lambda _s: None)
+    assert summary2["watermark"] == 8
 
 
 def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
@@ -208,11 +219,20 @@ def test_upsert_time_travel_and_staging_cleanup(spark, tmp_path):
         (F.col("id") + 10).alias("ord"))
     # simulate crashed writers before merging again: a legacy staging
     # dir, an unreferenced data dir, and a manifest written after the
-    # last _latest.json flip (crash between manifest and commit)
-    os.makedirs(os.path.join(path, "_staging_deadbeef"))
-    os.makedirs(os.path.join(path, "data_deadbeef"))
+    # last _latest.json flip (crash between manifest and commit).
+    # Backdate their mtimes past the GC age gate — fresh entries are
+    # presumed to belong to an in-flight concurrent writer and spared.
+    import time as _time
+
+    from imp_etl_spark.plans.upsert import _GC_MIN_AGE_S
+    stale = _time.time() - (_GC_MIN_AGE_S + 60)
+    for debris in ("_staging_deadbeef", "data_deadbeef"):
+        os.makedirs(os.path.join(path, debris))
     with open(os.path.join(path, "_manifest_v99.json"), "w") as f:
         f.write('{"n_buckets": 16, "key": ["k"], "buckets": {}}')
+    for debris in ("_staging_deadbeef", "data_deadbeef",
+                   "_manifest_v99.json"):
+        os.utime(os.path.join(path, debris), (stale, stale))
     v1 = merge_upsert(spark, path, upd, ["k"], "ord")
 
     assert not [d for d in os.listdir(path) if d.startswith("_staging_")]

@@ -134,6 +134,35 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
     assert spark.read.parquet(src).count() == before_rows
 
 
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a partitionBy-written directory must keep the
+    col=value layout (pruning + physical schema), not flatten the
+    partition key into a data column."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "part_shards")
+    li = read_table(spark, SF_DIR, "lineitem").withColumn(
+        "rf", F.col("l_returnflag"))
+    li.repartition(8).write.mode("overwrite").partitionBy("rf").parquet(src)
+    before_rows = spark.read.parquet(src).count()
+    before_files = len(glob.glob(src + "/rf=*/*.parquet"))
+
+    compact_parquet(spark, src, target_mb=128)
+    part_dirs = sorted(d for d in os.listdir(src) if d.startswith("rf="))
+    assert part_dirs == ["rf=A", "rf=N", "rf=R"]
+    assert not glob.glob(src + "/*.parquet")  # no flattened files at root
+    after_files = len(glob.glob(src + "/rf=*/*.parquet"))
+    assert after_files < before_files
+    after = spark.read.parquet(src)
+    assert after.count() == before_rows
+    assert "rf" in after.columns  # still a partition column, still readable
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     """Live JDBC round trip through write_jdbc/read_jdbc against the
     embedded Derby engine that ships on Spark's own classpath (the
