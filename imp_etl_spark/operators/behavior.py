@@ -118,8 +118,11 @@ def funnel_counts(
         rows.crossJoin(F.broadcast(base))
         .select(
             "stage_idx", "stage", "users",
-            (F.col("users").cast("double") / F.col("__base").cast("double"))
-            .alias("conv_pct"),
+            # try_divide: a zero-user funnel (empty day partition) yields
+            # NULL conv_pct — DuckDB's x/0 semantics — instead of an ANSI
+            # DIVIDE_BY_ZERO abort taking down the whole report job
+            F.try_divide(F.col("users").cast("double"),
+                         F.col("__base").cast("double")).alias("conv_pct"),
         )
     )
 

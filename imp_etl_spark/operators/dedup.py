@@ -274,7 +274,12 @@ def build_minhash_index(df: DataFrame, path: str, text_col: str = "text",
     stacked.write.mode("overwrite").partitionBy("band").parquet(path)
     params = {"id_col": id_col, "text_col": text_col,
               "shingle_k": shingle_k, "num_hashes": num_hashes,
-              "bands": bands}
+              "bands": bands,
+              # declared read schema: consumers skip footer inference,
+              # and a zero-doc corpus (empty crawl batch) round-trips —
+              # an empty partitioned write leaves no part files, so a
+              # schema-less read would fail UNABLE_TO_INFER_SCHEMA
+              "schema": stacked.schema.jsonValue()}
     # sidecar through the Hadoop FS API: the parquet write above works
     # on any scheme, so the sidecar must too (driver-local open() would
     # silently pin the artifact to the driver's disk)
@@ -319,7 +324,12 @@ def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
 
     params = json.loads(fs_read_text(
         spark, path.rstrip("/") + "/_params.json"))
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if "schema" in params:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(params["schema"]))
+    df = reader.parquet(path)
     return df.select(params["id_col"], "band", "sig"), params
 
 

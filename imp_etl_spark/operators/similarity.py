@@ -203,6 +203,8 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
         .collect()
     )
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
+    if not cent_vecs:  # empty corpus: no seeds, nothing to refine
+        return []
     micro = F.transform(
         F.col(vec_col),
         lambda x: (x.cast("double").cast("decimal(18,6)")
@@ -273,6 +275,20 @@ def _probe_and_rank(assigned: DataFrame, queries: DataFrame,
     )
 
 
+def _empty_topk(ids_from: DataFrame, queries: DataFrame,
+                id_col: str, query_id_col: str) -> DataFrame:
+    """Zero-row (query_id, id, cos, rnk) frame with types inherited from
+    the real sources — the well-formed answer when there is nothing to
+    probe (empty corpus / untrained index)."""
+    return (
+        queries.select(query_id_col).limit(0)
+        .crossJoin(ids_from.select(id_col).limit(0))
+        .select(query_id_col, id_col,
+                F.lit(0.0).alias("cos"),
+                F.lit(0).cast("int").alias("rnk"))
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              nlist: int = 16, nprobe: int = 4, kmeans_iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -287,6 +303,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """
     cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
                                     id_col, vec_col)
+    if not cent_vecs:  # empty corpus: no lists, no candidates
+        return _empty_topk(corpus, queries, id_col, query_id_col)
     assigned = assign_ivf_lists(corpus, cent_vecs, vec_col)
     return _probe_and_rank(assigned, queries, cent_vecs, k, nprobe,
                            id_col, vec_col, query_id_col)
@@ -311,11 +329,18 @@ def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
 
     cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
                                     id_col, vec_col)
-    assigned = assign_ivf_lists(corpus.select(id_col, vec_col),
-                                cent_vecs, vec_col)
+    narrow = corpus.select(id_col, vec_col)
+    if cent_vecs:
+        assigned = assign_ivf_lists(narrow, cent_vecs, vec_col)
+    else:  # empty corpus: an empty index with the declared layout
+        assigned = narrow.withColumn("__list", F.lit(0).cast("int")).limit(0)
     assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(cent_vecs, f)
+    # declared read schema: probes skip footer inference, and an empty
+    # index (zero part files after the partitioned write) stays readable
+    with open(os.path.join(path, "_schema.json"), "w") as f:
+        json.dump(assigned.schema.jsonValue(), f)
     return cent_vecs
 
 
@@ -331,7 +356,16 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
 
     with open(os.path.join(path, "_centroids.json")) as f:
         cent_vecs = json.load(f)
-    assigned = spark.read.parquet(path)
+    reader = spark.read
+    schema_file = os.path.join(path, "_schema.json")
+    if os.path.exists(schema_file):
+        from pyspark.sql.types import StructType
+
+        with open(schema_file) as f:
+            reader = reader.schema(StructType.fromJson(json.load(f)))
+    assigned = reader.parquet(path)
+    if not cent_vecs:  # index built over an empty corpus
+        return _empty_topk(assigned, queries, id_col, query_id_col)
     # prune the scan to the union of all queries' probe lists first
     # (partition pruning), then route per-query via the join on __list
     probe_rows = queries.select(
@@ -368,6 +402,11 @@ def ivf_index_append(spark, path: str, batch: DataFrame,
 
     with open(os.path.join(path, "_centroids.json")) as f:
         cent_vecs = json.load(f)
+    if not cent_vecs:
+        raise ValueError(
+            f"IVF index at {path} was trained on an empty corpus and has "
+            "no centroids to assign against — rebuild with build_ivf_index "
+            "once the corpus is non-empty")
     assigned = assign_ivf_lists(batch.select(id_col, vec_col),
                                 cent_vecs, vec_col)
     assigned.write.mode("append").partitionBy("__list").parquet(path)

@@ -1226,23 +1226,38 @@ _DRIVER_WINDOW_FIRST = [
     "s2_paginated_scan", "peak_click_concurrency",
     "skew_profile_orders_custkey", "rfm_customer_segments",
     "parts_pareto_cumshare",
+    # -- (3b) functions changed by the round-5 empty-input robustness
+    #     sweep (tests/test_empty_inputs.py): try_divide funnels,
+    #     incremental-view None-snapshot guard, IVF zero-centroid
+    #     guards + declared-schema index sidecar
+    "funnel_signup_purchase", "corpus_curation_funnel",
+    "stream_incremental_view", "ivf_cosine_topk", "ivf_indexed_topk",
+    # -- (3c) rides-along: entries whose implementing FILE changed this
+    #     round though their own functions/branches did not
+    #     (similarity.py, behavior.py, queries_corpus.py)
+    "ann_cosine_topk", "srp_bucket_topk", "cohort_retention_daily",
+    "resample_ffill_hourly", "user_activity_streaks", "scd2_user_state",
+    "ngram_novelty", "bpe_pair_counts", "oov_rate_docs",
+    "quality_percentile_filter",
     # -- (4a) r1-era greens (oldest rows in the ledger)
     "dq_rule_violations", "json_extract_props", "salted_skew_agg",
     "asof_click_before_purchase", "range_clicks_before_purchase",
     # -- (4b) r2-era greens: join/filter anchors, multimodal/text tier
     "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
     "multimodal_frame_sample", "pii_redact_docs", "text_quality_gopher",
-    "chunk_documents", "nested_types_suite",
-    # -- (4c) r2-era greens: the classic TPC-H tier
+    "chunk_documents",
+    # -- position 51+: the r6 backfill queue if the budget exceeds 50 —
+    #    the r2-era classic TPC-H tier (greens still valid, code
+    #    unchanged), then the rest of the r2 tier (function suites +
+    #    remaining aggregates), then the two rows-only entries
+    #    (re-executed for the record; they stay outside the hash gate
+    #    by contract).
+    "nested_types_suite",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_balance",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
-    # -- position 51+: the r6 backfill queue if the budget exceeds 50 —
-    #    the rest of the r2 tier (function suites + remaining
-    #    aggregates), then the two rows-only entries (re-executed for
-    #    the record; they stay outside the hash gate by contract).
     "q22_dormant_customers", "agg_distinct_customers",
     "pivot_status_counts", "unpivot_measures", "agg_exact_median",
     "string_funcs_suite", "date_funcs_suite", "math_funcs_suite",

@@ -1363,7 +1363,14 @@ def stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 raise RuntimeError(
                     f"incremental-view wave {wave} did not drain in 300s")
-        out = read_target(spark, view).select(
+        snap = read_target(spark, view)
+        if snap is None:
+            # zero source rows: no epoch ever merged, so the sink has no
+            # snapshot — the view is well-defined and empty, not an error
+            return spark.createDataFrame(
+                [], "o_custkey BIGINT, n_rows BIGINT, value_sum DOUBLE, "
+                    "first_seen TIMESTAMP_NTZ, last_seen TIMESTAMP_NTZ")
+        out = snap.select(
             "o_custkey", "n_rows",
             F.col("value_sum").cast("double").alias("value_sum"),
             "first_seen", "last_seen")

@@ -456,7 +456,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.crossJoin(F.broadcast(raw))
         .select("stage_idx", "stage", "docs", "tokens",
-                (F.col("docs").cast("double")
-                 / F.col("__raw_docs").cast("double"))
+                # try_divide: an empty corpus yields NULL retention
+                # (DuckDB's x/0 semantics), not an ANSI abort
+                F.try_divide(F.col("docs").cast("double"),
+                             F.col("__raw_docs").cast("double"))
                 .alias("retained_pct"))
     )

@@ -1,0 +1,46 @@
+"""Degenerate-input sweep: every registry query on zero-row tables.
+
+At 100 TB a filter/partition-prune routinely hands an operator an empty
+frame (a crawl batch with no new docs, a day partition with no events, a
+queue drained to zero). The reference's pipeline handles the empty queue
+explicitly (``etlService.js`` skips the run when no pending rows); this
+engine must degrade the same way everywhere: every query builds, executes
+and yields a well-formed (possibly empty, possibly single-row global-agg)
+result — never a crash in plan-build, codegen or an iterative loop's
+zero-iteration edge.
+
+One test sweeps the whole registry against a zero-row clone of the
+fixture schemas and reports every failure at once (a parametrized split
+would pay 150x session/jvm fixture overhead for no extra signal).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from imp_etl_spark import schemas
+from imp_etl_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty")
+    for name, schema in schemas.FIXTURE_TABLES.items():
+        spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+            os.path.join(str(d), f"{name}.parquet"))
+    return str(d)
+
+
+def test_registry_sweep_on_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name, (fn, _sql) in REGISTRY.items():
+        try:
+            df = fn(spark, empty_sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # collect all, report once
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, (
+        f"{len(failures)}/{len(REGISTRY)} queries crash on empty input:\n"
+        + "\n".join(failures[:20]))
