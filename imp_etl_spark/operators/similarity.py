@@ -195,6 +195,10 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
     the identical shortest-repr half-away rounding (tests/
     test_quantize.py) — the whole training loop is reproducible in the
     SQL oracle (queries_llm._ivf_sql). At 100 TB, train on a sample."""
+    # null vectors carry no geometry: they can seed nothing and every
+    # centroid score against them is NULL — drop them from training
+    # (dirty-corpus reality; rows with embeddings are unaffected)
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     cents = (
         corpus.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")).asc(),

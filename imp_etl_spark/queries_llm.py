@@ -373,7 +373,9 @@ def jaccard_sampled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"),
                 F.col("b.doc_id").alias("id_b"),
-                (inter.cast("double") / union).alias("jaccard"))
+                # try_divide: two empty gram sets (null/blank texts) have
+                # undefined Jaccard — NULL, DuckDB's 0/0, not an ANSI abort
+                F.try_divide(inter.cast("double"), union).alias("jaccard"))
     )
 
 

@@ -44,3 +44,43 @@ def test_registry_sweep_on_empty_tables(spark, empty_sf_dir):
     assert not failures, (
         f"{len(failures)}/{len(REGISTRY)} queries crash on empty input:\n"
         + "\n".join(failures[:20]))
+
+
+# per-table key columns kept non-null in the null-heavy sweep; a null
+# primary key is a broken upstream extract, but a null in ANY other
+# column is ordinary dirty data a 100 TB crawl serves constantly
+_KEYS = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"], "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for name, schema in schemas.FIXTURE_TABLES.items():
+        rows = [
+            tuple(i if f.name in _KEYS[name] else None
+                  for f in schema.fields)
+            for i in (1, 2, 3)
+        ]
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(str(d), f"{name}.parquet"))
+    return str(d)
+
+
+def test_registry_sweep_on_all_null_columns(spark, nulls_sf_dir):
+    failures = []
+    for name, (fn, _sql) in REGISTRY.items():
+        try:
+            df = fn(spark, nulls_sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, (
+        f"{len(failures)}/{len(REGISTRY)} queries crash on null-heavy "
+        "input:\n" + "\n".join(failures[:20]))
