@@ -180,7 +180,13 @@ def minhash_stacked(df: DataFrame, text_col: str = "text",
     sh = shingles(toks, shingle_k)
     # one md5 per shingle, materialized once; permutations are arithmetic
     # (12x less hashing than salted digests — see functions/hashing.py)
-    hashed = df.select(
+    # Zero-shingle docs (null/blank/whitespace text) carry no signature:
+    # array_min over nothing is NULL and concat_ws skips NULLs, so every
+    # contentless doc would share the "" band signature and an empty
+    # crawl page would pair with every other empty page. Drop them here
+    # — same semantics as the SQL oracle, whose UNNEST emits no hash
+    # rows for an empty shingle list.
+    hashed = df.where(F.size(sh) > 0).select(
         F.col(id_col),
         F.transform(sh, shingle_hash).alias("hs"),
     )

@@ -127,7 +127,8 @@ def stratified_sample(df: DataFrame, strata_col: str,
 def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
                    fractions: dict[str, float], salt: str = "",
                    method: str = "hash",
-                   buckets: int = BUCKETS) -> DataFrame:
+                   buckets: int = BUCKETS,
+                   default: float = 0.0) -> DataFrame:
     """Corpus mixing: keep each stratum (source/language/domain) at its
     own rate in ONE narrow pass — the deterministic version of the
     training-data "mixture weights" step. Unlike ``stratified_sample``
@@ -144,6 +145,8 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
     bad = [k for k, v in fractions.items() if not 0 <= v <= 1]
     if bad:
         raise ValueError(f"fractions outside [0,1] for strata {bad}")
+    if not 0 <= default <= 1:
+        raise ValueError(f"default fraction outside [0,1]: {default}")
     if method in ("hash", "md5"):
         bucket = _hash_bucket(id_col, salt, buckets,
                               "xxhash64" if method == "hash" else "md5")
@@ -156,8 +159,10 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
         cond = F.col(strata_col) == F.lit(name)
         hi = F.lit(round(frac * buckets))
         cut = F.when(cond, hi) if cut is None else cut.when(cond, hi)
-    # strata not named in `fractions` are dropped (weight 0)
-    return df.filter(bucket < cut.otherwise(F.lit(0)))
+    # strata not named in `fractions` get `default` (0.0 = dropped; 1.0
+    # = kept whole — the "downsample the named stratum, pass the rest"
+    # shape a language-rebalance wants for langs unseen at config time)
+    return df.filter(bucket < cut.otherwise(F.lit(round(default * buckets))))
 
 
 def pack_greedy(df: DataFrame, id_col: str, weight_col: str, budget: int,

@@ -60,12 +60,15 @@ WITH toks AS (
 )
 SELECT doc_id, n_chars,
        len(t) AS n_tokens,
-       CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
-         / len(t) AS stopword_ratio,
-       CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
-         / length(text) AS punct_ratio,
-       CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
-         / len(t) AS mean_token_len
+       COALESCE(
+         CAST(len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+           / len(t), 0.0) AS stopword_ratio,
+       COALESCE(
+         CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+           / length(text), 0.0) AS punct_ratio,
+       COALESCE(
+         CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+           / len(t), 0.0) AS mean_token_len
 FROM toks
 """)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,7 +1296,9 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = mixture_sample(
         docs, "lang", "doc_id",
         {"en": 0.2, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
-        method="md5")
+        method="md5", default=1.0)  # keep langs unseen at config time
+        # whole — the oracle's ELSE branch; only the dominant stratum
+        # is downsampled
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
 
 
