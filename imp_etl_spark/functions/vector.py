@@ -27,8 +27,14 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity: dot / (||a|| * ||b||)."""
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """Cosine similarity: dot / (||a|| * ||b||).
+
+    try_divide: a zero-norm vector (an all-zero embedding — encoder
+    padding rows, dead inputs) has undefined cosine. NULL matches the
+    SQL oracle's x/0 and ranks last under desc ordering in BOTH engines
+    (Spark desc = nulls last, DuckDB default_null_order = nulls last),
+    where ANSI division would abort the whole top-k job."""
+    return F.try_divide(dot(a, b), norm2(a) * norm2(b))
 
 
 def cosine_arrow_udf(query_vec: list[float]):

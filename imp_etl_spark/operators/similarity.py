@@ -195,10 +195,17 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
     the identical shortest-repr half-away rounding (tests/
     test_quantize.py) — the whole training loop is reproducible in the
     SQL oracle (queries_llm._ivf_sql). At 100 TB, train on a sample."""
-    # null vectors carry no geometry: they can seed nothing and every
-    # centroid score against them is NULL — drop them from training
-    # (dirty-corpus reality; rows with embeddings are unaffected)
-    corpus = corpus.where(F.col(vec_col).isNotNull())
+    # Vectors without usable geometry are dropped from training
+    # (dirty-corpus reality; well-formed embeddings are unaffected):
+    # - null vectors seed nothing and score NULL against every centroid;
+    # - NaN/Inf components poison the centroid means;
+    # - |x| >= 1e12 overflows the decimal(18,6) exact-quantization
+    #   domain the oracle-reproducible integer Lloyd update relies on
+    #   (and no real embedding lives there).
+    bad = lambda x: (F.isnan(x.cast("double"))
+                     | (F.abs(x.cast("double")) >= F.lit(1e12)))
+    corpus = corpus.where(F.col(vec_col).isNotNull()
+                          & ~F.exists(F.col(vec_col), bad))
     cents = (
         corpus.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")).asc(),
@@ -229,7 +236,9 @@ def train_ivf_centroids(corpus: DataFrame, nlist: int = 16,
         cent_vecs = [
             [by_list[i][p] for p in range(len(cent_vecs[i]))]
             if i in by_list else cent_vecs[i]  # empty list keeps its seed
-            for i in range(nlist)
+            # a corpus smaller than nlist seeds fewer centroids — the
+            # update must walk the seeds it HAS, not the nlist it wanted
+            for i in range(len(cent_vecs))
         ]
     return cent_vecs
 
