@@ -206,11 +206,27 @@ def manila_iso(col: Column | str) -> Column:
 
 
 def duration_hms(col: Column | str) -> Column:
-    """T11 — milliseconds -> "Xh Ym Zs" (``index.js:39-44``)."""
+    """T11 — milliseconds -> "Xh Ym Zs" (``index.js:39-44``).
+
+    Truncating division throughout: identical to the floor formulation
+    for the reference's non-negative runtimes, and for a negative input
+    (clock skew) every component truncates toward zero consistently —
+    the old mix of float floor and sign-of-dividend remainder
+    double-counted the hour on negatives. ``(ms - ms % b) / b`` is
+    exact: Spark's ``%`` carries the dividend sign, the difference is a
+    multiple of ``b``, and both sit far inside double's 2^53 integer
+    range for the value domain (|ms| <= 1e15)."""
     ms = _c(col).cast("long")
-    return F.format_string(
-        "%dh %dm %ds",
-        F.floor(ms / 3_600_000).cast("long"),
-        F.floor((ms % 3_600_000) / 60_000).cast("long"),
-        F.floor((ms % 60_000) / 1_000).cast("long"),
-    )
+
+    def tdiv(a: Column, b: int) -> Column:
+        return ((a - a % b) / b).cast("long")
+
+    # NULL in, NULL out — format_string would otherwise render the
+    # literal text "nullh nullm nulls" for a missing duration
+    return F.when(ms.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string(
+            "%dh %dm %ds",
+            tdiv(ms, 3_600_000),
+            tdiv(ms % 3_600_000, 60_000),
+            tdiv(ms % 60_000, 1_000),
+        ))

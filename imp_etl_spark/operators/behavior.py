@@ -174,6 +174,9 @@ def resample_ffill(
     in the oracle.
     """
     unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    # temporal contract (see state_intervals): untimed events neither
+    # bound the grid nor supply fill values
+    events = events.where(F.col(ts_col).isNotNull())
     bounds = events.groupBy(key_col).agg(
         F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
         F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
@@ -245,7 +248,11 @@ def state_intervals(
     """
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc())
-    marked = events.select(
+    # temporal contract: an event without a timestamp cannot be
+    # sequenced into a state history — excluded, not sorted to an
+    # engine-dependent end (Spark asc = nulls first, most SQL engines =
+    # nulls last; a null-ts row would silently shift every interval)
+    marked = events.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col), F.col(ts_col), F.col(state_col),
         F.col(tiebreak_col),
         F.lag(F.col(state_col)).over(w).alias("__prev"),

@@ -156,10 +156,10 @@ def zscore_outliers(df: DataFrame, group_col, value_col: str,
     integer comparison ``(v*n - S1)^2 > t^2 * (n*S2 - S1^2)`` — no
     float compares anywhere, so the kept set is partitioning- and
     fold-order-independent and reproducible in any engine. The reported
-    z is computed with exactly three IEEE ops (two int->double
-    conversions feed one divide over one correctly-rounded sqrt), so it
-    is bit-identical across engines too (the int->double casts route
-    through BIGINT: exact while |dev| < 2^63, documented ceiling).
+    z is computed with exactly three IEEE ops (two correctly-rounded
+    decimal->double conversions feed one divide over one
+    correctly-rounded sqrt), so it is bit-identical across engines at
+    every magnitude the 38-digit moments can hold.
 
     Scale: one hash aggregation per group for the moments (map-side
     partial), then the tiny moment frame broadcasts back onto the fact —
@@ -170,20 +170,31 @@ def zscore_outliers(df: DataFrame, group_col, value_col: str,
     q = F.col(value_col).cast(f"decimal(18,{scale})")
     v_int = (q * F.lit(10 ** scale)).cast("long")
     d38 = "decimal(38,0)"
+    # value-less rows carry no signal: excluded from the baseline (a
+    # NULL would be skipped by the sums but still counted in n,
+    # silently diluting the mean) and cannot be scored
+    df = df.where(F.col(value_col).isNotNull())
     moments = (
         df.select(*groups, v_int.alias("__v"))
         .groupBy(*groups)
         .agg(
             F.count(F.lit(1)).cast(d38).alias("__n"),
             F.sum(F.col("__v").cast(d38)).alias("__s1"),
-            F.sum((F.col("__v") * F.col("__v")).cast(d38)).alias("__s2"),
+            # cast BEFORE squaring: a long*long square overflows i64
+            # once |v| reaches ~3e9 quantized units; decimal(38,0)
+            # multiply keeps the moment exact to ~1e19 units
+            F.sum(F.col("__v").cast(d38) * F.col("__v").cast(d38))
+            .alias("__s2"),
         )
     )
     dev = v_int.cast(d38) * F.col("__n") - F.col("__s1")
     den = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    # decimal -> double directly: the old BIGINT hop errored once |den|
+    # passed 2^63; the direct cast is the same correctly-rounded IEEE
+    # value (bit-equal to DuckDB's HUGEINT -> DOUBLE) at every scale
     z = (
-        dev.cast("long").cast("double")
-        / F.sqrt(den.cast("long").cast("double"))
+        dev.cast("double")
+        / F.sqrt(den.cast("double"))
     )
     target = df if score_df is None else score_df
     # den == 0 (zero-variance baseline) admits every non-member under
@@ -221,7 +232,10 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     """
     v_int = (F.col(value_col).cast(f"decimal(18,{scale})")
              * F.lit(10 ** scale)).cast("long")
-    q = df.withColumn("__v", v_int)
+    # a row without a value has no deviation: it can neither anchor the
+    # median nor be scored (and a NULL __v would sort to an
+    # engine-dependent end of the rank window, shifting the pick)
+    q = df.where(F.col(value_col).isNotNull()).withColumn("__v", v_int)
 
     def _rank_pick(frame: DataFrame, col: str, alias: str) -> DataFrame:
         from pyspark.sql import Window

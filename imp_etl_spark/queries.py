@@ -645,11 +645,17 @@ def setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("json_extract_props", """
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN json_extract(props, '$.k')::BIGINT END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS cnt,
-       CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
-       CAST(MAX(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM p
 GROUP BY event_type
 """)
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +749,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        COUNT(*) AS cnt,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """)
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,10 +764,12 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("events_sliding_1h_30m", """
-WITH shifted AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, * FROM events
+WITH te AS (
+  SELECT * FROM events WHERE ts IS NOT NULL
+), shifted AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, * FROM te
   UNION ALL
-  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', * FROM events
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', * FROM te
 )
 SELECT window_start, COUNT(*) AS cnt,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -788,6 +797,7 @@ WITH flagged AS (
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), numbered AS (
   SELECT user_id, ts,
          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -985,7 +995,8 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pts AS (
   SELECT user_id,
          CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) AS x,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+         CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6))
+              * 1000000 AS HUGEINT) AS y
   FROM events
   WHERE ts IS NOT NULL AND value IS NOT NULL
 ), s AS (
@@ -1226,32 +1237,45 @@ _DRIVER_WINDOW_FIRST = [
     "s2_paginated_scan", "peak_click_concurrency",
     "skew_profile_orders_custkey", "rfm_customer_segments",
     "parts_pareto_cumshare",
-    # -- (3b) functions changed by the round-5 empty-input robustness
-    #     sweep (tests/test_empty_inputs.py): try_divide funnels,
-    #     incremental-view None-snapshot guard, IVF zero-centroid
-    #     guards + declared-schema index sidecar
+    # -- (3b) functions changed by the round-5 degenerate-input sweeps
+    #     (tests/test_empty_inputs.py, test_adversarial_text.py,
+    #     test_adversarial_embeddings.py, test_adversarial_events.py):
+    #     try_divide funnels/cosine/jaccard, incremental-view
+    #     None-snapshot guard, IVF zero-centroid guards +
+    #     declared-schema sidecars + seed-count fix, zero-shingle
+    #     banding exclusion, mixture default rate, json_valid oracle
+    #     guard, the temporal null-ts contract, null-value outlier
+    #     baselines, widened decimal moment casts, truncating negative
+    #     durations, NULL-propagating format_string
     "funnel_signup_purchase", "corpus_curation_funnel",
     "stream_incremental_view", "ivf_cosine_topk", "ivf_indexed_topk",
-    # -- (3c) rides-along: entries whose implementing FILE changed this
-    #     round though their own functions/branches did not
-    #     (similarity.py, behavior.py, queries_corpus.py)
-    "ann_cosine_topk", "srp_bucket_topk", "cohort_retention_daily",
-    "resample_ffill_hourly", "user_activity_streaks", "scd2_user_state",
-    "ngram_novelty", "bpe_pair_counts", "oov_rate_docs",
-    "quality_percentile_filter",
-    # -- (4a) r1-era greens (oldest rows in the ledger)
-    "dq_rule_violations", "json_extract_props", "salted_skew_agg",
+    "ann_cosine_topk", "srp_bucket_topk",
+    "stratified_sample_langs", "text_stats",
+    "json_extract_props", "events_tumbling_1h", "events_sliding_1h_30m",
+    "events_session_10m", "scd2_user_state", "resample_ffill_hourly",
+    "top_event_paths", "event_type_transitions", "zorder_events_layout",
+    "twap_user_value", "t_time_format_suite", "per_group_trend",
+    "agg_stats_moments", "outlier_events_zscore", "outlier_events_mad",
+    "seasonal_anomaly_events",
+    # -- (3c) pivot NULL-cell -> 0 fix (function-level, adversarial
+    #     relational sweep) + the closest behavior.py rides-along
+    "pivot_status_counts", "cohort_retention_daily",
+    # -- position 51+: the r6 backfill queue if the budget exceeds 50.
+    #    First the rides-along whose files changed this round but whose
+    #    functions did not (argued function-by-function in COVERAGE.md),
+    #    then the r2-era classic TPC-H tier (greens still valid, code
+    #    unchanged), the rest of the r2 tier, and the two rows-only
+    #    entries (re-executed for the record; they stay outside the
+    #    hash gate by contract).
+    "user_activity_streaks", "ngram_novelty", "bpe_pair_counts",
+    "oov_rate_docs", "quality_percentile_filter", "dq_rule_violations",
+    "profile_orders", "mixture_by_source", "rolling_24h_user_value",
+    "ewma_user_value", "t_cleanse_suite",
+    "salted_skew_agg",
     "asof_click_before_purchase", "range_clicks_before_purchase",
-    # -- (4b) r2-era greens: join/filter anchors, multimodal/text tier
     "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
     "multimodal_frame_sample", "pii_redact_docs", "text_quality_gopher",
     "chunk_documents",
-    # -- position 51+: the r6 backfill queue if the budget exceeds 50 —
-    #    the r2-era classic TPC-H tier (greens still valid, code
-    #    unchanged), then the rest of the r2 tier (function suites +
-    #    remaining aggregates), then the two rows-only entries
-    #    (re-executed for the record; they stay outside the hash gate
-    #    by contract).
     "nested_types_suite",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_balance",
@@ -1259,7 +1283,7 @@ _DRIVER_WINDOW_FIRST = [
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers", "agg_distinct_customers",
-    "pivot_status_counts", "unpivot_measures", "agg_exact_median",
+    "unpivot_measures", "agg_exact_median",
     "string_funcs_suite", "date_funcs_suite", "math_funcs_suite",
     "null_cond_suite", "regex_funcs_suite", "hof_array_suite",
     "agg_approx_stats", "math_transcendental",

@@ -106,10 +106,13 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("resample_ffill_hourly", """
-WITH b AS (
+WITH te AS (
+  SELECT * FROM events WHERE ts IS NOT NULL
+),
+b AS (
   SELECT user_id, date_trunc('hour', min(ts)) AS lo,
          date_trunc('hour', max(ts)) AS hi
-  FROM events GROUP BY user_id
+  FROM te GROUP BY user_id
 ),
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour'))
@@ -118,7 +121,7 @@ grid AS (
 ),
 d AS (
   SELECT user_id, ts, max(value) AS value
-  FROM events GROUP BY user_id, ts
+  FROM te GROUP BY user_id, ts
 )
 SELECT g.user_id, g.grid_ts, d.value AS last_value
 FROM grid g ASOF LEFT JOIN d
@@ -140,16 +143,19 @@ def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("outlier_events_zscore", """
 WITH q AS (
   SELECT event_id, event_type, value,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) * 100
+              AS HUGEINT) AS v
   FROM events
+  WHERE value IS NOT NULL
 ),
 m AS (
-  SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(v) AS s1, sum(v * v) AS s2
   FROM q GROUP BY event_type
 )
 SELECT q.event_id, q.event_type, q.value,
-       CAST(CAST(q.v * m.n - m.s1 AS BIGINT) AS DOUBLE) /
-       sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS BIGINT) AS DOUBLE))
+       CAST(q.v * m.n - m.s1 AS DOUBLE) /
+       sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
          AS zscore
 FROM q JOIN m USING (event_type)
 WHERE (q.v * m.n - m.s1) * (q.v * m.n - m.s1)
@@ -181,7 +187,13 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate part names: first-char blocking + Levenshtein<=3
     refine, self-pairs and symmetric duplicates removed by name_a <
-    name_b inside the block join."""
+    name_b inside the block join.
+
+    Known oracle deviation (tests/test_adversarial_tpch.py): the
+    engine's edit distance is CHARACTER-based (Spark levenshtein);
+    DuckDB's counts BYTES, so a multibyte character substitution
+    scores 2+ there. Character semantics are the intended contract;
+    the oracle agrees on ASCII names (the fixture)."""
     names = read_table(spark, sf_dir, "part").select("p_name").distinct()
     pairs = join.fuzzy_join_blocked(
         names.select(F.col("p_name").alias("name_a")),
@@ -256,6 +268,7 @@ WITH c AS (
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events
+  WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT user_id, event_type AS state, ts AS valid_from, event_id,
@@ -378,6 +391,7 @@ WITH s AS (
   SELECT user_id, ts, value,
          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
   FROM events
+  WHERE ts IS NOT NULL
 ),
 seg AS (
   SELECT user_id,
@@ -387,7 +401,7 @@ seg AS (
 )
 SELECT user_id, count(*) AS n_segments,
        CAST(CAST(SUM(v * dur) AS BIGINT) AS DOUBLE) /
-       CAST(CAST(SUM(dur) * 100 AS BIGINT) AS DOUBLE) AS twap
+       NULLIF(CAST(CAST(SUM(dur) * 100 AS BIGINT) AS DOUBLE), 0.0) AS twap
 FROM seg GROUP BY user_id
 """)
 def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +414,9 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user. Headroom: cent-value x total-span-us products stay under
     2^63 until a key's integral exceeds ~9e18 cent-us (~300 years of
     max-fixture values); the 38-digit sums are the scale path. One
-    window + one hash agg, both on the user key — one shuffle total."""
-    ev = read_table(spark, sf_dir, "events")
+    window + one hash agg, both on the user key — one shuffle total.
+    Temporal contract: untimed events hold no interval."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
     d38 = "decimal(38,0)"
@@ -420,10 +435,13 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return seg.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        (F.sum((F.col("v") * F.col("dur")).cast(d38)).cast("long")
-         .cast("double")
-         / (F.sum(F.col("dur").cast(d38)) * 100).cast("long")
-         .cast("double")).alias("twap"),
+        # try_divide: a user whose events all share one timestamp has
+        # zero total duration — twap undefined (NULL), not a job abort
+        F.try_divide(
+            F.sum((F.col("v") * F.col("dur")).cast(d38)).cast("long")
+            .cast("double"),
+            (F.sum(F.col("dur").cast(d38)) * 100).cast("long")
+            .cast("double")).alias("twap"),
     )
 
 
@@ -531,8 +549,10 @@ def win_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("outlier_events_mad", """
 WITH q AS (
   SELECT event_id, event_type, value,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) * 100
+              AS BIGINT) AS v
   FROM events
+  WHERE value IS NOT NULL
 ),
 r1 AS (
   SELECT *, row_number() OVER (PARTITION BY event_type
@@ -590,7 +610,8 @@ def snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood pass over part names (window 3): each name
     compares only with its 2 sort-order successors — complements the
     first-char blocking pass (fuzzy_part_pairs) as the second
-    record-linkage blocking family."""
+    record-linkage blocking family. Same character-vs-byte Levenshtein
+    oracle deviation on non-ASCII as fuzzy_part_pairs."""
     names = read_table(spark, sf_dir, "part").select("p_name")
     return join.sorted_neighborhood_pairs(
         names, "p_name", window=3, max_dist=3)
@@ -608,6 +629,7 @@ WITH s AS (
          lag(event_type, 2) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS p2
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS cnt
 FROM s WHERE p2 IS NOT NULL
@@ -616,8 +638,10 @@ GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
 def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 three-step event-type paths across user histories (lag
     window n-grams -> hash count -> bounded top-k with a unique (cnt,
-    path) tiebreak). One shuffle on the user key, one on the path."""
-    ev = read_table(spark, sf_dir, "events")
+    path) tiebreak). One shuffle on the user key, one on the path.
+    Temporal contract: untimed or untyped events are no path step."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
     s = ev.select(
@@ -643,6 +667,7 @@ WITH c AS (
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events
+  WHERE ts IS NOT NULL
 ),
 iv AS (
   SELECT user_id, ts AS valid_from,
@@ -849,6 +874,7 @@ WITH d AS (
   SELECT event_id, user_id % 1024 AS ux,
          (epoch_us(ts) // 60000000) % 1024 AS tm
   FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 z AS (
   SELECT event_id, ux, tm,
@@ -881,9 +907,12 @@ def zorder_events_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit. ntile over a global order stands in for the range
     partitioner's sampled boundaries to keep the oracle exact — the
     audit itself would run per-file from parquet footers, not via a
-    global window.
+    global window. Rows missing the user or the timestamp have no Z
+    key (and a NULL morton would land at an engine-dependent end of
+    the ntile order) — excluded on both sides.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     d = ev.select(
         "event_id",
         (F.col("user_id") % 1024).alias("ux"),
@@ -1279,6 +1308,7 @@ WITH c AS (
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ),
 t AS (
   SELECT prev, event_type AS next, count(*) AS cnt
@@ -1298,8 +1328,10 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition counts partial-combine into a |types|^2-group exchange;
     the probability normalizer is a window over <=|types|^2 rows.
     sum(cnt) is exact integer, so prob is one IEEE division.
+    Temporal contract: untimed or untyped events are no transition.
     """
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     c = ev.select("user_id", "event_type",
                   F.lag("event_type").over(w).alias("prev"))
@@ -1485,7 +1517,7 @@ WITH w AS (
          count(*) AS events,
          CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
                    AS HUGEINT) AS BIGINT) AS value_micro
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT event_type, week, events, value_micro,
        lag(events) OVER (PARTITION BY event_type ORDER BY week)
@@ -1506,8 +1538,10 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, week)-group exchange (value as exact integer micro-units);
     the lag window then partitions on the bounded type key over
     |types| x |weeks| rows. Growth is one IEEE division on exact
-    integer counts."""
-    ev = read_table(spark, sf_dir, "events")
+    integer counts. Temporal contract: untimed events belong to no
+    week (and a null week group would sort to an engine-dependent end
+    of the lag window — Spark nulls first, DuckDB nulls last)."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = (ev.groupBy("event_type",
                     F.date_trunc("week", F.to_date("ts")).alias("week"))
          .agg(F.count(F.lit(1)).alias("events"),

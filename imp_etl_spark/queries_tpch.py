@@ -558,12 +558,19 @@ GROUP BY o_orderpriority
 """)
 def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
-    return (
+    piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
         .withColumnsRenamed({"F": "st_f", "O": "st_o", "P": "st_p"})
     )
+    # a priority group with zero rows of some status COUNTs to 0, not
+    # NULL — pivot leaves an absent cell NULL, the filtered-count
+    # oracle (and plain SQL semantics) says 0
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+          for c in ("st_f", "st_o", "st_p")])
 
 
 @register("unpivot_measures", """
@@ -696,7 +703,8 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pts AS (
   SELECT event_type,
          CAST((epoch_us(ts) - 1704067200000000) // 1000 AS HUGEINT) AS x,
-         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y,
+         CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,6))
+              * 1000000 AS HUGEINT) AS y,
          value AS yraw
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ), s AS (
