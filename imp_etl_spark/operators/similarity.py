@@ -338,7 +338,8 @@ def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
     and no payload bytes riding along in every probe scan; hydrate
     payloads by joining the returned ids back to the corpus."""
     import json
-    import os
+
+    from imp_etl_spark.operators.util import fs_write_text
 
     cent_vecs = train_ivf_centroids(corpus, nlist, kmeans_iters,
                                     id_col, vec_col)
@@ -348,12 +349,15 @@ def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
     else:  # empty corpus: an empty index with the declared layout
         assigned = narrow.withColumn("__list", F.lit(0).cast("int")).limit(0)
     assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(cent_vecs, f)
+    # sidecars through the Hadoop FS API: the parquet write above works
+    # on any scheme (hdfs://, s3a://...), so the sidecars must too
+    spark = corpus.sparkSession
+    fs_write_text(spark, path.rstrip("/") + "/_centroids.json",
+                  json.dumps(cent_vecs))
     # declared read schema: probes skip footer inference, and an empty
     # index (zero part files after the partitioned write) stays readable
-    with open(os.path.join(path, "_schema.json"), "w") as f:
-        json.dump(assigned.schema.jsonValue(), f)
+    fs_write_text(spark, path.rstrip("/") + "/_schema.json",
+                  json.dumps(assigned.schema.jsonValue()))
     return cent_vecs
 
 
@@ -365,17 +369,21 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int,
     filter is a partition predicate — the scan reads only the probed
     list directories (verify via PartitionFilters in .explain)."""
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cent_vecs = json.load(f)
+    from imp_etl_spark.operators.util import fs_read_text
+
+    cent_vecs = json.loads(fs_read_text(
+        spark, path.rstrip("/") + "/_centroids.json"))
     reader = spark.read
-    schema_file = os.path.join(path, "_schema.json")
-    if os.path.exists(schema_file):
+    try:
+        schema_json = json.loads(fs_read_text(
+            spark, path.rstrip("/") + "/_schema.json"))
+    except Exception:  # pre-schema-sidecar index: fall back to inference
+        schema_json = None
+    if schema_json is not None:
         from pyspark.sql.types import StructType
 
-        with open(schema_file) as f:
-            reader = reader.schema(StructType.fromJson(json.load(f)))
+        reader = reader.schema(StructType.fromJson(schema_json))
     assigned = reader.parquet(path)
     if not cent_vecs:  # index built over an empty corpus
         return _empty_topk(assigned, queries, id_col, query_id_col)
@@ -411,10 +419,11 @@ def ivf_index_append(spark, path: str, batch: DataFrame,
     concurrent readers need snapshot isolation during ingest.
     """
     import json
-    import os
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        cent_vecs = json.load(f)
+    from imp_etl_spark.operators.util import fs_read_text
+
+    cent_vecs = json.loads(fs_read_text(
+        spark, path.rstrip("/") + "/_centroids.json"))
     if not cent_vecs:
         raise ValueError(
             f"IVF index at {path} was trained on an empty corpus and has "
