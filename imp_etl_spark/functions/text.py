@@ -28,9 +28,17 @@ EN_STOPWORDS = [
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization, lowercased, empty tokens dropped."""
+    """Whitespace tokenization, lowercased, empty tokens dropped.
+
+    NULL text tokenizes to an EMPTY list (null text ≡ no content,
+    SEMANTICS.md): without the coalesce, a null array reaches every
+    downstream fold with engine-dependent results — Spark's aggregate()
+    returns NULL where DuckDB's list_reduce over a prepended seed
+    returns the seed."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return F.coalesce(
+        F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != ""),
+        F.array().cast("array<string>"))
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
@@ -38,10 +46,14 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     with a BPE-flavoured regex (letters runs, digit runs, single
     non-space punctuation)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.regexp_extract_all(F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1),
-        lambda t: t != "",
-    )
+    # NULL text tokenizes to an empty list — same contract as tokens()
+    return F.coalesce(
+        F.filter(
+            F.regexp_extract_all(
+                F.lower(c), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1),
+            lambda t: t != "",
+        ),
+        F.array().cast("array<string>"))
 
 
 def token_count(col: Column | str) -> Column:

@@ -251,11 +251,20 @@ def assign_ivf_lists(corpus: DataFrame, centroids: list[list[float]],
 
 
 def _probe_lists(scores: Column, nlist: int, nprobe: int) -> Column:
-    """Indices of the nprobe best centroids, deterministic tie-break."""
+    """Indices of the nprobe best centroids, deterministic tie-break.
+
+    NULL scores (a zero-norm centroid — possible when a zero vector is
+    md5-picked as a seed) rank LAST via the -inf coalesce: the pairwise
+    comparator would otherwise see NULL as tied with every real score
+    and order it by index, probing a dead list ahead of better ones
+    (and diverging from SQL's NULLS LAST under ORDER BY cos DESC)."""
     ranked = F.array_sort(
         F.transform(
             F.sequence(F.lit(0), F.lit(nlist - 1)),
-            lambda i: F.struct(scores[i].alias("s"), i.alias("idx")),
+            lambda i: F.struct(
+                F.coalesce(scores[i],
+                           F.lit(float("-inf"))).alias("s"),
+                i.alias("idx")),
         ),
         lambda l, r: F.when(l["s"] > r["s"], -1)
         .when(l["s"] < r["s"], 1)

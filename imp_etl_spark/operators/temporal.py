@@ -56,6 +56,18 @@ def asof_join(
     out_names = list(build_cols.values())
     tiebreak = next(iter(build_cols))
 
+    # temporal contract: an untimed build row can never be "the latest
+    # at-or-before" anything — without this filter it sorts nulls-first
+    # into the running-last window and leaks into every later probe row
+    # (SQL's ts >= NULL comparison matches nothing). Untimed PROBE rows
+    # keep left-join semantics: they sort first, find no prior build
+    # row, and surface with null build columns — same as the oracle.
+    # Null-KEY build rows match nothing either (equi-join semantics:
+    # NULL = NULL is not a match; the window partition would otherwise
+    # treat NULL as a real key and fill null-key probe rows).
+    build = build.where(F.col(build_ts).isNotNull())
+    for k in on:
+        build = build.where(F.col(k).isNotNull())
     w_dedup = Window.partitionBy(*on, build_ts).orderBy(F.col(tiebreak).desc())
     b = (
         build.withColumn("__rn", F.row_number().over(w_dedup))
@@ -75,21 +87,29 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in out_names],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__m_ts"),
-    )
+    # ROW-ATOMIC fill: carry the whole matched build row as one struct.
+    # A per-column last(ignorenulls) would forward-fill each output
+    # column independently, stitching a frankenrow from DIFFERENT build
+    # rows whenever the latest one carries a NULL field (e.g. the
+    # matched click's value is NULL but an older click's 0.0 leaks in).
+    # The struct is non-null exactly on build rows, so ignorenulls
+    # skips probe rows but never reaches past the latest build row.
+    m = F.last(
+        F.when(F.col("__side") == 0,
+               F.struct(F.col("__ts").alias("__m_ts"),
+                        *[F.col(c) for c in out_names])),
+        ignorenulls=True,
+    ).over(w).alias("__m")
+    filled = unioned.select("*", m)
     result = filled.filter(F.col("__side") == 1)
 
-    keep: Column = F.lit(True)
+    keep: Column = F.col("__m").isNotNull()
     if tolerance is not None:
-        keep = F.col("__m_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        keep = keep & (F.col("__m")["__m_ts"]
+                       >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"))
     out_cols = [c for c in probe.columns]
     matched = [
-        F.when(keep, F.col(f"__m_{c}")).alias(c) for c in out_names
+        F.when(keep, F.col("__m")[c]).alias(c) for c in out_names
     ]
     return result.select(*out_cols, *matched)
 

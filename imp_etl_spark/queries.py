@@ -306,9 +306,15 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("nested_types_suite", """
 SELECT o_custkey,
-       array_to_string(list_sort(list(o_orderstatus)), '|') AS statuses,
-       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS priorities,
-       len(list(o_orderstatus)) AS n_statuses,
+       COALESCE(array_to_string(list_sort(COALESCE(list(o_orderstatus)
+           FILTER (WHERE o_orderstatus IS NOT NULL), [])), '|'), '')
+         AS statuses,
+       COALESCE(array_to_string(list_sort(list_distinct(
+           COALESCE(list(o_orderpriority)
+               FILTER (WHERE o_orderpriority IS NOT NULL), []))), '|'), '')
+         AS priorities,
+       len(COALESCE(list(o_orderstatus)
+           FILTER (WHERE o_orderstatus IS NOT NULL), [])) AS n_statuses,
        CAST(list_aggregate(list(o_totalprice_dec), 'sum') AS DOUBLE) AS total,
        COUNT(*) AS n, MIN(o_orderkey) AS first_key
 FROM (SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderkey,
@@ -326,7 +332,10 @@ def nested_types_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer can't hash Python lists (round-1 red row), so both
     engines emit a '|'-joined deterministic rendering of the same sorted
     array. (Struct columns are exercised in rows-only queries — engines
-    render them incomparably in the value hash.)"""
+    render them incomparably in the value hash.) Collected arrays hold
+    the NON-NULL values — Spark's collect_list/collect_set semantics,
+    stated in the oracle with FILTER clauses (DuckDB's bare list()
+    keeps NULLs)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
     statuses = F.array_sort(F.collect_list("o_orderstatus"))
     priorities = F.array_sort(F.collect_set("o_orderpriority"))
@@ -557,7 +566,8 @@ SELECT o_custkey, o_orderkey,
        DENSE_RANK() OVER w AS drnk,
        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) AS quartile
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderstatus ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderstatus ASC NULLS FIRST, o_orderkey ASC)
 """)
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank/dense_rank (ties on the status key) + ntile bucketing —
@@ -580,7 +590,8 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        LAG(o_totalprice) OVER w AS prev_price,
        LEAD(o_totalprice) OVER w AS next_price
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
 """)
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
@@ -596,7 +607,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("win_running_sum", """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 """)
@@ -791,7 +803,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_session_10m", """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '10 minutes' OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -800,7 +812,10 @@ WITH flagged AS (
   WHERE ts IS NOT NULL
 ), numbered AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         -- event_id tiebreak: a ROWS running sum keyed on ts alone
+         -- ranks same-instant peers by physical row position,
+         -- splitting one burst-session nondeterministically
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged
 )
@@ -868,8 +883,8 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stateful_user_stats", """
 SELECT user_id, COUNT(*) AS events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS HUGEINT)
-            AS BIGINT) AS value_sum_micro,
+       COALESCE(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000
+                          AS HUGEINT) AS BIGINT), 0) AS value_sum_micro,
        epoch_us(MAX(ts)) AS last_event_us
 FROM events
 GROUP BY user_id
@@ -1130,7 +1145,10 @@ WITH purchases AS (
   ) WHERE rn = 1
 )
 SELECT p.event_id, p.ts, p.user_id, p.value,
-       c.event_id AS click_event_id, c.ts AS click_ts, c.value AS click_value
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.event_id END
+         AS click_event_id,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.ts END AS click_ts,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.value END AS click_value
 FROM purchases p
 ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -1257,35 +1275,47 @@ _DRIVER_WINDOW_FIRST = [
     "twap_user_value", "t_time_format_suite", "per_group_trend",
     "agg_stats_moments", "outlier_events_zscore", "outlier_events_mad",
     "seasonal_anomaly_events",
-    # -- (3c) pivot NULL-cell -> 0 fix (function-level, adversarial
-    #     relational sweep) + the closest behavior.py rides-along
-    "pivot_status_counts", "cohort_retention_daily",
+    # -- (3c) later round-5 batches: pivot NULL-cell -> 0, the
+    #     exhaustive-split incremental merge fix (both function-level)
+    "pivot_status_counts", "incremental_agg_merge",
     # -- position 51+: the r6 backfill queue if the budget exceeds 50.
-    #    First the rides-along whose files changed this round but whose
-    #    functions did not (argued function-by-function in COVERAGE.md),
-    #    then the r2-era classic TPC-H tier (greens still valid, code
-    #    unchanged), the rest of the r2 tier, and the two rows-only
-    #    entries (re-executed for the record; they stay outside the
-    #    hash gate by contract).
-    "user_activity_streaks", "ngram_novelty", "bpe_pair_counts",
-    "oov_rate_docs", "quality_percentile_filter", "dq_rule_violations",
-    "profile_orders", "mixture_by_source", "rolling_24h_user_value",
-    "ewma_user_value", "t_cleanse_suite",
+    #    First the remaining function-level changes from the randomized
+    #    differential fuzz (tools/fuzz_differential.py) — row-atomic
+    #    as-of fill, NULLS FIRST window oracles, null-safe tokenizers,
+    #    collected-array FILTER/COALESCE oracles, trunc() casts, HHI
+    #    try_divide, 38-digit twap/ewma products — every one verified
+    #    by the full local differential AND value-identical at the
+    #    fixture scales (the degenerate inputs they change do not occur
+    #    there); then file-level rides-along, then the r2-era tiers
+    #    (greens still valid, code unchanged), then the two rows-only
+    #    entries (outside the hash gate by contract).
+    "asof_click_before_purchase", "attribution_last_touch",
+    "range_clicks_before_purchase", "ewma_user_value",
+    "stateful_user_stats", "win_running_sum", "win_rank_dense",
+    "win_lag_lead", "win_percentile_position", "agg_percentiles_disc",
+    "unpivot_measures", "nested_types_suite", "hof_array_suite",
+    "math_funcs_suite", "pack_sequences", "bpe_token_count",
+    "fingerprint_docs", "lang_id_docs", "word_counts_top50",
+    "explode_tokens", "doc_quality", "tfidf_top_term",
+    "doc_token_rarity", "contamination_overlap", "oov_rate_docs",
+    "ngram_novelty", "bpe_pair_counts", "quality_percentile_filter",
+    "text_quality_gopher",
+    "dq_rule_violations", "profile_orders", "mixture_by_source",
+    "rolling_24h_user_value", "t_cleanse_suite",
+    "user_activity_streaks", "cohort_retention_daily",
     "salted_skew_agg",
-    "asof_click_before_purchase", "range_clicks_before_purchase",
     "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
-    "multimodal_frame_sample", "pii_redact_docs", "text_quality_gopher",
+    "multimodal_frame_sample", "pii_redact_docs",
     "chunk_documents",
-    "nested_types_suite",
     "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q10_returned_items", "q11_important_balance",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers", "agg_distinct_customers",
-    "unpivot_measures", "agg_exact_median",
-    "string_funcs_suite", "date_funcs_suite", "math_funcs_suite",
-    "null_cond_suite", "regex_funcs_suite", "hof_array_suite",
+    "agg_exact_median",
+    "string_funcs_suite", "date_funcs_suite",
+    "null_cond_suite", "regex_funcs_suite",
     "agg_approx_stats", "math_transcendental",
 ]
 

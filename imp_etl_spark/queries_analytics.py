@@ -400,8 +400,8 @@ seg AS (
   FROM s WHERE nxt IS NOT NULL
 )
 SELECT user_id, count(*) AS n_segments,
-       CAST(CAST(SUM(v * dur) AS BIGINT) AS DOUBLE) /
-       NULLIF(CAST(CAST(SUM(dur) * 100 AS BIGINT) AS DOUBLE), 0.0) AS twap
+       CAST(SUM(v * dur) AS DOUBLE) /
+       NULLIF(CAST(SUM(dur) * 100 AS DOUBLE), 0.0) AS twap
 FROM seg GROUP BY user_id
 """)
 def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,10 +410,10 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded), so twap = sum(v_i * dur_i) / sum(dur_i).
 
     Exactness: micro-cent values x microsecond durations accumulate as
-    DECIMAL(38,0) integers (DuckDB HUGEINT mirror); ONE IEEE division
-    per user. Headroom: cent-value x total-span-us products stay under
-    2^63 until a key's integral exceeds ~9e18 cent-us (~300 years of
-    max-fixture values); the 38-digit sums are the scale path. One
+    DECIMAL(38,0) integers (DuckDB HUGEINT mirror) — every product is
+    taken in 38-digit arithmetic, never a 64-bit lane — and the final
+    division converts decimal->double directly (correctly rounded,
+    bit-equal to HUGEINT->DOUBLE; no BIGINT hop to overflow). One
     window + one hash agg, both on the user key — one shuffle total.
     Temporal contract: untimed events hold no interval."""
     ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
@@ -438,9 +438,9 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: a user whose events all share one timestamp has
         # zero total duration — twap undefined (NULL), not a job abort
         F.try_divide(
-            F.sum((F.col("v") * F.col("dur")).cast(d38)).cast("long")
+            F.sum(F.col("v").cast(d38) * F.col("dur").cast(d38))
             .cast("double"),
-            (F.sum(F.col("dur").cast(d38)) * 100).cast("long")
+            (F.sum(F.col("dur").cast(d38)) * 100)
             .cast("double")).alias("twap"),
     )
 
@@ -458,8 +458,12 @@ c AS (
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts
 )
 SELECT p.event_id, p.user_id, p.ts,
-       c.ts AS click_ts, c.click_value,
-       (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS gap_minutes
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.ts END AS click_ts,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.click_value END
+         AS click_value,
+       CASE WHEN p.ts IS NULL THEN NULL
+            ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 END
+         AS gap_minutes
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """)
@@ -523,7 +527,8 @@ SELECT o_orderkey, o_orderstatus, o_totalprice,
        cume_dist() OVER w AS cume,
        CAST(ntile(10) OVER w AS INTEGER) AS decile
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey)
 """)
 def win_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each order's exact distribution position within its status group:
@@ -733,11 +738,12 @@ e AS (
   WHERE value IS NOT NULL AND ts IS NOT NULL
 ),
 w AS (
-  SELECT user_id, y, (CAST(1 AS BIGINT) << (29 - age)) AS wt
+  SELECT user_id, CAST(y AS HUGEINT) AS y,
+         CAST(CAST(1 AS BIGINT) << (29 - age) AS HUGEINT) AS wt
   FROM e WHERE age BETWEEN 0 AND 29
 )
 SELECT user_id,
-       CAST(SUM(y * wt) AS BIGINT) AS num_milli_scaled,
+       CAST(SUM(y * wt) AS DOUBLE) AS num_milli_scaled,
        CAST(SUM(wt) AS BIGINT) AS weight_sum,
        CAST(SUM(y * wt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) / 1000.0
          AS ewma_value
@@ -748,19 +754,21 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing 30 days: weight = 2^-(age_days), scaled by 2^29 so every
     weight is an exact BIGINT and the weighted sum is exact integer
     arithmetic end-to-end (value quantized to milli-units via the
-    pinned double->DECIMAL cast, tests/test_quantize.py). The only
-    IEEE ops are the final two int->double casts and two divisions.
+    pinned double->DECIMAL cast, tests/test_quantize.py). The weighted
+    sums accumulate as DECIMAL(38,0)/HUGEINT — every product in
+    38-digit arithmetic, never a 64-bit lane — and surface through
+    correctly-rounded decimal->double conversions (bit-equal across
+    engines at every in-domain magnitude).
 
     Scale shape: the reference date is a 1-row broadcast (no window),
     weights are row-local bit shifts, and the single shuffle carries
-    (user_id, partial int sums) — map-side combine absorbs everything.
-    Magnitudes: y <= ~5.6e5 (value <= 560), wt <= 2^29 => y*wt <= 3e14,
-    so ~30k events/user fit in int64; beyond that widen the sums to
-    DECIMAL(38,0)/HUGEINT, same shape.
+    (user_id, partial decimal sums) — map-side combine absorbs
+    everything.
     """
     ev = read_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.to_date("ts")).alias("md"))
     age = F.datediff(F.col("md"), F.to_date("ts"))
+    d38 = "decimal(38,0)"
     e = (ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
          .crossJoin(F.broadcast(mx))
          .select("user_id",
@@ -773,10 +781,13 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("wt")))
     return (
         e.groupBy("user_id")
-        .agg(F.sum(F.col("y") * F.col("wt")).alias("num_milli_scaled"),
+        .agg(F.sum(F.col("y").cast(d38) * F.col("wt").cast(d38))
+             .alias("__num"),
              F.sum("wt").alias("weight_sum"))
-        .select("user_id", "num_milli_scaled", "weight_sum",
-                (F.col("num_milli_scaled").cast("double")
+        .select("user_id",
+                F.col("__num").cast("double").alias("num_milli_scaled"),
+                "weight_sum",
+                (F.col("__num").cast("double")
                  / F.col("weight_sum").cast("double") / F.lit(1000.0)
                  ).alias("ewma_value"))
     )
@@ -822,18 +833,29 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias(f"mn_{tag}"),
             F.max("o_orderdate").alias(f"mx_{tag}"))
 
-    base = partial(orders.where(F.col("o_orderdate") < pivot), "b")
+    # the split must PARTITION the table: a NULL date satisfies neither
+    # inequality and would silently vanish from the maintained view
+    # while a full recompute counts it — route undated rows to base
+    base = partial(orders.where((F.col("o_orderdate") < pivot)
+                                | F.col("o_orderdate").isNull()), "b")
     delta = partial(orders.where(F.col("o_orderdate") >= pivot), "d")
     zero_n = F.lit(0).cast("bigint")
     zero_s = F.lit(0).cast("decimal(28,2)")
     merged = base.join(delta, "o_custkey", "full_outer")
+    # SUM's monoid identity is NULL, not 0: a key whose prices are all
+    # NULL recomputes to SUM = NULL, so the merged sum is NULL unless at
+    # least one side saw a real value (coalescing both sides to 0 would
+    # invent a 0.0 the recompute never produces)
+    merged_sum = F.when(
+        F.col("s_b").isNull() & F.col("s_d").isNull(),
+        F.lit(None).cast("decimal(28,2)"),
+    ).otherwise(F.coalesce(F.col("s_b"), zero_s)
+                + F.coalesce(F.col("s_d"), zero_s))
     return merged.select(
         "o_custkey",
         (F.coalesce(F.col("n_b"), zero_n)
          + F.coalesce(F.col("n_d"), zero_n)).alias("n_orders"),
-        (F.coalesce(F.col("s_b"), zero_s)
-         + F.coalesce(F.col("s_d"), zero_s)).cast("double")
-        .alias("sum_price"),
+        merged_sum.cast("double").alias("sum_price"),
         F.least(F.col("mn_b"), F.col("mn_d")).alias("first_order"),
         F.greatest(F.col("mx_b"), F.col("mx_d")).alias("last_order"),
     )
@@ -1027,16 +1049,19 @@ def skew_profile_orders_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT event_id, event_type,
          CAST(extract(hour FROM ts) AS INT) AS hod, value, ts,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         CAST(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,2)) * 100
+              AS HUGEINT) AS v
   FROM events
+  WHERE value IS NOT NULL
 ),
 m AS (
-  SELECT event_type, hod, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2
+  SELECT event_type, hod, CAST(count(*) AS HUGEINT) AS n,
+         sum(v) AS s1, sum(v * v) AS s2
   FROM q WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
 )
 SELECT q.event_id, q.event_type, q.hod, q.value,
-       CAST(CAST(q.v * m.n - m.s1 AS BIGINT) AS DOUBLE) /
-       sqrt(CAST(CAST(m.n * m.s2 - m.s1 * m.s1 AS BIGINT) AS DOUBLE))
+       CAST(q.v * m.n - m.s1 AS DOUBLE) /
+       sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE))
          AS zscore
 FROM q JOIN m USING (event_type, hod)
 WHERE q.ts >= TIMESTAMP '2024-01-16'
@@ -1088,12 +1113,12 @@ c AS (
   FROM orders, g GROUP BY o_custkey, g.gmax
 ),
 n AS (SELECT count(*) AS n FROM c),
-r AS (SELECT o_custkey, row_number() OVER (ORDER BY recency_days,
-             o_custkey) AS rn FROM c),
-f AS (SELECT o_custkey, row_number() OVER (ORDER BY frequency,
-             o_custkey) AS rn FROM c),
-m AS (SELECT o_custkey, row_number() OVER (ORDER BY monetary_cents,
-             o_custkey) AS rn FROM c)
+r AS (SELECT o_custkey, row_number() OVER (ORDER BY recency_days
+             NULLS FIRST, o_custkey) AS rn FROM c),
+f AS (SELECT o_custkey, row_number() OVER (ORDER BY frequency
+             NULLS FIRST, o_custkey) AS rn FROM c),
+m AS (SELECT o_custkey, row_number() OVER (ORDER BY monetary_cents
+             NULLS FIRST, o_custkey) AS rn FROM c)
 SELECT CAST(1 + (r.rn - 1) * 5 // n.n AS BIGINT) AS r_bin,
        CAST(1 + (f.rn - 1) * 5 // n.n AS BIGINT) AS f_bin,
        CAST(1 + (m.rn - 1) * 5 // n.n AS BIGINT) AS m_bin,
@@ -1135,9 +1160,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = c.agg(F.count(F.lit(1)).alias("n"))
 
     def rank_bin(metric: str, out: str) -> DataFrame:
+        # NULL metric (a customer with no dated orders / no priced
+        # orders) ranks LOWEST with the custkey tiebreak intact — the
+        # sentinel keeps the packed key non-null so the rank inside the
+        # unknown block stays deterministic (a NULL sortkey would sort
+        # first but tie arbitrarily)
+        sentinel = F.lit(-922_337_203_685).cast("bigint")
         packed = c.select(
             "o_custkey",
-            (F.col(metric).cast("bigint") * F.lit(10_000_000)
+            (F.coalesce(F.col(metric).cast("bigint"), sentinel)
+             * F.lit(10_000_000)
              + F.col("o_custkey")).alias("__sk"))
         idx = global_index(packed, "__sk", "rn")
         return (idx.crossJoin(F.broadcast(n))

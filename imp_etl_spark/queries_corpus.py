@@ -185,14 +185,15 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dup_rate_by_source", """
-WITH c AS (SELECT text, count(*) AS cnt FROM documents GROUP BY text)
+WITH d AS (SELECT source, text FROM documents WHERE text IS NOT NULL),
+c AS (SELECT text, count(*) AS cnt FROM d GROUP BY text)
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dup_docs,
        CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS dup_rate
-FROM documents JOIN c USING (text)
+FROM d JOIN c USING (text)
 GROUP BY source
 """)
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,9 +204,13 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 8-byte keys (the oracle groups by the body itself;
     identical counts unless the hash collides, which the count equality
     would expose). The join back is hash-key -> count, and the final
-    exchange is |sources| rows.
+    exchange is |sources| rows. Rate is over docs that HAVE text: a
+    null body is no content, so it neither duplicates another null nor
+    dilutes the denominator (the oracle's equi-join on the body would
+    drop nulls anyway; xxhash64 would fuse them into one fake group).
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
     h = F.xxhash64(F.col("text"))
     c = (docs.select(h.alias("h"))
          .groupBy("h").agg(F.count(F.lit(1)).alias("cnt")))

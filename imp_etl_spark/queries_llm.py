@@ -189,8 +189,10 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bpe_token_count", r"""
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\s])', 1)) AS n_bpe,
-       len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_ws
+       COALESCE(len(regexp_extract_all(lower(text),
+                    '([a-z]+|[0-9]+|[^a-z0-9\s])', 1)), 0) AS n_bpe,
+       COALESCE(len(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')), 0) AS n_ws
 FROM documents
 """)
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,17 +945,19 @@ def _ivf_sql(nlist: int = 10, nprobe: int = 3, iters: int = 2,
     single IEEE divisions; every cosine uses the sequential fold of
     _cos_sql, so centroids, assignments, probe lists and the final
     ranking are all bit-identical."""
-    def assign(prev_c: str, name: str) -> str:
+    def assign(prev_c: str, name: str, src: str = "train") -> str:
+        # WHERE cos IS NOT NULL mirrors Spark's argmax over an all-NULL
+        # score array (zero-norm vector): no list assignment at all
         return f"""{name}_s AS (
-  SELECT corpus.vec_id, {prev_c}.idx,
-         {_cos_sql('corpus.v', f'{prev_c}.v', dim)} AS cos
-  FROM corpus, {prev_c}
+  SELECT {src}.vec_id, {prev_c}.idx,
+         {_cos_sql(f'{src}.v', f'{prev_c}.v', dim)} AS cos
+  FROM {src}, {prev_c}
 ), {name} AS (
   SELECT vec_id, idx AS lst FROM (
     SELECT vec_id, idx,
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY cos DESC, idx ASC) AS rn
-    FROM {name}_s
+    FROM {name}_s WHERE cos IS NOT NULL
   ) WHERE rn = 1
 )"""
 
@@ -975,13 +979,19 @@ def _ivf_sql(nlist: int = 10, nprobe: int = 3, iters: int = 2,
     parts = [f"""corpus AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
+), train AS (
+  -- mirror of similarity.train_ivf_centroids' geometry filter: null,
+  -- NaN/Inf, and beyond-quantization-domain vectors train nothing
+  SELECT vec_id, v FROM corpus
+  WHERE v IS NOT NULL
+    AND len(list_filter(v, x -> isnan(x) OR abs(x) >= 1e12)) = 0
 ), micro AS (
   SELECT vec_id,
          list_transform(v, x -> CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS m
-  FROM corpus
+  FROM train
 ), c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS idx, v
-  FROM (SELECT vec_id, v FROM corpus
+  FROM (SELECT vec_id, v FROM train
         ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {nlist})
 )"""]
     prev = "c0"
@@ -989,7 +999,9 @@ def _ivf_sql(nlist: int = 10, nprobe: int = 3, iters: int = 2,
         parts.append(assign(prev, f"a{it}"))
         parts.append(update(f"a{it}", prev, f"c{it}"))
         prev = f"c{it}"
-    parts.append(assign(prev, "af"))
+    # the FINAL assignment probes the whole corpus (weird vectors score
+    # NULL and stay unassigned — exactly Spark's assign_ivf_lists)
+    parts.append(assign(prev, "af", src="corpus"))
     parts.append(f"""q AS (
   SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < {qmax}
 ), qs AS (
@@ -1429,11 +1441,10 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pack_sequences", """
+@register("pack_sequences", f"""
 WITH w AS (
   SELECT doc_id, doc_id % 32 AS shard,
-         len(list_filter(string_split_regex(lower(text), '\\s+'),
-                         x -> x <> '')) AS n_tok
+         len({_DUCK_TOKS}) AS n_tok
   FROM documents
 ), c AS (
   SELECT shard, doc_id, n_tok,

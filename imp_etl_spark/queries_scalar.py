@@ -94,16 +94,19 @@ SELECT l_orderkey, l_linenumber,
        CAST(ceil(l_extendedprice) AS DOUBLE) AS price_ceil,
        CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor,
        round(l_discount + l_tax, 3) AS rate_sum,
-       CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+       CAST(trunc(l_quantity) AS BIGINT) % 7 AS qty_mod,
        greatest(l_discount, l_tax) AS max_rate,
        least(l_discount, l_tax) AS min_rate,
        CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
-       CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS qty_sq
+       CAST(trunc(l_quantity) AS BIGINT)
+         * CAST(trunc(l_quantity) AS BIGINT) AS qty_sq
 FROM lineitem WHERE l_orderkey < 200
 """)
 def math_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-on-doubles math family (abs/ceil/floor/round/mod/greatest/
-    least/sign — no libm, so bit-identical across engines)."""
+    least/sign — no libm, so bit-identical across engines). The
+    double->BIGINT cast TRUNCATES toward zero (Spark semantics; DuckDB's
+    bare cast rounds to nearest, so the oracle states trunc())."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -205,13 +208,16 @@ WITH toks AS (
   SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id % 20 = 0
 )
 SELECT doc_id,
-       array_to_string(list_transform(t[1:4], x -> upper(x)), '|') AS head_upper,
-       array_to_string(list_filter(t, x -> length(x) > 4), '|') AS long_toks,
+       COALESCE(array_to_string(list_transform(t[1:4], x -> upper(x)),
+                                '|'), '') AS head_upper,
+       COALESCE(array_to_string(list_filter(t, x -> length(x) > 4),
+                                '|'), '') AS long_toks,
        len(list_filter(t, x -> length(x) > 4)) > 0 AS has_long,
        len(list_filter(t, x -> length(x) <= 20)) = len(t) AS all_short,
        list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
                    (a, b) -> a + b) AS char_total,
-       array_to_string(list_sort(list_distinct(t[1:7])), '|') AS head_vocab
+       COALESCE(array_to_string(list_sort(list_distinct(t[1:7])), '|'),
+                '') AS head_vocab
 FROM toks
 """)
 def hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

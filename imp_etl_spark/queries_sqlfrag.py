@@ -18,8 +18,10 @@ from imp_etl_spark.functions.text import LANG_MARKERS
 
 #: DuckDB equivalent of functions/text.tokens: lowercase whitespace split
 #: with empties dropped.
-DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
-             "x -> x <> '')")
+# COALESCE: NULL text tokenizes to an empty list on both engines (null
+# text ≡ no content — SEMANTICS.md; functions/text.tokens mirrors this)
+DUCK_TOKS = ("COALESCE(list_filter(string_split_regex(lower(text), "
+             "'\\s+'), x -> x <> ''), [])")
 
 
 def lang_sql() -> str:

@@ -582,11 +582,13 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long melt of the numeric measures; pure narrow op (no
     shuffle) — row count triples, bytes stay constant."""
     li = read_table(spark, sf_dir, "lineitem")
+    # SQL-standard UNPIVOT excludes NULL measures; Spark's unpivot
+    # keeps them — filter to state one contract
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount"],
         "measure", "val",
-    )
+    ).where(F.col("val").isNotNull())
 
 
 @register("q15_top_supplier", """
@@ -661,6 +663,7 @@ WITH ranked AS (
                             ORDER BY l_extendedprice) AS rn,
          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag,
        MAX(n) AS n,
@@ -677,8 +680,11 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the result deterministic with no interpolation-rule risk —
     duplicates in the order don't matter because the value at a fixed
     rank is unique even when the tie ORDER isn't. Single shuffle on the
-    group key; the per-group sort is spillable and never global."""
-    li = read_table(spark, sf_dir, "lineitem")
+    group key; the per-group sort is spillable and never global.
+    Value-less rows are no percentile candidates (a NULL would occupy
+    an engine-dependent rank position)."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull())
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     wn = Window.partitionBy("l_returnflag")
     ranked = (
@@ -1054,7 +1060,8 @@ SELECT n.n_name AS nation,
        count(*) AS n_suppliers,
        CAST(SUM(rev_micro) AS BIGINT) AS total_micro,
        CAST(SUM(CAST(rev_micro AS HUGEINT) * rev_micro) AS DOUBLE)
-         / (CAST(SUM(rev_micro) AS DOUBLE) * CAST(SUM(rev_micro) AS DOUBLE))
+         / NULLIF(CAST(SUM(rev_micro) AS DOUBLE)
+                  * CAST(SUM(rev_micro) AS DOUBLE), 0.0)
          AS hhi
 FROM r JOIN nation n ON n.n_nationkey = r.s_nationkey
 GROUP BY n.n_name
@@ -1092,9 +1099,12 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
              tot.alias("total_micro"),
              sq.alias("__sq"))
         .select("nation", "n_suppliers", "total_micro",
-                (F.col("__sq").cast("double")
-                 / (F.col("total_micro").cast("double")
-                    * F.col("total_micro").cast("double"))).alias("hhi"))
+                # try_divide: a nation whose revenues net to exactly
+                # zero (refund-heavy books) has undefined concentration
+                F.try_divide(
+                    F.col("__sq").cast("double"),
+                    F.col("total_micro").cast("double")
+                    * F.col("total_micro").cast("double")).alias("hhi"))
     )
 
 
@@ -1110,6 +1120,7 @@ WITH o AS (
          lag(o_orderdate) OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS prev
   FROM orders
+  WHERE o_orderdate IS NOT NULL
 ),
 g AS (
   SELECT o_custkey,
@@ -1139,8 +1150,10 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE customer-keyed exchange serves the order-history
     lag, the gap rank, and the final rollup (same partition key
     throughout, Catalyst shares the sort); per-customer state never
-    exceeds the customer's own order count."""
-    orders = read_table(spark, sf_dir, "orders")
+    exceeds the customer's own order count. Temporal contract: an
+    undated order is no cadence step."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     g = (orders.select("o_custkey", "o_orderdate",
                        F.lag("o_orderdate").over(w).alias("prev"))

@@ -55,14 +55,18 @@ def _quantize_micro(vals) -> int:
 def _update_user_stats(key: tuple[Any, ...],
                        pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
-    cnt, vsum_micro, last_us = state.get if state.exists else (0, 0, 0)
+    cnt, vsum_micro, last_us = state.get if state.exists else (0, 0, None)
     for pdf in pdfs:
         cnt += len(pdf)
         vals = pdf["value"].dropna()
         vsum_micro += _quantize_micro(vals) if len(vals) else 0
-        if len(pdf):
-            ts_max = pdf["ts"].max()
-            last_us = max(last_us, int(pd.Timestamp(ts_max).value // 1000))
+        # NaT-dropped max: a user whose events carry no timestamp has
+        # no last-seen time — NULL, matching the oracle's MAX(ts) over
+        # nothing (a 0 sentinel would read as 1970-01-01)
+        ts_vals = pdf["ts"].dropna()
+        if len(ts_vals):
+            m = int(pd.Timestamp(ts_vals.max()).value // 1000)
+            last_us = m if last_us is None else max(last_us, m)
     state.update((cnt, vsum_micro, last_us))
     yield pd.DataFrame(
         {"user_id": [key[0]], "events": [cnt],

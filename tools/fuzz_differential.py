@@ -1,0 +1,236 @@
+"""Seeded randomized differential fuzzer: generate a dirty-but-in-domain
+random fixture for every table, run ALL oracle-backed registry queries on
+Spark AND DuckDB over it, and report any row-count/value mismatch or
+crash.
+
+The curated adversarial suites (tests/test_adversarial_*.py) pin the
+KNOWN degenerate classes; this tool hunts unknown-unknowns by random
+composition — random null placement, random unicode, random FK validity
+mix, random cardinalities (including empty tables). Values stay inside
+the documented numeric domain (SEMANTICS.md): finite, |value| <= 1e9.
+
+Usage (repo root):
+    PYTHONPATH=. python tools/fuzz_differential.py --seeds 1 2 3
+
+Exit code 1 if any seed produced a mismatch. Each finding should become
+a curated case in the adversarial suites once fixed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+from imp_etl_spark import schemas
+from imp_etl_spark.session import get_spark
+
+WORDS = ["the", "quick", "brown", "fox", "data", "pipeline", "spark",
+         "query", "森林", "数据", "حقل", "naïve", "café", "🎉", "x" * 50,
+         "", "a​b", "line\nbreak", "tab\tsep", "quote\"d", "O'Neil"]
+LANGS = ["en", "de", "fr", "es", "zh", "ar", "und", None]
+SOURCES = ["web", "books", "code", "wiki", None, ""]
+ETYPES = ["click", "purchase", "signup", "view", None, ""]
+
+
+def _text(rng: random.Random) -> str | None:
+    r = rng.random()
+    if r < 0.05:
+        return None
+    if r < 0.10:
+        return ""
+    if r < 0.15:
+        return " " * rng.randint(1, 5)
+    n = rng.randint(1, 60)
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _val(rng: random.Random) -> float | None:
+    r = rng.random()
+    if r < 0.08:
+        return None
+    if r < 0.16:
+        return 0.0
+    # round to 6 decimals: the exact-decimal convention quantizes
+    # through DECIMAL(18,6) from the double's SHORTEST repr
+    # (SEMANTICS.md) — a double carrying MORE fractional precision than
+    # the target scale may legitimately round ±1 unit differently
+    # across engines, which is a fixture artifact, not an engine bug
+    mag = round(10 ** rng.uniform(-6, 9), 6)
+    return rng.choice([1, -1]) * mag
+
+
+def _ts(rng: random.Random):
+    if rng.random() < 0.05:
+        return None
+    base = datetime.datetime(2024, 1, 1)
+    return base + datetime.timedelta(seconds=rng.randint(0, 90 * 86400))
+
+
+def gen_fixture(spark, rng: random.Random, d: str) -> None:
+    n_region = rng.randint(0, 4)
+    n_nation = rng.randint(0, 6)
+    n_cust = rng.randint(0, 40)
+    n_supp = rng.randint(0, 8)
+    n_part = rng.randint(0, 20)
+    n_ord = rng.randint(0, 80)
+    n_docs = rng.randint(0, 60)
+    n_emb = rng.randint(0, 40)
+    n_ev = rng.randint(0, 150)
+    dim = 64
+
+    region = [(i, rng.choice(WORDS)) for i in range(n_region)]
+    nation = [(i, rng.choice(WORDS), rng.randint(0, max(n_region, 1)))
+              for i in range(n_nation)]
+    customer = [(i + 1, f"Customer#{i}", rng.randint(0, max(n_nation, 1)),
+                 _val(rng), rng.choice(["BUILDING", "AUTOMOBILE", "", None]))
+                for i in range(n_cust)]
+    supplier = [(i + 1, rng.choice(WORDS), rng.randint(0, max(n_nation, 1)),
+                 _val(rng)) for i in range(n_supp)]
+    part = [(i + 1, _text(rng), f"B{i % 5}", f"TYPE {i % 3}",
+             rng.randint(-5, 200), _val(rng)) for i in range(n_part)]
+    orders, lineitem = [], []
+    for i in range(n_ord):
+        ok = i + 1
+        odate = _ts(rng)
+        orders.append((ok, rng.randint(1, max(n_cust, 1)),
+                       rng.choice(["O", "F", "P", "", None]), _val(rng),
+                       odate, rng.choice(["1-URGENT", "5-LOW", "", None])))
+        for ln in range(1, rng.randint(1, 4)):
+            lineitem.append((ok, rng.randint(1, max(n_part, 1)),
+                             rng.randint(1, max(n_supp, 1)), ln,
+                             _val(rng), _val(rng),
+                             rng.choice([0.0, 0.05, 0.1, 0.5, 1.0]),
+                             rng.choice([0.0, 0.08]),
+                             rng.choice(["A", "N", "R", "", None]),
+                             rng.choice(["O", "F", "", None]),
+                             _ts(rng)))
+    documents = [(i + 1, _text(rng), rng.choice(LANGS), rng.choice(SOURCES),
+                  rng.randint(0, 10000)) for i in range(n_docs)]
+    embeddings = []
+    for i in range(n_emb):
+        r = rng.random()
+        if r < 0.05:
+            vec = None
+        elif r < 0.10:
+            vec = [0.0] * dim
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        embeddings.append((i + 1, vec, rng.randint(0, 3)))
+    events = [(i + 1, _ts(rng), rng.choice([None] + list(range(1, 30))),
+               rng.choice(ETYPES), _val(rng),
+               rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}", "[]",
+                           "garbage", "", None]))
+              for i in range(n_ev)]
+
+    data = {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem, "documents": documents,
+            "embeddings": embeddings, "events": events}
+    for name, rows in data.items():
+        spark.createDataFrame(rows, schemas.FIXTURE_TABLES[name]) \
+            .write.mode("overwrite").parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9) + 0.0
+    return v
+
+
+def _rows(recs):
+    return sorted(
+        [tuple(_norm(v) for v in r) for r in recs],
+        key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def _close(a, b) -> bool:
+    """Equality modulo the DOCUMENTED quantization caveat (SEMANTICS.md):
+    a computed double sitting within one binary ulp of a .5 tie may
+    quantize one decimal unit apart between engines (~1/4000 values).
+    Micro/cent integer columns may therefore differ by 1 at large
+    magnitude, and doubles derived from them by the relative epsilon of
+    one unit-in-the-last-quantum. Anything beyond that is a real bug."""
+    if a == b:
+        return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, int) and isinstance(b, int):
+        return abs(a - b) <= 1 and max(abs(a), abs(b)) >= 10 ** 6
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a - b) <= 1e-9 + 3e-9 * max(abs(a), abs(b))
+    return False
+
+
+def _rows_match(sn, dn) -> list:
+    return [(a, b) for a, b in zip(sn, dn)
+            if len(a) != len(b) or not all(_close(x, y)
+                                           for x, y in zip(a, b))]
+
+
+def run_seed(spark, seed: int) -> list[tuple]:
+    import duckdb
+
+    from imp_etl_spark.queries import REGISTRY
+
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp(prefix=f"sf_fuzz_{seed}_")
+    try:
+        gen_fixture(spark, rng, d)
+        con = duckdb.connect()
+        for t in schemas.FIXTURE_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet/*.parquet', "
+                "hive_partitioning=false)")
+        bad = []
+        for name, (fn, sql) in REGISTRY.items():
+            if sql is None:
+                continue
+            try:
+                sdf = fn(spark, d)
+                rel = con.sql(sql)
+                dcols = [c.lower() for c in rel.columns]
+                srows = [tuple(r.asDict()[c] for c in dcols)
+                         for r in sdf.collect()]
+                drows = [tuple(r) for r in rel.fetchall()]
+                if len(srows) != len(drows):
+                    bad.append((name, "rowcount", len(srows), len(drows)))
+                    continue
+                sn, dn = _rows(srows), _rows(drows)
+                mm = _rows_match(sn, dn)
+                if mm:
+                    bad.append((name, "values", repr(mm[0])[:200], ""))
+            except Exception as exc:  # noqa: BLE001 — report, keep going
+                bad.append((name, "error", type(exc).__name__,
+                            str(exc).splitlines()[0][:140] if str(exc) else ""))
+        return bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[1])
+    args = ap.parse_args()
+    spark = get_spark("fuzz-differential")
+    spark.sparkContext.setLogLevel("FATAL")
+    failed = False
+    for seed in args.seeds:
+        bad = run_seed(spark, seed)
+        print(f"seed {seed}: {'CLEAN' if not bad else f'{len(bad)} findings'}")
+        for b in bad:
+            print("  " + " | ".join(str(x) for x in b))
+        failed = failed or bool(bad)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
