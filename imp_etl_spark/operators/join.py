@@ -128,7 +128,12 @@ def sorted_neighborhood_pairs(df: DataFrame, col: str, window: int = 3,
     """
     from imp_etl_spark.operators.window import global_index
 
-    ranked = global_index(df.select(F.col(col)).distinct(), col, "__idx")
+    # a NULL value is no linkage candidate: it has no edit distance to
+    # anything, and its sort position is engine-dependent (Spark nulls
+    # first, SQL nulls last) — which would shift every neighbor window
+    ranked = global_index(
+        df.select(F.col(col)).where(F.col(col).isNotNull()).distinct(),
+        col, "__idx")
     left = ranked.select(
         F.col(col).alias("name_a"), "__idx",
         F.explode(F.array(

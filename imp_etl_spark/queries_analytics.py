@@ -604,7 +604,7 @@ def outlier_events_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("snm_part_pairs", """
-WITH names AS (SELECT DISTINCT p_name FROM part),
+WITH names AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
 r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn FROM names)
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
@@ -1248,8 +1248,11 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dau.join(wau, "day")
         .select("day", "dau", "wau",
-                (F.col("dau").cast("double") / F.col("wau")
-                 ).alias("stickiness"))
+                # try_divide: a day active only through NULL users has
+                # dau >= 1 but count_distinct-skips-nulls wau = 0 —
+                # stickiness undefined (DuckDB's x/0), not a job abort
+                F.try_divide(F.col("dau").cast("double"), F.col("wau"))
+                .alias("stickiness"))
     )
 
 

@@ -56,12 +56,17 @@ def _val(rng: random.Random) -> float | None:
         return None
     if r < 0.16:
         return 0.0
-    # round to 6 decimals: the exact-decimal convention quantizes
-    # through DECIMAL(18,6) from the double's SHORTEST repr
-    # (SEMANTICS.md) — a double carrying MORE fractional precision than
-    # the target scale may legitimately round ±1 unit differently
-    # across engines, which is a fixture artifact, not an engine bug
-    mag = round(10 ** rng.uniform(-6, 9), 6)
+    # boundary-free values: 2-decimal "money" magnitudes (or exact
+    # powers of ten for the small range) never sit on a .5 quantization
+    # tie at any scale the engine uses (2/3/6), so the documented
+    # cross-engine quantization caveat (SEMANTICS.md — a double within
+    # one binary ulp of a tie rounds ±1 unit apart, ~1/4000 arbitrary
+    # values, and the offset cascades into rank/cumshare space) cannot
+    # produce fixture artifacts here. Real telemetry/money is 2dp.
+    if r < 0.25:
+        mag = 10.0 ** rng.randint(-6, -1)
+    else:
+        mag = round(10 ** rng.uniform(0, 9), 2)
     return rng.choice([1, -1]) * mag
 
 
@@ -190,9 +195,14 @@ def run_seed(spark, seed: int) -> list[tuple]:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{d}/{t}.parquet/*.parquet', "
                 "hive_partitioning=false)")
+        # documented oracle deviation (SEMANTICS.md, fuzzy_part_pairs
+        # docstring): the engine's edit distance is character-based,
+        # DuckDB's levenshtein counts bytes on multibyte/zero-width
+        # input — checked by direct assertion in the curated suite
+        skip = {"fuzzy_part_pairs", "snm_part_pairs"}
         bad = []
         for name, (fn, sql) in REGISTRY.items():
-            if sql is None:
+            if sql is None or name in skip:
                 continue
             try:
                 sdf = fn(spark, d)
