@@ -1290,6 +1290,7 @@ _DRIVER_WINDOW_FIRST = [
     #    (greens still valid, code unchanged), then the two rows-only
     #    entries (outside the hash gate by contract).
     "asof_click_before_purchase", "attribution_last_touch",
+    "events_dau_wau", "snm_part_pairs",
     "range_clicks_before_purchase", "ewma_user_value",
     "stateful_user_stats", "win_running_sum", "win_rank_dense",
     "win_lag_lead", "win_percentile_position", "agg_percentiles_disc",
