@@ -212,14 +212,18 @@ def duration_hms(col: Column | str) -> Column:
     for the reference's non-negative runtimes, and for a negative input
     (clock skew) every component truncates toward zero consistently —
     the old mix of float floor and sign-of-dividend remainder
-    double-counted the hour on negatives. ``(ms - ms % b) / b`` is
-    exact: Spark's ``%`` carries the dividend sign, the difference is a
-    multiple of ``b``, and both sit far inside double's 2^53 integer
-    range for the value domain (|ms| <= 1e15)."""
+    double-counted the hour on negatives. ``(ms - ms % b)`` is an exact
+    multiple of ``b`` (Spark's ``%`` carries the dividend sign), and
+    the division runs in DECIMAL(38,0), never touching a double — so
+    the hour component is exact over the FULL long domain, not just
+    |ms| <= 2^53 (the old float path silently lost precision above
+    that)."""
     ms = _c(col).cast("long")
 
     def tdiv(a: Column, b: int) -> Column:
-        return ((a - a % b) / b).cast("long")
+        # long-only truncating divide: numerator is a multiple of b, so
+        # the decimal quotient is an integer and the cast is lossless
+        return ((a - a % b).cast("decimal(38,0)") / b).cast("long")
 
     # NULL in, NULL out — format_string would otherwise render the
     # literal text "nullh nullm nulls" for a missing duration

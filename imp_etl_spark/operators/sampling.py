@@ -161,8 +161,12 @@ def mixture_sample(df: DataFrame, strata_col: str, id_col: str,
         cut = F.when(cond, hi) if cut is None else cut.when(cond, hi)
     # strata not named in `fractions` get `default` (0.0 = dropped; 1.0
     # = kept whole — the "downsample the named stratum, pass the rest"
-    # shape a language-rebalance wants for langs unseen at config time)
-    return df.filter(bucket < cut.otherwise(F.lit(round(default * buckets))))
+    # shape a language-rebalance wants for langs unseen at config time);
+    # an empty `fractions` dict applies `default` to every stratum (the
+    # "keep everything until configured" call at default=1.0)
+    default_hi = F.lit(round(default * buckets))
+    cut_expr = cut.otherwise(default_hi) if cut is not None else default_hi
+    return df.filter(bucket < cut_expr)
 
 
 def pack_greedy(df: DataFrame, id_col: str, weight_col: str, budget: int,

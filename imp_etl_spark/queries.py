@@ -660,7 +660,7 @@ def setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (
   SELECT event_type,
          CASE WHEN props IS NOT NULL AND json_valid(props)
-              THEN json_extract(props, '$.k')::BIGINT END AS k
+              THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,

@@ -1164,12 +1164,18 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # orders) ranks LOWEST with the custkey tiebreak intact — the
         # sentinel keeps the packed key non-null so the rank inside the
         # unknown block stays deterministic (a NULL sortkey would sort
-        # first but tie arbitrarily)
-        sentinel = F.lit(-922_337_203_685).cast("bigint")
+        # first but tie arbitrarily). Packing runs in DECIMAL(38,0):
+        # any bigint metric times the 1e10 custkey stride tops out near
+        # 9.2e28 << 1e38, so no value wraps; the sentinel sits one
+        # below long-min so even a metric of exactly LONG_MIN stays
+        # strictly above every NULL. Custkey headroom is 1e10
+        # (TPC-H SF 66k); beyond that raise the stride — decimal has
+        # 9 more orders of magnitude to give.
+        sentinel = F.lit("-9223372036854775809").cast("decimal(38,0)")
         packed = c.select(
             "o_custkey",
-            (F.coalesce(F.col(metric).cast("bigint"), sentinel)
-             * F.lit(10_000_000)
+            (F.coalesce(F.col(metric).cast("decimal(38,0)"), sentinel)
+             * F.lit(10_000_000_000)
              + F.col("o_custkey")).alias("__sk"))
         idx = global_index(packed, "__sk", "rn")
         return (idx.crossJoin(F.broadcast(n))

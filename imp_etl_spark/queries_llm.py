@@ -584,6 +584,45 @@ _MINHASH_IDX: dict[tuple, str] = {}
 # first callers would each mint their own lock and both run the build)
 _MINHASH_IDX_LOCK = threading.Lock()
 
+# Session-scoped persists the dedup tier creates (candidate-pair and
+# verified-pair frames). One-shot queries can leave them to
+# ContextCleaner GC; a LONG-LIVED driver (controller / scheduled runs)
+# calls release_dedup_caches() between runs — the same explicit
+# lifecycle operators/window.global_index exposes via its ``release``
+# parameter (VERDICT r5 item 4). The registered query signature is
+# fixed at (spark, sf_dir), so the hook is module-level rather than a
+# per-call argument.
+_DEDUP_PERSISTS: list[DataFrame] = []
+_DEDUP_PERSISTS_LOCK = threading.Lock()
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """Persist MEMORY_AND_DISK and record the frame for explicit
+    release. Returns the persisted frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = df.persist(StorageLevel.MEMORY_AND_DISK)
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.append(d)
+    return d
+
+
+def release_dedup_caches(blocking: bool = False) -> int:
+    """Unpersist every dedup-tier frame tracked by ``_track_persist``
+    and clear the registry; returns how many were released. The shared
+    MinHash signature artifact (``_MINHASH_IDX``) is a DISK parquet
+    memo, not a block-manager persist — it holds no executor memory and
+    is invalidated by corpus mtime, so it is deliberately not touched
+    here."""
+    with _DEDUP_PERSISTS_LOCK:
+        frames, _DEDUP_PERSISTS[:] = list(_DEDUP_PERSISTS), []
+    for d in frames:
+        try:
+            d.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(frames)
+
 
 def _shared_minhash_stacked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup tier's shared signature artifact: (doc_id, band, sig)
@@ -645,8 +684,6 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small side by the LSH-bounded candidate contract (at a
     high-dup-rate crawl where removals are a corpus-scale fraction, the
     hint comes off and the join shuffles ids; see SCALING.md)."""
-    from pyspark.storagelevel import StorageLevel
-
     from imp_etl_spark.operators.dedup import (
         minhash_candidates_from_stacked,
         ngram_jaccard_pairs,
@@ -656,19 +693,19 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates come off the SHARED banded-signature artifact (one
     # build per corpus, _shared_minhash_stacked); the pair frame feeds
     # BOTH the posting-list prune and the pair semi-join inside
-    # ngram_jaccard_pairs, so persist it (tiny — pairs only).
-    cands = minhash_candidates_from_stacked(
-        _shared_minhash_stacked(spark, sf_dir)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ngram_jaccard_pairs, so persist it (tiny — pairs only; tracked
+    # for explicit release via release_dedup_caches).
+    cands = _track_persist(minhash_candidates_from_stacked(
+        _shared_minhash_stacked(spark, sf_dir)))
     # the verified-pair table is the NEXT staged artifact after the
     # signatures: survivor selection here and cluster assignment
     # (dedup_cluster_assign) consume the SAME pairs, so persist them —
     # the cache manager dedupes by logical plan and the second consumer
     # skips the whole Jaccard verify (a production crawl materializes
     # exactly this table between its verify and cluster stages)
-    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                                   threshold=0.5, candidates=cands) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    verified = _track_persist(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                            threshold=0.5, candidates=cands))
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(F.broadcast(removed), on="doc_id",
                      how="left_anti").select("doc_id", "n_chars")
@@ -727,8 +764,6 @@ def cross_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature table IS the shared disk artifact
     (_shared_minhash_stacked) — exactly the precomputed reference-side
     index this operator's design assumes."""
-    from pyspark.storagelevel import StorageLevel
-
     from imp_etl_spark.operators.dedup import (
         cross_corpus_candidates,
         ngram_jaccard_pairs,
@@ -741,10 +776,10 @@ def cross_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    stacked.filter(~is_new))
     # reuse the self-join verifier on the union frame: ids are globally
     # unique, and the candidate set already constrains pairs to new↔ref
-    pairs = cand.select(
+    pairs = _track_persist(cand.select(
         F.least("id_new", "id_ref").alias("id_a"),
         F.greatest("id_new", "id_ref").alias("id_b"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                                    threshold=0.5, candidates=pairs)
     removed = (
@@ -826,8 +861,6 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the component map (cluster_assignments' broadcast_map
     knob turns that off for high-dup corpora where the map is a
     corpus-scale fraction)."""
-    from pyspark.storagelevel import StorageLevel
-
     from imp_etl_spark.operators.dedup import (
         minhash_candidates_from_stacked,
         ngram_jaccard_pairs,
@@ -835,15 +868,15 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imp_etl_spark.operators.graph import cluster_assignments
 
     docs = read_table(spark, sf_dir, "documents")
-    cands = minhash_candidates_from_stacked(
-        _shared_minhash_stacked(spark, sf_dir)) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _track_persist(minhash_candidates_from_stacked(
+        _shared_minhash_stacked(spark, sf_dir)))
     # same logical plan as dedup_pipeline_survivors' verified frame —
     # the persist makes the shared Jaccard verify a cache hit when both
-    # run in one session (the staged pair-table artifact)
-    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                                   threshold=0.5, candidates=cands) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # run in one session (the staged pair-table artifact; tracked for
+    # release_dedup_caches in long-lived drivers)
+    verified = _track_persist(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                            threshold=0.5, candidates=cands))
     return cluster_assignments(docs.select("doc_id"), verified,
                                id_col="doc_id")
 

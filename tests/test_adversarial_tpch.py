@@ -72,6 +72,21 @@ def _fixture_tables():
                                  ["A", "N", "R", ""][(ok + ln) % 4],
                                  ["O", "F", ""][(ok + ln) % 3],
                                  odate + datetime.timedelta(days=ln)))
+    # round-6 (ADVICE): monetary magnitudes whose cents exceed ~9.2e11 —
+    # the old bigint rank-packing in rfm_customer_segments wrapped on
+    # these; the decimal(38,0) packing must rank them correctly
+    for sign in (1.0, -1.0):
+        ok += 1
+        odate = _dt(1995, 1, ok % 28 + 1)
+        orders.append((ok, ok % 8 + 1, "F", sign * 9.99e13, odate,
+                       "1-URGENT"))
+        # lineitem prices stay inside the engine's decimal(18,6) money
+        # domain — the wrap stress is the ORDER total, which feeds the
+        # rank packing
+        for ln in range(1, 3):
+            lineitem.append((ok, (ok + ln) % 5 + 1, (ok + ln) % 3 + 1,
+                             ln, float(ln), sign * 1e6, 0.0, 0.08,
+                             "N", "O", odate + datetime.timedelta(days=ln)))
     return {"region": region, "nation": nation, "customer": customer,
             "supplier": supplier, "part": part, "orders": orders,
             "lineitem": lineitem}

@@ -153,3 +153,19 @@ def test_profile_table_nulls_and_types(spark):
     assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
     assert got["s"]["min_num"] is None
     assert got["v"]["min_num"] == 1.0 and got["v"]["max_num"] == 4.0
+
+
+@pytest.mark.parametrize("ms,expected", [
+    (0, "0h 0m 0s"),
+    (3_661_000, "1h 1m 1s"),
+    (-3_661_000, "-1h -1m -1s"),      # truncation toward zero, all parts
+    (None, None),                     # NULL in, NULL out
+    # above 2^53: the old float-division path came out one hour LOW on
+    # this value (double rounding of the numerator); the decimal path
+    # is exact
+    # over the full long domain (ADVICE r5)
+    (5611633825035178630, "1558787173620h 52m 58s"),
+    (9_223_372_036_854_775_807, "2562047788015h 12m 55s"),  # long max
+])
+def test_duration_hms_exact_long_domain(spark, ms, expected):
+    assert _one(spark, cleanse.duration_hms("x"), ms, "bigint") == expected

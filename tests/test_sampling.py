@@ -195,3 +195,19 @@ def test_passage_dedup_first_occurrence(spark):
     assert (2, 0) not in got and (2, 1) in got
     # empty doc contributes nothing
     assert not any(d == 4 for d, _ in got)
+
+
+def test_mixture_sample_empty_fractions_applies_default(spark, docs):
+    """ADVICE r5: an empty fractions dict is the 'keep everything until
+    configured' call — default=1.0 keeps the whole frame, default=0.0
+    drops it, and a partial rate still samples (no AttributeError)."""
+    from imp_etl_spark.operators.sampling import mixture_sample
+
+    n = docs.count()
+    assert mixture_sample(docs, "lang", "doc_id", {}, default=1.0) \
+        .count() == n
+    assert mixture_sample(docs, "lang", "doc_id", {}, default=0.0) \
+        .count() == 0
+    kept = mixture_sample(docs, "lang", "doc_id", {}, default=0.5).count()
+    sigma = (n * 0.25) ** 0.5
+    assert abs(kept - 0.5 * n) <= 5 * sigma
