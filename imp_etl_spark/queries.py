@@ -1221,102 +1221,65 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-5 SIGNAL-CLOSEOUT window (VERDICT.md r4, next-round item 1):
-    # registry frozen at 150; the 50-slot budget closes the gap to zero.
-    # Priority:
-    # (1) the 10 entries that have NEVER had a driver row (queued at
-    #     51+ last round, budget-capped out);
-    # (2) the 5 r3 greens staled by the round-4 dedup/similarity edits;
-    # (3) entries whose implementing code changed THIS round:
-    #     - shared MinHash signature artifact (dedup.py build/read,
-    #       queries_llm consumers): dedup_cluster_assign,
-    #       cross_corpus_survivors (the pair-listing/survivor entries
-    #       are already in (2)); simhash_docs rides along because its
-    #       file changed, though its function did not;
-    #     - graph.py star-contraction fallback: dedup_cluster_assign;
-    #     - window.py global_index/prefix_sum reshape (one-shuffle
-    #       index + release lifecycle): s2_paginated_scan,
-    #       peak_click_concurrency, skew_profile_orders_custkey,
-    #       rfm_customer_segments, parts_pareto_cumshare (and
-    #       doc_length_quartile_bins, already in (1));
-    # (4) oldest-green backfill with the remaining slots: the r1-era
-    #     rows first, then the r2 tier VERDICT named (j1/q6,
-    #     multimodal/text, classic TPC-H columns).
-    # -- (1) never driver-rowed
-    "q12_priority_class", "events_value_histogram",
-    "doc_length_quartile_bins", "lang_confusion_matrix",
-    "dup_rate_by_source", "nation_supplier_hhi", "customer_order_gaps",
-    "events_wow_growth", "events_inactivity_churn", "orders_backlog_aging",
-    # -- (2) staled r3 greens
-    "minhash_lsh_pairs", "dedup_pipeline_survivors",
-    "jaccard_sampled_pairs", "simhash_near_dup", "embedding_near_dup",
-    # -- (3) implementing code changed in round 5
-    "dedup_cluster_assign", "cross_corpus_survivors", "simhash_docs",
-    "s2_paginated_scan", "peak_click_concurrency",
-    "skew_profile_orders_custkey", "rfm_customer_segments",
-    "parts_pareto_cumshare",
-    # -- (3b) functions changed by the round-5 degenerate-input sweeps
-    #     (tests/test_empty_inputs.py, test_adversarial_text.py,
-    #     test_adversarial_embeddings.py, test_adversarial_events.py):
-    #     try_divide funnels/cosine/jaccard, incremental-view
-    #     None-snapshot guard, IVF zero-centroid guards +
-    #     declared-schema sidecars + seed-count fix, zero-shingle
-    #     banding exclusion, mixture default rate, json_valid oracle
-    #     guard, the temporal null-ts contract, null-value outlier
-    #     baselines, widened decimal moment casts, truncating negative
-    #     durations, NULL-propagating format_string
-    "funnel_signup_purchase", "corpus_curation_funnel",
-    "stream_incremental_view", "ivf_cosine_topk", "ivf_indexed_topk",
-    "ann_cosine_topk", "srp_bucket_topk",
-    "stratified_sample_langs", "text_stats",
-    "json_extract_props", "events_tumbling_1h", "events_sliding_1h_30m",
-    "events_session_10m", "scd2_user_state", "resample_ffill_hourly",
-    "top_event_paths", "event_type_transitions", "zorder_events_layout",
-    "twap_user_value", "t_time_format_suite", "per_group_trend",
-    "agg_stats_moments", "outlier_events_zscore", "outlier_events_mad",
-    "seasonal_anomaly_events",
-    # -- (3c) later round-5 batches: pivot NULL-cell -> 0, the
-    #     exhaustive-split incremental merge fix (both function-level)
-    "pivot_status_counts", "incremental_agg_merge",
-    # -- position 51+: the r6 backfill queue if the budget exceeds 50.
-    #    First the remaining function-level changes from the randomized
-    #    differential fuzz (tools/fuzz_differential.py) — row-atomic
-    #    as-of fill, NULLS FIRST window oracles, null-safe tokenizers,
-    #    collected-array FILTER/COALESCE oracles, trunc() casts, HHI
-    #    try_divide, 38-digit twap/ewma products — every one verified
-    #    by the full local differential AND value-identical at the
-    #    fixture scales (the degenerate inputs they change do not occur
-    #    there); then file-level rides-along, then the r2-era tiers
-    #    (greens still valid, code unchanged), then the two rows-only
-    #    entries (outside the hash gate by contract).
+    # round-6 window (VERDICT.md r5, next-round items 1-2): registry
+    # stays frozen at 150; the 50-slot budget (a) re-rows the 18 entries
+    # whose function or oracle text changed in the late round-5 fuzz
+    # fixes (the one honest gap the r5 verdict names — their latest
+    # driver green predates the change), (b) re-rows the entries whose
+    # code or oracle changed THIS round, then (c) continues the
+    # oldest-green backfill (r1-era first, then the r2 tier the verdict
+    # named: j1/q6, multimodal/text, classic TPC-H columns).
+    # -- (1) the 18 fuzz-staled entries from VERDICT r5 "What's missing"
     "asof_click_before_purchase", "attribution_last_touch",
-    "events_dau_wau", "snm_part_pairs",
-    "range_clicks_before_purchase", "ewma_user_value",
-    "stateful_user_stats", "win_running_sum", "win_rank_dense",
-    "win_lag_lead", "win_percentile_position", "agg_percentiles_disc",
+    "events_dau_wau", "snm_part_pairs", "ewma_user_value",
+    "fuzzy_part_pairs", "stateful_user_stats", "pack_sequences",
+    "bpe_token_count", "agg_percentiles_disc", "win_lag_lead",
+    "win_rank_dense", "win_running_sum", "win_percentile_position",
     "unpivot_measures", "nested_types_suite", "hof_array_suite",
-    "math_funcs_suite", "pack_sequences", "bpe_token_count",
-    "fingerprint_docs", "lang_id_docs", "word_counts_top50",
-    "explode_tokens", "doc_quality", "tfidf_top_term",
-    "doc_token_rarity", "contamination_overlap", "oov_rate_docs",
-    "ngram_novelty", "bpe_pair_counts", "quality_percentile_filter",
-    "text_quality_gopher",
-    "dq_rule_violations", "profile_orders", "mixture_by_source",
-    "rolling_24h_user_value", "t_cleanse_suite",
-    "user_activity_streaks", "cohort_retention_daily",
-    "salted_skew_agg",
+    "math_funcs_suite",
+    # -- (2) code/oracle changed in round 6 (ADVICE closeout + the
+    #    dedup-tier release lifecycle):
+    #    - json_extract_props: oracle TRY_CAST (null-on-miscast parity)
+    #    - t_time_format_suite: duration_hms decimal division (exact
+    #      hours over the full long domain)
+    #    - rfm_customer_segments: decimal(38,0) rank packing
+    #    - dedup_pipeline_survivors / dedup_cluster_assign /
+    #      cross_corpus_survivors: persists routed through
+    #      _track_persist (release_dedup_caches lifecycle)
+    "json_extract_props", "t_time_format_suite", "rfm_customer_segments",
+    "dedup_pipeline_survivors", "dedup_cluster_assign",
+    "cross_corpus_survivors",
+    # -- (3) oldest-green backfill: r1-era rows, then mixture_by_source
+    #    (its helper mixture_sample gained the empty-fractions guard —
+    #    call-site behavior unchanged, re-rowed on the safe side), then
+    #    the r2-era tier
+    "dq_rule_violations", "range_clicks_before_purchase",
+    "salted_skew_agg", "mixture_by_source",
     "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
-    "multimodal_frame_sample", "pii_redact_docs",
-    "chunk_documents",
-    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_important_balance",
-    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "multimodal_frame_sample", "pii_redact_docs", "chunk_documents",
+    "text_quality_gopher", "string_funcs_suite", "date_funcs_suite",
+    "null_cond_suite", "regex_funcs_suite", "agg_distinct_customers",
+    "agg_exact_median", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_balance", "q13_customer_distribution",
+    "q14_promo_effect", "q15_top_supplier",
+    # -- position 51+: the r7 backfill queue if the budget exceeds 50 —
+    #    the rest of the r2-era tier, then the r3-era tier in its r5
+    #    order, then the two rows-only entries (outside the hash gate
+    #    by contract)
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
-    "q22_dormant_customers", "agg_distinct_customers",
-    "agg_exact_median",
-    "string_funcs_suite", "date_funcs_suite",
-    "null_cond_suite", "regex_funcs_suite",
+    "q22_dormant_customers",
+    "a2_processed_skipped", "agg_cube", "agg_grouping_sets",
+    "agg_rollup", "dedup_exact_content", "dedup_exact_group",
+    "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
+    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
+    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
+    "log_parse_tail", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "s1_workqueue_count", "setops_suite",
+    "split_hash_counts", "stream_dedup_events", "stream_interval_join",
+    "t_cleanse_suite", "topk_orders", "win_topn_per_group",
+    "word_counts_top50",
     "agg_approx_stats", "math_transcendental",
 ]
 
