@@ -81,11 +81,8 @@ HEADLINE = [
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame
-# (iterative convergence loops, global_index's partition-count pass, the
-# shared MinHash index build) — timed from build, not just the write.
-# The dedup tier's one-time signature build lands in its first timed run
-# and best-of-2 then records the amortized steady state, which is the
-# honest production shape (the artifact is built once per corpus).
+# (iterative convergence loops, global_index's partition-count pass) —
+# timed from build, not just the write.
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
                "doc_length_quartile_bins", "peak_click_concurrency",
                "rfm_customer_segments",
@@ -103,11 +100,37 @@ def main() -> None:
     from imp_etl_spark.sources.parquet import read_table
 
     # warm the session (JVM classloading, codegen paths, parquet footers)
-    # so the first timed query isn't charged for startup
+    # so the first timed query isn't charged for startup. The second
+    # warmup compiles the signature-pass expressions (tokenize/shingle/
+    # md5/aggregate codegen) over a 64-doc slice, so the one-shot
+    # minhash_index_build row below measures the build, not first-use
+    # JIT — the same treatment best-of-2 gives every other row.
     read_table(spark, sf_dir, "lineitem").limit(1000).write.format(
         "noop").mode("overwrite").save()
+    from imp_etl_spark.operators.dedup import minhash_stacked
+
+    minhash_stacked(read_table(spark, sf_dir, "documents").limit(64)) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+
+    # The dedup tier's shared MinHash signature artifact is built ONCE
+    # per corpus and consumed by four queries. Charging that one-time
+    # build to whichever consumer happens to run first made their rows
+    # oscillate round-over-round (r5: cross_corpus_survivors recorded
+    # 2.71 s with the build inside vs 1.54 s warm), so the build is its
+    # own bench row and every consumer below times against the WARM
+    # artifact — the steady-state production shape (a 100 TB crawl
+    # builds signatures once, then every dedup job reads them).
+    from imp_etl_spark.queries_llm import _shared_minhash_stacked
+
+    t0 = time.perf_counter()
+    stacked = _shared_minhash_stacked(spark, sf_dir)  # builds eagerly
+    timings["minhash_index_build"] = round(time.perf_counter() - t0, 3)
+    # untimed read-back: warms the consumers' artifact-scan path (the
+    # read cost shows up inside each consumer's own row)
+    stacked.write.format("noop").mode("overwrite").save()
+
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         # best-of-2: the first execution of a query pays one-time codegen

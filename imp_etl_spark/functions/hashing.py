@@ -67,20 +67,32 @@ def shingle_hash(s: Column) -> Column:
 def minhash_int(hashes_col: Column, num_hashes: int) -> Column:
     """MinHash signature from pre-hashed shingles: array of
     min((A[i]*h + B[i]) mod p). A[i] < 2^21 and h < 2^31 keep every
-    product inside exact i64 — identical in any engine."""
+    product inside exact i64 — identical in any engine.
 
-    def _perm(i: int):
-        a, b = MINHASH_A[i], MINHASH_B[i]
-
-        def fn(h):
-            return F.pmod(h * F.lit(a).cast("long") + F.lit(b),
-                          F.lit(MERSENNE31).cast("long"))
-        return fn
-
-    return F.array(*[
-        F.array_min(F.transform(hashes_col, _perm(i)))
-        for i in range(num_hashes)
-    ])
+    Shape matters here: a per-permutation ``array_min(transform(...))``
+    would mention ``hashes_col`` once PER PERMUTATION, and after
+    projection collapse Catalyst inlines the base-hash expression (the
+    md5+conv pass) into every mention — 12x the hashing work (measured
+    3.1 s -> 0.5 s on the sf0.1 signature build). One ``aggregate``
+    pass instead folds a running-min array over the shingles, reading
+    each base hash exactly once as a lambda variable. Identical output:
+    min over shingles of perm_i(h), permutation by permutation; the
+    initial accumulator is p (every pmod value is < p, and the empty
+    array never reaches here — callers filter zero-shingle docs)."""
+    p = F.lit(MERSENNE31).cast("long")
+    a_arr = F.array(*[F.lit(a).cast("long")
+                      for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b).cast("long")
+                      for b in MINHASH_B[:num_hashes]])
+    init = F.array(*[p] * num_hashes)
+    return F.aggregate(
+        hashes_col, init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr,
+                       lambda a, b: F.pmod(h * a + b, p)),
+            lambda m, v: F.least(m, v)),
+    )
 
 
 def token_hash(t: Column, bits: int, hash_fn: str = "xxhash64") -> Column:

@@ -186,7 +186,15 @@ def minhash_stacked(df: DataFrame, text_col: str = "text",
     # crawl page would pair with every other empty page. Drop them here
     # — same semantics as the SQL oracle, whose UNNEST emits no hash
     # rows for an empty shingle list.
-    hashed = df.where(F.size(sh) > 0).select(
+    # The predicate is the CHEAP equivalent of size(shingles) > 0:
+    # tokens() drops empty fragments of a whitespace split, so a doc
+    # shingles iff its text has a non-whitespace char. Filtering on the
+    # shingle expression itself inlined the whole tokenize+shingle
+    # pipeline into the predicate (measured 3.3 s vs 0.36 s for the
+    # sf0.1 signature pass), and a raw-column predicate additionally
+    # pushes down to the parquet scan.
+    hashed = df.where(F.col(text_col).isNotNull()
+                      & (F.trim(F.col(text_col)) != "")).select(
         F.col(id_col),
         F.transform(sh, shingle_hash).alias("hs"),
     )

@@ -1,8 +1,11 @@
-"""Seeded randomized differential as a regression test: two fixed seeds
-of tools/fuzz_differential.py (random dirty-but-in-domain fixtures, all
-oracle-backed queries compared Spark-vs-DuckDB value-for-value, modulo
-the documented quantization tolerance). Deterministic: the generator is
-a seeded random.Random, so these exact fixtures reproduce forever.
+"""Seeded randomized differential as a regression test: four fixed
+seeds of tools/fuzz_differential.py (random dirty-but-in-domain
+fixtures, all oracle-backed queries compared Spark-vs-DuckDB
+value-for-value, modulo the documented quantization tolerance).
+Deterministic: the generator is a seeded random.Random, so these exact
+fixtures reproduce forever. Seed count per VERDICT r5 item 6 (the tool
+has run seeds 1-25 clean; CI pins four of them under the <20 min suite
+budget).
 
 Ad-hoc exploration runs more seeds:
     PYTHONPATH=. python tools/fuzz_differential.py --seeds 1 2 3 ...
@@ -17,7 +20,7 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [1, 3])
+@pytest.mark.parametrize("seed", [1, 3, 5, 7])
 def test_randomized_differential_seed_is_clean(spark, seed):
     from fuzz_differential import run_seed
 
