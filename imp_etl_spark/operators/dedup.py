@@ -449,12 +449,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Without ``candidates`` this computes Jaccard via an inverted index
     (explode n-grams -> co-occurrence counts -> |A∩B| / (|A|+|B|-|A∩B|)),
     which shuffles (ngram, id) postings — the classic set-similarity-join
-    shape. With ``candidates``, the posting lists are first pruned to the
-    docs that appear in ANY candidate pair (broadcast semi join), so the
-    co-occurrence self-join — the expensive part — runs over candidate
-    docs only, and the final pair semi-join drops non-candidate pairs
-    among them. At LSH-like candidate rates that collapses the posting
-    join from O(corpus²-per-gram) to O(candidates).
+    shape (the only option when no pair list bounds the work).
+
+    With ``candidates``, the verify is PAIRWISE instead: docs are pruned
+    to the ids that appear in any pair (broadcast semi join, BEFORE
+    tokenizing — Catalyst won't push a join through an explode, so this
+    is what keeps verify cost O(candidate docs), not O(corpus)), each
+    pruned doc's distinct gram SET is computed once, and each candidate
+    pair joins its two gram sets and scores ``array_intersect`` in one
+    expression. That is exactly O(pairs x gram-set) work and two id
+    equi-joins — versus the posting self-join's gram-level shuffle whose
+    volume depends on gram frequency skew, plus two more joins for the
+    sizes. Same math row-for-row: |A∩B| over distinct gram sets, pairs
+    emitted only when they share a gram (``inter > 0`` mirrors the
+    posting join, where a pair with no common gram never forms).
+    Contract: ``candidates`` rows are DISTINCT (id_a < id_b) pairs —
+    both built-in generators (:func:`minhash_candidates_from_stacked`,
+    :func:`cross_corpus_candidates`) guarantee it; a duplicated pair
+    would score twice here where the posting join's groupBy collapsed
+    it.
     """
     raw = df
     if candidates is not None:
@@ -462,16 +475,33 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     .unionByName(
                         candidates.select(F.col("id_b").alias(id_col)))
                     .distinct())
-        # prune BEFORE tokenizing: the semi join sits below the n-gram
-        # Generate (Catalyst won't push a join through an explode on its
-        # own), so only candidate docs are ever tokenized — verify cost
-        # is O(candidate docs), not O(corpus). Per-doc gram sets are
-        # self-contained, so pruning changes no surviving pair's |A|,
-        # |B| or |A∩B|. The broadcast hint assumes the candidate-id set
-        # is the small side (8-byte ids, LSH-bounded) — true until dup
-        # rates make candidates a corpus-scale fraction, at which point
-        # the caller should verify in partitioned batches anyway.
-        df = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        # the broadcast hint assumes the candidate-id set is the small
+        # side (8-byte ids, LSH-bounded) — true until dup rates make
+        # candidates a corpus-scale fraction, at which point the caller
+        # should verify in partitioned batches anyway
+        pruned = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        gramsets = spread_small_scan(pruned, probe=raw).select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(tokens(F.col(text_col)), n))
+            .alias("gs"),
+        )
+        inter = F.size(F.array_intersect("gs_a", "gs_b"))
+        return (
+            candidates
+            .join(gramsets.select(F.col("id").alias("id_a"),
+                                  F.col("gs").alias("gs_a")), on="id_a")
+            .join(gramsets.select(F.col("id").alias("id_b"),
+                                  F.col("gs").alias("gs_b")), on="id_b")
+            .withColumn("inter", inter)
+            .filter(F.col("inter") > 0)
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.size("gs_a") + F.size("gs_b")
+                                  - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # probe=raw: decide the spread from the scan, not the joined plan
     # (whose .rdd probe would eagerly build the broadcast — util.py)
     grams = spread_small_scan(df, probe=raw).select(
@@ -487,8 +517,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .groupBy(F.col("ga.id").alias("id_a"), F.col("gb.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
     scored = (
         inter
         .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), on="id_a")
