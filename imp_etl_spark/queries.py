@@ -1245,10 +1245,17 @@ _DRIVER_WINDOW_FIRST = [
     #    - rfm_customer_segments: decimal(38,0) rank packing
     #    - dedup_pipeline_survivors / dedup_cluster_assign /
     #      cross_corpus_survivors: persists routed through
-    #      _track_persist (release_dedup_caches lifecycle)
+    #      _track_persist (release_dedup_caches lifecycle) + the
+    #      pairwise Jaccard verify reshape
+    #    - minhash_lsh_pairs rides along (registered body unchanged,
+    #      but its helper chain — minhash_int's aggregate fold and
+    #      minhash_stacked's cheap zero-shingle predicate — changed;
+    #      outputs are bit-identical by the Python-reference signature
+    #      test, re-rowed on the same safe-side standard as r5's
+    #      simhash_docs)
     "json_extract_props", "t_time_format_suite", "rfm_customer_segments",
     "dedup_pipeline_survivors", "dedup_cluster_assign",
-    "cross_corpus_survivors",
+    "cross_corpus_survivors", "minhash_lsh_pairs",
     # -- (3) oldest-green backfill: r1-era rows, then mixture_by_source
     #    (its helper mixture_sample gained the empty-fractions guard —
     #    call-site behavior unchanged, re-rowed on the safe side), then
@@ -1262,11 +1269,12 @@ _DRIVER_WINDOW_FIRST = [
     "agg_exact_median", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_balance", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier",
+    "q14_promo_effect",
     # -- position 51+: the r7 backfill queue if the budget exceeds 50 —
     #    the rest of the r2-era tier, then the r3-era tier in its r5
     #    order, then the two rows-only entries (outside the hash gate
     #    by contract)
+    "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers",

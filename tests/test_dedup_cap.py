@@ -240,3 +240,37 @@ def test_shared_minhash_index_invalidates_on_corpus_rewrite(spark, tmp_path):
     ql._shared_minhash_stacked(spark, sf).count()
     assert not os.path.exists(old_dir)
     assert sum(1 for k in ql._MINHASH_IDX if k[0] == abspath) == 1
+
+
+def test_pairwise_verify_equals_posting_join_on_all_pairs(spark):
+    """Round-6 guard for the pairwise verify path: with candidates =
+    EVERY (a < b) pair, the pairwise array_intersect scorer must emit
+    exactly the posting-join path's output (same pairs, same jaccard
+    values) — including docs with shared grams below threshold, empty
+    docs, and exact duplicates."""
+    import random
+
+    from imp_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 40))))
+            for i in range(60)]
+    rows += [(100, rows[5][1]), (101, ""), (102, None)]  # dup/empty/null
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    all_pairs = (ids.crossJoin(docs.select(F.col("doc_id")
+                                           .alias("id_b")))
+                 .filter(F.col("id_a") < F.col("id_b")))
+    via_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(
+                     docs, "text", "doc_id", n=3, threshold=0.3,
+                     candidates=all_pairs).collect()}
+    via_postings = {(r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in ngram_jaccard_pairs(
+                        docs, "text", "doc_id", n=3,
+                        threshold=0.3).collect()}
+    assert via_pairs == via_postings
+    assert via_pairs  # non-vacuous: the random corpus has near-dups
