@@ -180,7 +180,7 @@ def _rows_match(sn, dn) -> list:
                                            for x, y in zip(a, b))]
 
 
-def run_seed(spark, seed: int) -> list[tuple]:
+def run_seed(spark, seed: int, workers: int = 8) -> list[tuple]:
     import duckdb
 
     from imp_etl_spark.queries import REGISTRY
@@ -200,28 +200,41 @@ def run_seed(spark, seed: int) -> list[tuple]:
         # DuckDB's levenshtein counts bytes on multibyte/zero-width
         # input — checked by direct assertion in the curated suite
         skip = {"fuzzy_part_pairs", "snm_part_pairs"}
-        bad = []
-        for name, (fn, sql) in REGISTRY.items():
-            if sql is None or name in skip:
-                continue
+        items = [(name, fn, sql) for name, (fn, sql) in REGISTRY.items()
+                 if sql is not None and name not in skip]
+
+        # Concurrent checking: the per-query cost on a tiny fuzz fixture
+        # is dominated by job-scheduling latency, not compute, so a small
+        # thread pool overlaps it (Spark job submission is thread-safe;
+        # the dedup tier's shared-artifact memo is lock-serialized for
+        # exactly this caller shape). Each worker gets its own DuckDB
+        # cursor — cursors share the connection's view catalog.
+        def _check(item):
+            name, fn, sql = item
+            cur = con.cursor()
             try:
                 sdf = fn(spark, d)
-                rel = con.sql(sql)
+                rel = cur.sql(sql)
                 dcols = [c.lower() for c in rel.columns]
                 srows = [tuple(r.asDict()[c] for c in dcols)
                          for r in sdf.collect()]
                 drows = [tuple(r) for r in rel.fetchall()]
                 if len(srows) != len(drows):
-                    bad.append((name, "rowcount", len(srows), len(drows)))
-                    continue
+                    return (name, "rowcount", len(srows), len(drows))
                 sn, dn = _rows(srows), _rows(drows)
                 mm = _rows_match(sn, dn)
                 if mm:
-                    bad.append((name, "values", repr(mm[0])[:200], ""))
+                    return (name, "values", repr(mm[0])[:200], "")
+                return None
             except Exception as exc:  # noqa: BLE001 — report, keep going
-                bad.append((name, "error", type(exc).__name__,
-                            str(exc).splitlines()[0][:140] if str(exc) else ""))
-        return bad
+                return (name, "error", type(exc).__name__,
+                        str(exc).splitlines()[0][:140] if str(exc) else "")
+            finally:
+                cur.close()
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return [r for r in pool.map(_check, items) if r is not None]
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -229,12 +242,13 @@ def run_seed(spark, seed: int) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[1])
+    ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
     failed = False
     for seed in args.seeds:
-        bad = run_seed(spark, seed)
+        bad = run_seed(spark, seed, workers=args.workers)
         print(f"seed {seed}: {'CLEAN' if not bad else f'{len(bad)} findings'}")
         for b in bad:
             print("  " + " | ".join(str(x) for x in b))
