@@ -1256,12 +1256,13 @@ _DRIVER_WINDOW_FIRST = [
     "json_extract_props", "t_time_format_suite", "rfm_customer_segments",
     "dedup_pipeline_survivors", "dedup_cluster_assign",
     "cross_corpus_survivors", "minhash_lsh_pairs",
-    # -- (3) oldest-green backfill: r1-era rows, then mixture_by_source
-    #    (its helper mixture_sample gained the empty-fractions guard —
-    #    call-site behavior unchanged, re-rowed on the safe side), then
-    #    the r2-era tier
+    # -- (3) oldest-green backfill: r1-era rows, then BOTH consumers of
+    #    mixture_sample (its helper gained the empty-fractions guard —
+    #    call-site behavior unchanged, re-rowed on the safe side; the
+    #    closure-aware staleness audit flags stratified_sample_langs
+    #    for exactly this helper edit), then the r2-era tier
     "dq_rule_violations", "range_clicks_before_purchase",
-    "salted_skew_agg", "mixture_by_source",
+    "salted_skew_agg", "mixture_by_source", "stratified_sample_langs",
     "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
     "multimodal_frame_sample", "pii_redact_docs", "chunk_documents",
     "text_quality_gopher", "string_funcs_suite", "date_funcs_suite",
@@ -1269,12 +1270,11 @@ _DRIVER_WINDOW_FIRST = [
     "agg_exact_median", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_profit", "q10_returned_items",
     "q11_important_balance", "q13_customer_distribution",
-    "q14_promo_effect",
     # -- position 51+: the r7 backfill queue if the budget exceeds 50 —
     #    the rest of the r2-era tier, then the r3-era tier in its r5
     #    order, then the two rows-only entries (outside the hash gate
     #    by contract)
-    "q15_top_supplier",
+    "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers",

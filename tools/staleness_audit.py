@@ -4,22 +4,30 @@ Answers the closeout question the round-5 verdict graded by hand: does
 every registered query have a driver CORRECTNESS row that POSTDATES its
 last code-or-oracle change? Two parts:
 
-1. **AST diff vs a base ref** — for every ``@register``-decorated
-   function across the queries modules, compare a normalized AST dump
-   (decorators INCLUDING the oracle-SQL literal, plus the function
-   body with its docstring stripped, so doc-only edits don't count)
-   between ``git show <base>:<file>`` and the working tree.
+1. **Transitive AST diff vs a base ref** — for every
+   ``@register``-decorated function across the queries modules, compare
+   a normalized AST dump (decorators INCLUDING the oracle-SQL literal,
+   docstrings stripped so doc-only edits don't count) of the function
+   PLUS its transitive call/reference closure over everything defined
+   in the ``imp_etl_spark`` package — module-level helpers, constants,
+   and classes — between ``git show <base>:<file>`` and the working
+   tree. Closure membership is resolved by bare name (an ``ast.Call``'s
+   ``Name``/``Attribute`` tail, plus every ``Name`` a body references,
+   matched against package-level definitions), which over-approximates:
+   a same-named definition in an unrelated module joins the closure and
+   can flag a query that didn't really change. That direction of error
+   is safe for an audit — it can only schedule an extra driver row,
+   never miss one through a helper edit. (Genuinely dynamic dispatch —
+   a helper resolved through a dict of functions, say — remains
+   invisible; none of the registry uses that shape today.)
 2. **Latest-green lookup** — scan CORRECTNESS_r*.json for each entry's
    most recent driver round.
 
-An entry is STALE when its AST changed vs the base ref (take the base
-as the commit the last driver round ran against — by convention the
-round's ``verdict/advice/correctness/bench`` commit) — those entries
-must lead the next ``_DRIVER_WINDOW_FIRST`` window. Helper-level edits
-(a function the query calls, outside the decorated body) are NOT
-caught, the same limitation the round-5 hand audit had; when a shared
-helper changes semantics, add its consumers to the window by hand (see
-the round-6 window's block 2 for the pattern).
+An entry is STALE when its effective (closure) AST changed vs the base
+ref (take the base as the commit the last driver round ran against —
+by convention the round's ``verdict/advice/correctness/bench``
+commit) — those entries must lead the next ``_DRIVER_WINDOW_FIRST``
+window.
 
 Usage:
     python tools/staleness_audit.py <base-ref> [--repo /root/repo]
@@ -37,52 +45,127 @@ import os
 import subprocess
 import sys
 
-QUERY_FILES = [
-    "imp_etl_spark/queries.py",
-    "imp_etl_spark/queries_analytics.py",
-    "imp_etl_spark/queries_corpus.py",
-    "imp_etl_spark/queries_llm.py",
-    "imp_etl_spark/queries_scalar.py",
-    "imp_etl_spark/queries_tpch.py",
-]
+
+def _strip_docstrings(node: ast.AST) -> ast.AST:
+    """Remove the leading docstring Expr from every function, class and
+    module body in-place, so documentation-only edits never flag."""
+    for n in ast.walk(node):
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef, ast.Module)):
+            body = getattr(n, "body", None)
+            if (body and isinstance(body[0], ast.Expr)
+                    and isinstance(body[0].value, ast.Constant)
+                    and isinstance(body[0].value.value, str)):
+                n.body = body[1:] or [ast.Pass()]
+    return node
 
 
-def _registered_funcs(source: str) -> dict[str, str]:
-    """name -> normalized AST dump of each @register-decorated function
-    (docstring removed; decorator list — including the oracle SQL
-    string literal — retained)."""
-    out: dict[str, str] = {}
+def _referenced_names(node: ast.AST) -> set[str]:
+    """Bare names a definition might resolve against the package: every
+    ``Name`` id plus every ``Attribute`` attr used as a call target."""
+    deps: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name):
+            deps.add(n.id)
+        elif isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute):
+            deps.add(n.func.attr)
+    return deps
+
+
+def _index_source(source: str):
+    """Index one module: (registered, defs, deps).
+
+    registered: registry-name -> defining function's bare name
+    defs: bare name -> list of normalized dumps (top-level functions,
+          classes, and assigned constants; same-name collisions across
+          modules merge conservatively)
+    deps: bare name -> set of names its definition references
+    """
+    registered: dict[str, str] = {}
+    defs: dict[str, list[str]] = {}
+    deps: dict[str, set[str]] = {}
+
+    def _add(name: str, dump: str, refs: set[str]) -> None:
+        defs.setdefault(name, []).append(dump)
+        deps.setdefault(name, set()).update(refs)
+
     tree = ast.parse(source)
-    for node in ast.walk(tree):
-        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            continue
-        for dec in node.decorator_list:
-            if (isinstance(dec, ast.Call)
-                    and getattr(dec.func, "id", "") == "register"
-                    and dec.args
-                    and isinstance(dec.args[0], ast.Constant)):
-                name = dec.args[0].value
-                body = list(node.body)
-                if (body and isinstance(body[0], ast.Expr)
-                        and isinstance(body[0].value, ast.Constant)
-                        and isinstance(body[0].value.value, str)):
-                    body = body[1:]  # drop the docstring
-                clone = ast.FunctionDef(
-                    name=node.name, args=node.args, body=body,
-                    decorator_list=node.decorator_list, returns=None,
-                    type_comment=None, type_params=[])
-                out[name] = ast.dump(ast.fix_missing_locations(
-                    ast.copy_location(clone, node)))
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            clean = _strip_docstrings(ast.parse(ast.unparse(node)).body[0])
+            _add(node.name, ast.dump(clean), _referenced_names(clean))
+            for dec in node.decorator_list:
+                if (isinstance(dec, ast.Call)
+                        and getattr(dec.func, "id", "") == "register"
+                        and dec.args
+                        and isinstance(dec.args[0], ast.Constant)):
+                    registered[dec.args[0].value] = node.name
+        elif isinstance(node, ast.ClassDef):
+            clean = _strip_docstrings(ast.parse(ast.unparse(node)).body[0])
+            _add(node.name, ast.dump(clean), _referenced_names(clean))
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    _add(t.id, ast.dump(node.value),
+                         _referenced_names(node.value))
+        elif (isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.value is not None):
+            _add(node.target.id, ast.dump(node.value),
+                 _referenced_names(node.value))
+    return registered, defs, deps
+
+
+def _pkg_files(repo: str, ref: str | None):
+    """(path -> source) for every package .py file, at HEAD (working
+    tree) or at a git ref."""
+    if ref is None:
+        return {p: open(os.path.join(repo, p)).read()
+                for p in sorted(glob.glob("imp_etl_spark/**/*.py",
+                                          root_dir=repo, recursive=True))}
+    out: dict[str, str] = {}
+    ls = subprocess.run(
+        ["git", "-C", repo, "ls-tree", "-r", "--name-only", ref,
+         "imp_etl_spark"],
+        capture_output=True, text=True)
+    for p in ls.stdout.split():
+        if p.endswith(".py"):
+            out[p] = subprocess.run(
+                ["git", "-C", repo, "show", f"{ref}:{p}"],
+                capture_output=True, text=True).stdout
     return out
 
 
-def _at_ref(repo: str, ref: str, path: str) -> str:
-    try:
-        return subprocess.run(
-            ["git", "-C", repo, "show", f"{ref}:{path}"],
-            capture_output=True, text=True, check=True).stdout
-    except subprocess.CalledProcessError:
-        return ""  # file did not exist at base -> everything is "new"
+def _index_tree(repo: str, ref: str | None):
+    registered: dict[str, str] = {}
+    defs: dict[str, list[str]] = {}
+    deps: dict[str, set[str]] = {}
+    for _path, src in _pkg_files(repo, ref).items():
+        try:
+            reg, d, dp = _index_source(src)
+        except SyntaxError:
+            continue
+        registered.update(reg)
+        for k, v in d.items():
+            defs.setdefault(k, []).extend(v)
+        for k, v in dp.items():
+            deps.setdefault(k, set()).update(v)
+    return registered, defs, deps
+
+
+def _effective(func_name: str, defs, deps) -> str:
+    """Normalized dump of a function plus its transitive closure over
+    package-level definitions, order-independent."""
+    seen: set[str] = set()
+    frontier = [func_name]
+    while frontier:
+        n = frontier.pop()
+        if n in seen or n not in defs:
+            continue
+        seen.add(n)
+        frontier.extend(deps.get(n, ()))
+    return "\n".join(f"{n}:{d}" for n in sorted(seen)
+                     for d in sorted(defs[n]))
 
 
 def latest_green_rounds(repo: str) -> dict[str, int]:
@@ -95,15 +178,13 @@ def latest_green_rounds(repo: str) -> dict[str, int]:
 
 
 def audit(repo: str, base_ref: str):
-    changed: list[str] = []
-    head_names: set[str] = set()
-    for path in QUERY_FILES:
-        head_src = open(os.path.join(repo, path)).read()
-        base_src = _at_ref(repo, base_ref, path)
-        head = _registered_funcs(head_src)
-        base = _registered_funcs(base_src) if base_src else {}
-        head_names |= set(head)
-        changed += [n for n, dump in head.items() if base.get(n) != dump]
+    head_reg, head_defs, head_deps = _index_tree(repo, None)
+    base_reg, base_defs, base_deps = _index_tree(repo, base_ref)
+    changed = sorted(
+        reg_name for reg_name, fn in head_reg.items()
+        if reg_name not in base_reg
+        or _effective(fn, head_defs, head_deps)
+        != _effective(base_reg[reg_name], base_defs, base_deps))
     sys.path.insert(0, repo)
     from imp_etl_spark.queries import REGISTRY
 
@@ -112,13 +193,13 @@ def audit(repo: str, base_ref: str):
     latest = latest_green_rounds(repo)
     return {
         "base_ref": base_ref,
-        "registered": len(head_names),
-        "changed_since_base": sorted(changed),
+        "registered": len(head_reg),
+        "changed_since_base": changed,
         "stale_outside_window": sorted(
             n for n in changed if pos.get(n, 10**9) > 50),
-        "never_driver_rowed": sorted(head_names - set(latest)),
-        "window_pos": {n: pos.get(n) for n in sorted(changed)},
-        "latest_green": {n: latest.get(n) for n in sorted(changed)},
+        "never_driver_rowed": sorted(set(head_reg) - set(latest)),
+        "window_pos": {n: pos.get(n) for n in changed},
+        "latest_green": {n: latest.get(n) for n in changed},
     }
 
 
