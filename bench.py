@@ -111,6 +111,14 @@ def main() -> None:
 
     minhash_stacked(read_table(spark, sf_dir, "documents").limit(64)) \
         .write.format("noop").mode("overwrite").save()
+    # warm the documents scan itself (OS page cache + footer metadata):
+    # every best-of-2 row gets its input files warmed by its first
+    # attempt, but the one-shot build row below reads documents exactly
+    # once — without this, its number mixes storage cold-read cost into
+    # the signature-pass cost and oscillates run-to-run (measured 4.75 s
+    # cache-cold vs 3.14 s warm for an identical build).
+    read_table(spark, sf_dir, "documents").write.format(
+        "noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
 

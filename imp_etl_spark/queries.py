@@ -492,6 +492,51 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sets_preagg(df: DataFrame, k1: str, k2: str, val_col: str,
+                 val_alias: str, keep_gids: tuple[int, ...]) -> DataFrame:
+    """CUBE/ROLLUP/GROUPING SETS over (k1, k2) via PRE-AGGREGATION, with
+    ANSI empty-input semantics for the global ``()`` set.
+
+    Two divergences from a naive ``df.cube(...)`` motivate this shape:
+
+    - Scale: Spark plans the Expand operator BELOW the partial
+      aggregate, so a native cube multiplies every raw scan row by the
+      number of grouping sets before any combining. Pre-aggregating to
+      the distinct (k1, k2) frame first (one ordinary groupBy — exact,
+      since SUM/COUNT re-aggregate losslessly over decimal partials)
+      means the Expand runs over |distinct key pairs| rows, not |table|
+      rows. The two consumers of the partial aggregate share one scan:
+      both branches contain the identical partial-agg exchange, which
+      Spark's exchange reuse collapses (pinned by test).
+    - Correctness (fuzz seed 36): on EMPTY input, ANSI grouping sets —
+      and the DuckDB oracle — still emit one row for the ``()`` set
+      (NULL keys, COUNT 0, SUM NULL), but Spark's cube/rollup emit
+      nothing because every expanded set is keyed by grouping_id. The
+      global row is therefore computed as a plain global aggregate
+      (one row always) and unioned with the keyed sets, which come from
+      the pre-aggregated cube filtered by grouping_id (for (k1, k2)
+      keys: gid 0 = (k1,k2), 1 = (k1), 2 = (k2), 3 = ()).
+    """
+    t1, t2 = dict(df.dtypes)[k1], dict(df.dtypes)[k2]
+    base = df.groupBy(k1, k2).agg(
+        F.sum(F.col(val_col).cast("decimal(18,2)")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"))
+    keyed = (
+        base.cube(k1, k2)
+        .agg(F.sum("__s").alias("__s"), F.sum("__c").alias("__c"),
+             F.grouping_id().alias("__gid"))
+        .where(F.col("__gid").isin(*keep_gids))
+        .select(k1, k2, "__s", "__c"))
+    glob = base.agg(
+        F.sum("__s").alias("__s"),
+        F.coalesce(F.sum("__c"), F.lit(0).cast("long")).alias("__c"),
+    ).select(F.lit(None).cast(t1).alias(k1), F.lit(None).cast(t2).alias(k2),
+             "__s", "__c")
+    return keyed.unionByName(glob).select(
+        k1, k2, F.col("__s").cast("double").alias(val_alias),
+        F.col("__c").alias("cnt"))
+
+
 @register("agg_rollup", """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -500,11 +545,10 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP sets ((f,s),(f),()): keyed gids 0 and 1 + the global row
     li = read_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_quantity"), "sum_qty"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    return _sets_preagg(li, "l_returnflag", "l_linestatus",
+                        "l_quantity", "sum_qty", keep_gids=(0, 1))
 
 
 @register("agg_cube", """
@@ -515,11 +559,10 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE sets ((f,s),(f),(s),()): keyed gids 0-2 + the global row
     li = read_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_extendedprice"), "sum_price"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    return _sets_preagg(li, "l_returnflag", "l_linestatus",
+                        "l_extendedprice", "sum_price", keep_gids=(0, 1, 2))
 
 
 @register("agg_grouping_sets", """
@@ -529,13 +572,10 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
-    return spark.sql("""
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """)
+    # sets ((status),(priority),()): keyed gids 1 and 2 + the global row
+    o = read_table(spark, sf_dir, "orders")
+    return _sets_preagg(o, "o_orderstatus", "o_orderpriority",
+                        "o_totalprice", "sum_price", keep_gids=(1, 2))
 
 
 @register("win_topn_per_group", """
@@ -1253,9 +1293,16 @@ _DRIVER_WINDOW_FIRST = [
     #      outputs are bit-identical by the Python-reference signature
     #      test, re-rowed on the same safe-side standard as r5's
     #      simhash_docs)
+    #    - fresh-seed fuzz findings (seeds 30/36, fixed this round):
+    #      parts_pareto_cumshare null-revenue ordering (nulls last on
+    #      both engines); agg_cube/agg_rollup/agg_grouping_sets
+    #      rewritten as pre-aggregated sets with the ANSI one-row
+    #      global aggregate on empty input
     "json_extract_props", "t_time_format_suite", "rfm_customer_segments",
     "dedup_pipeline_survivors", "dedup_cluster_assign",
     "cross_corpus_survivors", "minhash_lsh_pairs",
+    "parts_pareto_cumshare", "agg_cube", "agg_rollup",
+    "agg_grouping_sets",
     # -- (3) oldest-green backfill: r1-era rows, then BOTH consumers of
     #    mixture_sample (its helper gained the empty-fractions guard —
     #    call-site behavior unchanged, re-rowed on the safe side; the
@@ -1268,18 +1315,19 @@ _DRIVER_WINDOW_FIRST = [
     "text_quality_gopher", "string_funcs_suite", "date_funcs_suite",
     "null_cond_suite", "regex_funcs_suite", "agg_distinct_customers",
     "agg_exact_median", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_balance", "q13_customer_distribution",
+    "q8_market_share",
     # -- position 51+: the r7 backfill queue if the budget exceeds 50 —
-    #    the rest of the r2-era tier, then the r3-era tier in its r5
+    #    the four r2-era rows displaced by the seed-30/36 fixes, the
+    #    rest of the r2-era tier, then the r3-era tier in its r5
     #    order, then the two rows-only entries (outside the hash gate
     #    by contract)
+    "q9_product_profit", "q10_returned_items",
+    "q11_important_balance", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers",
-    "a2_processed_skipped", "agg_cube", "agg_grouping_sets",
-    "agg_rollup", "dedup_exact_content", "dedup_exact_group",
+    "a2_processed_skipped", "dedup_exact_content", "dedup_exact_group",
     "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
     "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
     "j2_exists_composite", "j3_anti_missing", "lang_id_docs",

@@ -1608,8 +1608,9 @@ WITH r AS (
 ),
 o AS (
   SELECT l_partkey, rev_micro,
-         row_number() OVER (ORDER BY rev_micro DESC, l_partkey) AS rnk,
-         sum(rev_micro) OVER (ORDER BY rev_micro DESC, l_partkey
+         row_number() OVER (ORDER BY rev_micro DESC NULLS LAST,
+                            l_partkey) AS rnk,
+         sum(rev_micro) OVER (ORDER BY rev_micro DESC NULLS LAST, l_partkey
                               ROWS UNBOUNDED PRECEDING) AS cum_micro,
          sum(rev_micro) OVER () AS total_micro,
          count(*) OVER () AS n_parts
@@ -1640,14 +1641,22 @@ def parts_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .cast("decimal(18,6)")) * 1000000).cast("bigint")
     r = (li.groupBy("l_partkey").agg(rev.alias("rev_micro"))
+         .withColumn("__nullrev", F.col("rev_micro").isNull())
          .withColumn("__neg", -F.col("rev_micro"))
          .withColumn("__one", F.lit(1).cast("bigint")))
-    # (rev desc, partkey asc) ordering; the rank is just the prefix sum
-    # of ones over the same order — both ride the distributed two-phase
-    # prefix_sum, no packed key, no single-task window
-    o = prefix_sum(r, ["__neg", "l_partkey"], "rev_micro",
+    # (rev desc NULLS LAST, partkey asc) ordering; the rank is just the
+    # prefix sum of ones over the same order — both ride the distributed
+    # two-phase prefix_sum, no packed key, no single-task window.
+    # __nullrev leads the order key because prefix_sum sorts ASC with
+    # Spark's nulls-first default, which would rank a NULL-revenue part
+    # (no priceable lineitems) ABOVE every real earner while the oracle
+    # ranks it last (fuzz seed 30: the two engines' rnk diverged by the
+    # null-part count); false < true puts null-revenue parts last, where
+    # cum_share ≥ 1 keeps them out of the 80% cut on both engines.
+    o = prefix_sum(r, ["__nullrev", "__neg", "l_partkey"], "rev_micro",
                    out_col="cum_micro")
-    o = prefix_sum(o, ["__neg", "l_partkey"], "__one", out_col="rnk")
+    o = prefix_sum(o, ["__nullrev", "__neg", "l_partkey"], "__one",
+                   out_col="rnk")
     tot = r.agg(F.sum("rev_micro").alias("total_micro"),
                 F.count(F.lit(1)).alias("n_parts"))
     return (

@@ -87,6 +87,18 @@ def _fixture_tables():
             lineitem.append((ok, (ok + ln) % 5 + 1, (ok + ln) % 3 + 1,
                              ln, float(ln), sign * 1e6, 0.0, 0.08,
                              "N", "O", odate + datetime.timedelta(days=ln)))
+    # round-6 (fuzz seed 30): a part whose every lineitem has NULL
+    # extendedprice aggregates to NULL revenue; the Pareto ranking must
+    # order it LAST on both engines (Spark's asc-nulls-first default
+    # ranked it first, shifting every rnk below it). NULL quantity
+    # rides along for the rollup/cube sums.
+    part.append((6, "null revenue part", "B3", "TYPE C", 9, 1.0))
+    ok += 1
+    orders.append((ok, 1, "F", 10.0, _dt(1995, 6, 1), "5-LOW"))
+    lineitem.append((ok, 6, 1, 1, None, None, 0.0, 0.08, "N", "O",
+                     _dt(1995, 6, 2)))
+    lineitem.append((ok, 6, 2, 2, None, None, 0.5, 0.0, "A", "F",
+                     _dt(1995, 6, 3)))
     return {"region": region, "nation": nation, "customer": customer,
             "supplier": supplier, "part": part, "orders": orders,
             "lineitem": lineitem}

@@ -33,6 +33,22 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_grouping_sets_emit_global_row_on_empty(spark, empty_sf_dir):
+    """ANSI (and the DuckDB oracle) emit ONE row for the global ``()``
+    grouping set over an empty input — NULL keys, COUNT 0, SUM NULL.
+    Spark's native cube/rollup emit nothing there (every expanded set is
+    keyed by grouping_id), which fuzz seed 36 caught as a 0-vs-1
+    rowcount divergence; the pre-aggregated rewrite (queries.py
+    _sets_preagg) restores the standard row."""
+    for name in ("agg_cube", "agg_rollup", "agg_grouping_sets"):
+        fn, _sql = REGISTRY[name]
+        rows = fn(spark, empty_sf_dir).collect()
+        assert len(rows) == 1, f"{name}: {rows}"
+        vals = tuple(rows[0])
+        assert vals[:2] == (None, None), f"{name}: {vals}"
+        assert rows[0]["cnt"] == 0, f"{name}: {vals}"
+
+
 def test_registry_sweep_on_empty_tables(spark, empty_sf_dir):
     failures = []
     for name, (fn, _sql) in REGISTRY.items():

@@ -20,8 +20,11 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [1, 3, 5, 7])
+@pytest.mark.parametrize("seed", [1, 3, 30, 36])
 def test_randomized_differential_seed_is_clean(spark, seed):
+    # seeds 30 and 36 are the round-6 finding-bearers (pareto null-rank
+    # ordering; grouping-sets global row on empty input) — pinned over
+    # two of the arbitrary clean seeds so the fixes regress loudly
     from fuzz_differential import run_seed
 
     bad = run_seed(spark, seed)

@@ -301,6 +301,23 @@ def test_funnel_stage_joins_are_hash_joins(spark):
     assert "event_type" in plan  # stage filters reach the scan
 
 
+def test_sets_preagg_single_scan_via_exchange_reuse(spark):
+    # the grouping-sets rewrite (queries.py _sets_preagg) feeds BOTH its
+    # keyed-sets branch and its always-one-row global branch from the
+    # same partial-agg exchange; at runtime AQE must collapse the second
+    # scan into a ReusedExchange (one pass over the fact table), and the
+    # Expand must sit ABOVE the pre-aggregate — i.e. a HashAggregate
+    # between Expand and the scan (toString prints root-first), so the
+    # set expansion multiplies |distinct key pairs| rows, not |table|
+    # rows (Spark's native cube plans Expand directly on the scan)
+    for name in ("agg_cube", "agg_rollup", "agg_grouping_sets"):
+        plan = _executed(_run(name, spark))
+        assert "ReusedExchange" in plan, name
+        assert "Expand" in plan, name
+        between = plan[plan.index("Expand"):plan.index("FileScan")]
+        assert "HashAggregate" in between, name
+
+
 def test_fuzzy_join_blocked_is_equi_join(spark):
     plan = _executed(_run("fuzzy_part_pairs", spark))
     # blocking turns all-pairs into an equi join on the block key; the
