@@ -99,24 +99,60 @@ def gen_fixture(spark, rng: random.Random, d: str) -> None:
                  _val(rng)) for i in range(n_supp)]
     part = [(i + 1, _text(rng), f"B{i % 5}", f"TYPE {i % 3}",
              rng.randint(-5, 200), _val(rng)) for i in range(n_part)]
+    # TIE POOLS: ranking/ordering bugs only surface when distinct rows
+    # COLLIDE on the sort metric (fuzz seed 30's null-rank finding was
+    # exactly an ordering-class bug) — purely random draws almost never
+    # tie, so a slice of every metric/timestamp draw comes from a small
+    # shared pool. Every query must already be tie-proof (deterministic
+    # tie-break keys); a divergence here is a real bug, not fixture
+    # noise.
+    val_pool = [v for v in (_val(rng) for _ in range(6)) if v is not None]
+    ts_pool = [t for t in (_ts(rng) for _ in range(6)) if t is not None]
+
+    def _pval(rng):
+        if val_pool and rng.random() < 0.30:
+            return rng.choice(val_pool)
+        return _val(rng)
+
+    def _pts(rng):
+        if ts_pool and rng.random() < 0.30:
+            return rng.choice(ts_pool)
+        return _ts(rng)
+
     orders, lineitem = [], []
     for i in range(n_ord):
         ok = i + 1
-        odate = _ts(rng)
+        odate = _pts(rng)
         orders.append((ok, rng.randint(1, max(n_cust, 1)),
-                       rng.choice(["O", "F", "P", "", None]), _val(rng),
+                       rng.choice(["O", "F", "P", "", None]), _pval(rng),
                        odate, rng.choice(["1-URGENT", "5-LOW", "", None])))
         for ln in range(1, rng.randint(1, 4)):
             lineitem.append((ok, rng.randint(1, max(n_part, 1)),
                              rng.randint(1, max(n_supp, 1)), ln,
-                             _val(rng), _val(rng),
+                             _pval(rng), _pval(rng),
                              rng.choice([0.0, 0.05, 0.1, 0.5, 1.0]),
                              rng.choice([0.0, 0.08]),
                              rng.choice(["A", "N", "R", "", None]),
                              rng.choice(["O", "F", "", None]),
-                             _ts(rng)))
-    documents = [(i + 1, _text(rng), rng.choice(LANGS), rng.choice(SOURCES),
-                  rng.randint(0, 10000)) for i in range(n_docs)]
+                             _pts(rng)))
+    # document dup injection: exact copies and one-word mutations of
+    # earlier docs drive the dedup/fingerprint/jaccard tiers with REAL
+    # collisions (random word soup almost never repeats a text)
+    documents = []
+    for i in range(n_docs):
+        r = rng.random()
+        if documents and r < 0.12:
+            text = rng.choice(documents)[1]  # exact duplicate
+        elif documents and r < 0.20:
+            src = rng.choice(documents)[1]   # near duplicate
+            toks = (src or "").split(" ")
+            if toks:
+                toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+            text = " ".join(toks)
+        else:
+            text = _text(rng)
+        documents.append((i + 1, text, rng.choice(LANGS),
+                          rng.choice(SOURCES), rng.randint(0, 10000)))
     embeddings = []
     for i in range(n_emb):
         r = rng.random()
@@ -124,11 +160,13 @@ def gen_fixture(spark, rng: random.Random, d: str) -> None:
             vec = None
         elif r < 0.10:
             vec = [0.0] * dim
+        elif embeddings and r < 0.20 and embeddings[-1][1] is not None:
+            vec = list(embeddings[-1][1])  # duplicate vector: cosine ties
         else:
             vec = [rng.uniform(-1, 1) for _ in range(dim)]
         embeddings.append((i + 1, vec, rng.randint(0, 3)))
-    events = [(i + 1, _ts(rng), rng.choice([None] + list(range(1, 30))),
-               rng.choice(ETYPES), _val(rng),
+    events = [(i + 1, _pts(rng), rng.choice([None] + list(range(1, 30))),
+               rng.choice(ETYPES), _pval(rng),
                rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}", "[]",
                            "garbage", "", None]))
               for i in range(n_ev)]
