@@ -1659,14 +1659,19 @@ def parts_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
                    out_col="rnk")
     tot = r.agg(F.sum("rev_micro").alias("total_micro"),
                 F.count(F.lit(1)).alias("n_parts"))
+    # try_divide: a corpus whose revenues cancel to an exact 0 total
+    # (fuzz seed 88 — pooled ±values) makes every share undefined; both
+    # engines yield NULL there (DuckDB's double division by zero is
+    # NULL, not inf) and the <= 0.8 cut drops all rows. n_parts needs
+    # no guard — it is >= 1 whenever any row reaches the divide.
+    share = F.try_divide(F.col("cum_micro").cast("double"),
+                         F.col("total_micro"))
     return (
         o.crossJoin(F.broadcast(tot))
-        .where(F.col("cum_micro").cast("double")
-               / F.col("total_micro") <= 0.8)
+        .where(share <= 0.8)
         .select("l_partkey", "rev_micro", F.col("rnk").cast("bigint")
                 .alias("rnk"),
-                (F.col("cum_micro").cast("double") / F.col("total_micro")
-                 ).alias("cum_share"),
+                share.alias("cum_share"),
                 (F.col("rnk").cast("double") / F.col("n_parts")
                  ).alias("part_pctile"))
     )

@@ -20,11 +20,12 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [1, 3, 30, 36])
+@pytest.mark.parametrize("seed", [1, 3, 30, 36, 88])
 def test_randomized_differential_seed_is_clean(spark, seed):
-    # seeds 30 and 36 are the round-6 finding-bearers (pareto null-rank
-    # ordering; grouping-sets global row on empty input) — pinned over
-    # two of the arbitrary clean seeds so the fixes regress loudly
+    # seeds 30, 36 and 88 are the round-6 finding-bearers (pareto
+    # null-rank ordering; grouping-sets global row on empty input;
+    # zero-total cumulative share under the tie-heavy generator) —
+    # pinned so the fixes regress loudly
     from fuzz_differential import run_seed
 
     bad = run_seed(spark, seed)
