@@ -77,22 +77,36 @@ def minhash_int(hashes_col: Column, num_hashes: int) -> Column:
     pass instead folds a running-min array over the shingles, reading
     each base hash exactly once as a lambda variable. Identical output:
     min over shingles of perm_i(h), permutation by permutation; the
-    initial accumulator is p (every pmod value is < p, and the empty
-    array never reaches here — callers filter zero-shingle docs)."""
+    initial accumulator is p (every pmod value is < p).
+
+    Self-defending on degenerate input (ADVICE r6): an EMPTY hashes
+    array yields NULL — not the [p]*num_hashes seed, which would be a
+    valid-looking signature shared by every contentless doc and would
+    band-collide them all — so correctness no longer rests on callers'
+    zero-shingle filters. And num_hashes beyond the permutation table
+    raises loudly instead of NULL-padding the signature tail into a
+    shared constant (least() skips NULLs)."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the {len(MINHASH_A)}-entry "
+            "permutation table (MINHASH_A/MINHASH_B); extend the tables "
+            "rather than let the signature tail degrade to a constant")
     p = F.lit(MERSENNE31).cast("long")
     a_arr = F.array(*[F.lit(a).cast("long")
                       for a in MINHASH_A[:num_hashes]])
     b_arr = F.array(*[F.lit(b).cast("long")
                       for b in MINHASH_B[:num_hashes]])
     init = F.array(*[p] * num_hashes)
-    return F.aggregate(
-        hashes_col, init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(a_arr, b_arr,
-                       lambda a, b: F.pmod(h * a + b, p)),
-            lambda m, v: F.least(m, v)),
-    )
+    return F.when(
+        F.size(hashes_col) > 0,
+        F.aggregate(
+            hashes_col, init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.zip_with(a_arr, b_arr,
+                           lambda a, b: F.pmod(h * a + b, p)),
+                lambda m, v: F.least(m, v)),
+        ))
 
 
 def token_hash(t: Column, bits: int, hash_fn: str = "xxhash64") -> Column:

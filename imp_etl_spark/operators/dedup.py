@@ -187,14 +187,17 @@ def minhash_stacked(df: DataFrame, text_col: str = "text",
     # — same semantics as the SQL oracle, whose UNNEST emits no hash
     # rows for an empty shingle list.
     # The predicate is the CHEAP equivalent of size(shingles) > 0:
-    # tokens() drops empty fragments of a whitespace split, so a doc
-    # shingles iff its text has a non-whitespace char. Filtering on the
-    # shingle expression itself inlined the whole tokenize+shingle
-    # pipeline into the predicate (measured 3.3 s vs 0.36 s for the
-    # sf0.1 signature pass), and a raw-column predicate additionally
-    # pushes down to the parquet scan.
-    hashed = df.where(F.col(text_col).isNotNull()
-                      & (F.trim(F.col(text_col)) != "")).select(
+    # tokens() splits on the Java regex \s+ and drops empty fragments,
+    # so a doc shingles iff its text has a non-whitespace char — which
+    # is exactly rlike(\S) under the SAME regex engine (trim() was NOT
+    # equivalent: it strips only ASCII 0x20, so a tab/newline-only doc
+    # slipped through and reached minhash_int with zero shingles —
+    # ADVICE r6). rlike is null-rejecting, so no isNotNull needed.
+    # Filtering on the shingle expression itself inlined the whole
+    # tokenize+shingle pipeline into the predicate (measured 3.3 s vs
+    # 0.36 s for the sf0.1 signature pass); a raw-column predicate
+    # keeps the scan-side projection to (id, text).
+    hashed = df.where(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col),
         F.transform(sh, shingle_hash).alias("hs"),
     )

@@ -1261,72 +1261,33 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-6 window (VERDICT.md r5, next-round items 1-2): registry
-    # stays frozen at 150; the 50-slot budget (a) re-rows the 18 entries
-    # whose function or oracle text changed in the late round-5 fuzz
-    # fixes (the one honest gap the r5 verdict names — their latest
-    # driver green predates the change), (b) re-rows the entries whose
-    # code or oracle changed THIS round, then (c) continues the
-    # oldest-green backfill (r1-era first, then the r2 tier the verdict
-    # named: j1/q6, multimodal/text, classic TPC-H columns).
-    # -- (1) the 18 fuzz-staled entries from VERDICT r5 "What's missing"
-    "asof_click_before_purchase", "attribution_last_touch",
-    "events_dau_wau", "snm_part_pairs", "ewma_user_value",
-    "fuzzy_part_pairs", "stateful_user_stats", "pack_sequences",
-    "bpe_token_count", "agg_percentiles_disc", "win_lag_lead",
-    "win_rank_dense", "win_running_sum", "win_percentile_position",
-    "unpivot_measures", "nested_types_suite", "hof_array_suite",
-    "math_funcs_suite",
-    # -- (2) code/oracle changed in round 6 (ADVICE closeout + the
-    #    dedup-tier release lifecycle):
-    #    - json_extract_props: oracle TRY_CAST (null-on-miscast parity)
-    #    - t_time_format_suite: duration_hms decimal division (exact
-    #      hours over the full long domain)
-    #    - rfm_customer_segments: decimal(38,0) rank packing
-    #    - dedup_pipeline_survivors / dedup_cluster_assign /
-    #      cross_corpus_survivors: persists routed through
-    #      _track_persist (release_dedup_caches lifecycle) + the
-    #      pairwise Jaccard verify reshape
-    #    - minhash_lsh_pairs rides along (registered body unchanged,
-    #      but its helper chain — minhash_int's aggregate fold and
-    #      minhash_stacked's cheap zero-shingle predicate — changed;
-    #      outputs are bit-identical by the Python-reference signature
-    #      test, re-rowed on the same safe-side standard as r5's
-    #      simhash_docs)
-    #    - fresh-seed fuzz findings (seeds 30/36, fixed this round):
-    #      parts_pareto_cumshare null-revenue ordering (nulls last on
-    #      both engines); agg_cube/agg_rollup/agg_grouping_sets
-    #      rewritten as pre-aggregated sets with the ANSI one-row
-    #      global aggregate on empty input
-    "json_extract_props", "t_time_format_suite", "rfm_customer_segments",
-    "dedup_pipeline_survivors", "dedup_cluster_assign",
-    "cross_corpus_survivors", "minhash_lsh_pairs",
-    "parts_pareto_cumshare", "agg_cube", "agg_rollup",
-    "agg_grouping_sets",
-    # -- (3) oldest-green backfill: r1-era rows, then BOTH consumers of
-    #    mixture_sample (its helper gained the empty-fractions guard —
-    #    call-site behavior unchanged, re-rowed on the safe side; the
-    #    closure-aware staleness audit flags stratified_sample_langs
-    #    for exactly this helper edit), then the r2-era tier
-    "dq_rule_violations", "range_clicks_before_purchase",
-    "salted_skew_agg", "mixture_by_source", "stratified_sample_langs",
-    "j1_lookup_inner", "q6_forecast_revenue", "multimodal_features",
-    "multimodal_frame_sample", "pii_redact_docs", "chunk_documents",
-    "text_quality_gopher", "string_funcs_suite", "date_funcs_suite",
-    "null_cond_suite", "regex_funcs_suite", "agg_distinct_customers",
-    "agg_exact_median", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share",
-    # -- position 51+: the r7 backfill queue if the budget exceeds 50 —
-    #    the four r2-era rows displaced by the seed-30/36 fixes, the
-    #    rest of the r2-era tier, then the r3-era tier in its r5
-    #    order, then the two rows-only entries (outside the hash gate
-    #    by contract)
+    # round-7 window (VERDICT.md r6, next-round items 1-2): registry
+    # stays frozen at 150 and ZERO entries are stale, so the 50-slot
+    # budget is (a) the entries whose code/oracle changed THIS round,
+    # then (b) pure recency hygiene — the r6 verdict's documented 51+
+    # backfill queue in order (the 12 r2-era TPC-H rows, the r3-era
+    # tier, the two rows-only entries), then (c) the oldest r4-era
+    # greens to fill the remaining slots.
+    # -- (1) changed in round 7 (tools/staleness_audit.py vs 40ad2eb):
+    #    the ADVICE closeout edits to the shared minhash helper chain —
+    #    minhash_stacked's zero-shingle predicate is now rlike(\S)
+    #    (the FULL \s+ whitespace class, matching tokens(); trim()
+    #    stripped only 0x20, so tab/newline-only docs leaked a sentinel
+    #    signature), and minhash_int is self-defending (NULL on an
+    #    empty hashes array, loud ValueError past the permutation
+    #    table). All four consumers of the shared signature artifact
+    #    re-row:
+    "minhash_lsh_pairs", "dedup_pipeline_survivors",
+    "dedup_cluster_assign", "cross_corpus_survivors",
+    # -- (2) the r6-documented backfill queue, verbatim: 12 r2-era
+    #    TPC-H rows first,
     "q9_product_profit", "q10_returned_items",
     "q11_important_balance", "q13_customer_distribution",
     "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers",
+    #    then the r3-era tier in its r5 order,
     "a2_processed_skipped", "dedup_exact_content", "dedup_exact_group",
     "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
     "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
@@ -1336,7 +1297,54 @@ _DRIVER_WINDOW_FIRST = [
     "split_hash_counts", "stream_dedup_events", "stream_interval_join",
     "t_cleanse_suite", "topk_orders", "win_topn_per_group",
     "word_counts_top50",
+    #    then the two rows-only entries (outside the hash gate by
+    #    permanent justification — approximate/libm-ulp contracts),
     "agg_approx_stats", "math_transcendental",
+    # -- (3) oldest-green fill: the first 7 r4-era entries
+    #    (alphabetical — all r4-era rows are equally old)
+    "basket_part_pairs_lift", "bpe_pair_counts", "cap_docs_per_source",
+    "cohort_retention_daily", "contamination_overlap",
+    "doc_token_rarity", "j4_merge_preview",
+    # -- position 51+: the r8 backfill queue if the budget exceeds 50 —
+    #    the remaining r4-era greens, then the r5-era tier
+    #    (alphabetical within era), then the r6-era tier
+    "ngram_novelty", "oov_rate_docs", "passage_dedup_docs",
+    "profile_orders", "q20_bolt_suppliers", "q2_min_cost_supplier",
+    "quality_percentile_filter", "rolling_24h_user_value",
+    "shard_documents_balanced", "split_train_counts", "tfidf_top_term",
+    "user_activity_streaks", "weighted_sample_docs",
+    "agg_stats_moments", "ann_cosine_topk", "corpus_curation_funnel",
+    "customer_order_gaps", "doc_length_quartile_bins",
+    "dup_rate_by_source", "embedding_near_dup", "event_type_transitions",
+    "events_inactivity_churn", "events_session_10m",
+    "events_sliding_1h_30m", "events_tumbling_1h",
+    "events_value_histogram", "events_wow_growth",
+    "funnel_signup_purchase", "incremental_agg_merge", "ivf_cosine_topk",
+    "ivf_indexed_topk", "jaccard_sampled_pairs", "lang_confusion_matrix",
+    "nation_supplier_hhi", "orders_backlog_aging", "outlier_events_mad",
+    "outlier_events_zscore", "peak_click_concurrency", "per_group_trend",
+    "pivot_status_counts", "q12_priority_class", "resample_ffill_hourly",
+    "s2_paginated_scan", "scd2_user_state", "seasonal_anomaly_events",
+    "simhash_docs", "simhash_near_dup", "skew_profile_orders_custkey",
+    "srp_bucket_topk", "stream_incremental_view", "text_stats",
+    "top_event_paths", "twap_user_value", "zorder_events_layout",
+    "agg_cube", "agg_distinct_customers", "agg_exact_median",
+    "agg_grouping_sets", "agg_percentiles_disc", "agg_rollup",
+    "asof_click_before_purchase", "attribution_last_touch",
+    "bpe_token_count", "chunk_documents", "date_funcs_suite",
+    "dq_rule_violations", "events_dau_wau", "ewma_user_value",
+    "fuzzy_part_pairs", "hof_array_suite", "j1_lookup_inner",
+    "json_extract_props", "math_funcs_suite", "mixture_by_source",
+    "multimodal_features", "multimodal_frame_sample",
+    "nested_types_suite", "null_cond_suite", "pack_sequences",
+    "parts_pareto_cumshare", "pii_redact_docs", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "range_clicks_before_purchase", "regex_funcs_suite",
+    "rfm_customer_segments", "salted_skew_agg", "snm_part_pairs",
+    "stateful_user_stats", "stratified_sample_langs",
+    "string_funcs_suite", "t_time_format_suite", "text_quality_gopher",
+    "unpivot_measures", "win_lag_lead", "win_percentile_position",
+    "win_rank_dense", "win_running_sum",
 ]
 
 

@@ -28,6 +28,7 @@ history).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +49,7 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
                    available_now: bool = True,
                    processing_time: str | None = None,
                    epoch_summaries: list[dict[str, Any]] | None = None,
+                   on_epoch_end: Callable[[], Any] | None = None,
                    ) -> StreamingQuery:
     """Start the incremental ETL query over a streaming work queue.
 
@@ -56,6 +58,9 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
     against the (batch) entity frames and MERGEs both branches.
     ``epoch_summaries``, if given, collects one reference-shaped summary
     dict per epoch (driver-side list — test/observability hook).
+    ``on_epoch_end`` runs driver-side after each epoch commits — the
+    controller's between-epoch cache-hygiene hook (plans/control.py);
+    its failure must not fail the epoch.
     """
     vkey = voucher_key or ["voucher_id", "reference_no"]
     tkey = transaction_key or ["voucher_details_id", "reference_no"]
@@ -91,6 +96,11 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
                 "skippedVoucherCount": sv,
                 "skippedTransactionCount": st,
             })
+        if on_epoch_end is not None:
+            try:
+                on_epoch_end()
+            except Exception:
+                pass  # hygiene hook must never fail a committed epoch
 
     writer = (queue_stream.writeStream
               .foreachBatch(_epoch)

@@ -274,3 +274,52 @@ def test_pairwise_verify_equals_posting_join_on_all_pairs(spark):
                         threshold=0.3).collect()}
     assert via_pairs == via_postings
     assert via_pairs  # non-vacuous: the random corpus has near-dups
+
+
+def test_whitespace_only_docs_carry_no_signature(spark):
+    """ADVICE r6 (high): trim() strips only ASCII space while tokens()
+    splits on \\s+, so a tab/newline-only doc used to pass the cheap
+    zero-shingle filter, reach minhash_int with zero shingles, and emit
+    the constant sentinel signature [p]*12 — band-colliding every
+    contentless doc with every other. The rlike(\\S) predicate must drop
+    the FULL whitespace class, matching the oracle's UNNEST (no hash
+    rows for an empty shingle list)."""
+    from imp_etl_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_stacked,
+    )
+
+    rows = [(1, "\t"), (2, "\n"), (3, "\r\n"), (4, " \t\n\r "),
+            (5, "\f"), (6, ""), (7, None), (8, " "),
+            (9, "real words appear only here"),
+            (10, "\t real words around tabs \n")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stacked = minhash_stacked(docs, "text", "doc_id", shingle_k=3)
+    sigged = {r["doc_id"] for r in stacked.collect()}
+    assert sigged == {9, 10}  # every whitespace-only/empty/null doc dropped
+    # and therefore no two contentless docs ever pair with each other
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id",
+                                   shingle_k=3).collect()
+    assert pairs == []
+
+
+def test_minhash_int_self_defends_on_degenerate_input(spark):
+    """ADVICE r6 (low x2): minhash_int must yield NULL for an EMPTY
+    hashes array (not the valid-looking [p]*n seed) independent of any
+    caller filter, and must raise loudly when num_hashes exceeds the
+    permutation table instead of NULL-padding the signature tail into a
+    shared constant."""
+    import pytest
+
+    from imp_etl_spark.functions.hashing import MINHASH_A, minhash_int
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [7, 11])],
+        "id long, hs array<long>",
+    ).select("id", minhash_int(F.col("hs"), 4).alias("sig"))
+    got = {r["id"]: r["sig"] for r in df.collect()}
+    assert got[1] is None          # empty input -> NULL, not the seed
+    assert len(got[2]) == 4 and all(v is not None for v in got[2])
+
+    with pytest.raises(ValueError, match="permutation table"):
+        minhash_int(F.col("hs"), len(MINHASH_A) + 1)

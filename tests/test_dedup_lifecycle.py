@@ -44,3 +44,42 @@ def test_release_is_idempotent_and_reentrant(spark):
     fn, _sql = REGISTRY["dedup_pipeline_survivors"]
     assert fn(spark, ORACLE_SF_DIR).count() >= 0
     assert queries_llm.release_dedup_caches(blocking=True) >= 1
+
+
+def test_controller_runs_hold_dedup_persists_bounded(spark, tmp_path):
+    """VERDICT r6 item 3: a LONG-LIVED controller that interleaves dedup
+    queries with scheduled runs must not grow ``_DEDUP_PERSISTS`` without
+    bound — ``run_once`` releases the tier after every run (and the
+    scheduled path after every epoch via ``on_epoch_end``), so the
+    registry returns to empty between runs regardless of how many
+    dedup queries ran since the last one."""
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.plans.control import EtlController
+    from imp_etl_spark.sources.parquet import read_table
+
+    queries_llm.release_dedup_caches(blocking=True)
+    queue = read_table(spark, ORACLE_SF_DIR, "orders").limit(20).select(
+        F.col("o_orderkey").alias("log_id"),
+        F.col("o_custkey").cast("string").alias("reference_no"),
+        F.lit("voucher").alias("table"))
+    voucher = read_table(spark, ORACLE_SF_DIR, "customer").select(
+        F.col("c_custkey").cast("string").alias("voucher_id"),
+        F.col("c_custkey").cast("string").alias("reference_no"),
+        F.col("c_name").alias("first_name"))
+    txn = voucher.select(
+        F.col("voucher_id").alias("voucher_details_id"),
+        "reference_no",
+        F.lit("1").alias("quantity"))
+
+    ctl = EtlController(spark)
+    fn, _sql = REGISTRY["dedup_cluster_assign"]
+    sizes = []
+    for epoch in range(3):
+        fn(spark, ORACLE_SF_DIR).count()   # a dedup query between runs
+        assert queries_llm._DEDUP_PERSISTS  # it really tracked persists
+        ctl.run_once(queue, voucher, txn,
+                     str(tmp_path / "v"), str(tmp_path / "t"))
+        sizes.append(len(queries_llm._DEDUP_PERSISTS))
+    # bounded = returns to EMPTY after every controller run, never grows
+    assert sizes == [0, 0, 0]

@@ -38,14 +38,26 @@ SOURCES = ["web", "books", "code", "wiki", None, ""]
 ETYPES = ["click", "purchase", "signup", "view", None, ""]
 
 
+#: Whitespace-only texts beyond plain spaces (ADVICE r6): trim() strips
+#: only ASCII 0x20 while tokens() splits on \s+, so tab/newline-only
+#: docs are exactly the class where a trim-based zero-shingle filter
+#: diverges from the oracle's UNNEST. Restricted to chars BOTH Java
+#: regex and RE2 class as \s ( \t \n \r \f ) — \x0B and U+3000 are
+#: engine-divergent regex classes, not fixture material.
+WS_ONLY = ["\t", "\n", "\r", "\f", "\t\t", " \t", "\n\n", " \t\n\r ",
+           "\t \t", "\r\n"]
+
+
 def _text(rng: random.Random) -> str | None:
     r = rng.random()
     if r < 0.05:
         return None
     if r < 0.10:
         return ""
-    if r < 0.15:
+    if r < 0.13:
         return " " * rng.randint(1, 5)
+    if r < 0.16:
+        return rng.choice(WS_ONLY)
     n = rng.randint(1, 60)
     return " ".join(rng.choice(WORDS) for _ in range(n))
 

@@ -128,11 +128,26 @@ def _pkg_files(repo: str, ref: str | None):
         ["git", "-C", repo, "ls-tree", "-r", "--name-only", ref,
          "imp_etl_spark"],
         capture_output=True, text=True)
-    for p in ls.stdout.split():
+    if ls.returncode != 0:
+        raise RuntimeError(
+            f"git ls-tree {ref} failed: {ls.stderr.strip()!r} — "
+            "refusing to audit against a half-read base (a silently "
+            "empty base index would mark every query 'unchanged')")
+    # splitlines, not split: a path containing spaces must stay one path
+    for p in ls.stdout.splitlines():
         if p.endswith(".py"):
-            out[p] = subprocess.run(
+            show = subprocess.run(
                 ["git", "-C", repo, "show", f"{ref}:{p}"],
-                capture_output=True, text=True).stdout
+                capture_output=True, text=True)
+            if show.returncode != 0:
+                # Safe direction (module docstring): unreadable base
+                # source must read as CHANGED, never silently absent —
+                # an empty string SyntaxErrors nothing and parses to an
+                # empty module, so inject a sentinel that can't match
+                # any real definition dump.
+                raise RuntimeError(
+                    f"git show {ref}:{p} failed: {show.stderr.strip()!r}")
+            out[p] = show.stdout
     return out
 
 
