@@ -291,6 +291,56 @@ def main_25x() -> None:
     shutil.rmtree(big, ignore_errors=True)
 
 
+def main_prefix25x() -> None:
+    """The r7 25x point for the rank/prefix-sum tier (VERDICT r6 item
+    6): the distributed ``global_index``/``prefix_sum`` primitive
+    (operators/window.py) backs ``rfm_customer_segments``,
+    ``parts_pareto_cumshare`` and ``s2_paginated_scan``, which had no
+    measured scale row. Build: 25x orders+lineitem via key-shifted
+    copies (the primitive's cost drivers are fact-row count and rank
+    cardinality; customers/parts stay fixed, so per-entity depth grows
+    25x — the harder direction for a rank, since the ordered domain
+    keeps the same entity count while every prefix sum spans 25x rows).
+    Target (verdict): <=6x wall at 25x."""
+    from imp_etl_spark.queries import REGISTRY
+
+    spark = get_spark("scale-experiment-prefix25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_prefix_")
+    global COPIES
+    old_copies, COPIES = COPIES, copies
+    try:
+        for t, keys in {"orders": FACTS["orders"],
+                        "lineitem": FACTS["lineitem"]}.items():
+            base = read_table(spark, SF_DIR, t)
+            parts = [base]
+            for i in range(1, copies):
+                shifted = base
+                for k in keys:
+                    shifted = shifted.withColumn(
+                        k, F.col(k) + F.lit(i * OFFSET))
+                parts.append(shifted)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            df.write.mode("overwrite").parquet(f"{big}/{t}.parquet")
+        for t in DIMS:
+            read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
+                f"{big}/{t}.parquet")
+        print(f"| workload | 1x (s) | {copies}x (s) | ratio |")
+        print("|---|---|---|---|")
+        for name in ("rfm_customer_segments", "parts_pareto_cumshare",
+                     "s2_paginated_scan"):
+            fn, _ = REGISTRY[name]
+            s1 = time_query(fn, spark, SF_DIR, name)
+            s25 = time_query(fn, spark, big, name)
+            print(f"| {name} | {s1:.2f} | {s25:.2f} | {s25 / s1:.2f} |")
+    finally:
+        COPIES = old_copies
+        shutil.rmtree(big, ignore_errors=True)
+
+
 def main() -> None:
     from imp_etl_spark.queries import REGISTRY
 
@@ -335,7 +385,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SCALE_X25"):
+    if os.environ.get("SCALE_PREFIX25"):
+        main_prefix25x()
+    elif os.environ.get("SCALE_X25"):
         main_25x()
     else:
         main()
