@@ -25,6 +25,15 @@ from tests.test_oracle import _rows
 ADVERSARIAL_TEXTS = [
     "",                                     # empty
     "   \t\n  ",                            # whitespace only
+    # TWO more contentless docs with NO 0x20 at the edges (r6 advice):
+    # trim() strips only ASCII space, so tab/newline-only text passed
+    # the old zero-shingle filter and reached minhash with an empty
+    # shingle list — and the failure mode (every contentless doc
+    # band-collides with every other via the sentinel signature) only
+    # SURFACES when at least two such docs exist to pair. One
+    # whitespace doc in this corpus was why round 5's sweep missed it.
+    "\t",                                   # tab only
+    "\n\r\f",                               # newline/CR/FF only
     "héllo wörld çafé naïve résumé",        # latin diacritics
     "你好世界 测试 文本 数据",               # CJK
     "\U0001f389\U0001f38a party \U0001f389 emoji\U0001f680text",
