@@ -330,6 +330,10 @@ def main_prefix25x() -> None:
         for t in DIMS:
             read_table(spark, SF_DIR, t).write.mode("overwrite").parquet(
                 f"{big}/{t}.parquet")
+        n1 = read_table(spark, SF_DIR, "orders").count()
+        n25 = read_table(spark, big, "orders").count()
+        print(f"orders rows: {n1:,} -> {n25:,} ({n25 / n1:.0f}x); "
+              f"lineitem {copies}x likewise; dims fixed")
         print(f"| workload | 1x (s) | {copies}x (s) | ratio |")
         print("|---|---|---|---|")
         for name in ("rfm_customer_segments", "parts_pareto_cumshare",
