@@ -123,3 +123,36 @@ def test_query_matches_oracle_on_adversarial_text(spark, adv_duck,
         (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_case_folding_engine_boundary(spark):
+    """Pin the documented lower() boundary (SEMANTICS.md): the JVM does
+    full-Unicode, context-sensitive lowercasing while DuckDB's utf8proc
+    does simple folding. The two known disagreement points are Turkish
+    dotted capital I and word-final Greek capital sigma; everything
+    else probed (sharp S, ligatures, titlecase digraphs, IJ) agrees.
+    This test exists so the SEMANTICS.md claim stays honest: if either
+    engine changes behavior, it fails and the doc gets updated —
+    and it documents WHY fixtures exclude U+0130 and Greek capitals."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = {
+        # text: (spark_expected, duck_expected) — DIFFER
+        "İ": ("i̇", "i"),
+        "ΣΑΣ": ("σας", "σασ"),
+        # text: same on both engines — the boundary is NARROW
+        "ẞ": ("ß", "ß"),
+        "ﬁ": ("ﬁ", "ﬁ"),
+        "ǅ": ("ǆ", "ǆ"),
+        "IJ": ("ij", "ij"),
+    }
+    sdf = spark.createDataFrame([(t,) for t in cases], "t string") \
+        .select("t", F.lower("t").alias("lo"))
+    got_spark = {r["t"]: r["lo"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for t, (want_s, want_d) in cases.items():
+        got_d = con.execute("SELECT lower(?)", [t]).fetchone()[0]
+        assert got_spark[t] == want_s, (t, got_spark[t])
+        assert got_d == want_d, (t, got_d)
