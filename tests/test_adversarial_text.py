@@ -148,11 +148,27 @@ def test_case_folding_engine_boundary(spark):
         "ǅ": ("ǆ", "ǆ"),
         "IJ": ("ij", "ij"),
     }
-    sdf = spark.createDataFrame([(t,) for t in cases], "t string") \
-        .select("t", F.lower("t").alias("lo"))
-    got_spark = {r["t"]: r["lo"] for r in sdf.collect()}
+    # upper() diverges wherever the FULL uppercase is multi-char: the
+    # JVM expands, utf8proc stays 1:1 — hence the wider fixture
+    # exclusion list for upper()-touching queries (cleanse,
+    # string_funcs_suite)
+    upper_cases = {
+        "straße": ("STRASSE", "STRAẞE"),
+        "ﬁle": ("FILE", "ﬁLE"),
+        "ŉoo": ("ʼNOO", "ŉOO"),
+        "é è ç": ("É È Ç", "É È Ç"),   # 1:1 Latin-1 — SAME
+        "ǆungla": ("Ǆungla".upper(), "ǄUNGLA"),  # titlecase digraph — SAME
+    }
+    sdf = spark.createDataFrame(
+        [(t,) for t in {**cases, **upper_cases}], "t string").select(
+        "t", F.lower("t").alias("lo"), F.upper("t").alias("up"))
+    got = {r["t"]: (r["lo"], r["up"]) for r in sdf.collect()}
     con = duckdb.connect()
     for t, (want_s, want_d) in cases.items():
         got_d = con.execute("SELECT lower(?)", [t]).fetchone()[0]
-        assert got_spark[t] == want_s, (t, got_spark[t])
+        assert got[t][0] == want_s, (t, got[t][0])
+        assert got_d == want_d, (t, got_d)
+    for t, (want_s, want_d) in upper_cases.items():
+        got_d = con.execute("SELECT upper(?)", [t]).fetchone()[0]
+        assert got[t][1] == want_s, (t, got[t][1])
         assert got_d == want_d, (t, got_d)

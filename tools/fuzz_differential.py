@@ -30,6 +30,11 @@ import tempfile
 from imp_etl_spark import schemas
 from imp_etl_spark.session import get_spark
 
+# Word pool: stays inside the engine-portable case-mapping set
+# (SEMANTICS.md) — do NOT add U+0130, Greek capitals, ß, Latin
+# ligatures or other chars whose JVM full case mapping differs from
+# utf8proc's simple mapping; lower()/upper() would diverge from the
+# DuckDB oracle by ENGINE design, not by an engine bug of ours.
 WORDS = ["the", "quick", "brown", "fox", "data", "pipeline", "spark",
          "query", "森林", "数据", "حقل", "naïve", "café", "🎉", "x" * 50,
          "", "a​b", "line\nbreak", "tab\tsep", "quote\"d", "O'Neil"]
