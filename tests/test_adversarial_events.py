@@ -140,3 +140,43 @@ def test_query_matches_oracle_on_adversarial_events(spark, adv_ev_duck,
         (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_json_extraction_engine_boundary(spark):
+    """Pin the documented JSON boundary (SEMANTICS.md): typed from_json
+    (Jackson — strict types, lenient syntax, LAST duplicate key wins)
+    vs json_extract+TRY_CAST (strict syntax, coercing cast, FIRST
+    duplicate key wins). The fixture pools stay inside the agreed
+    region; this test keeps the doc honest on both the divergent and
+    the agreeing cases."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # payload: (spark_expected, duck_expected)
+    cases = {
+        '{"k": 1}': (1, 1),                      # agree
+        ' {"k":4} ': (4, 4),                     # agree: whitespace
+        '{"K": 3}': (None, None),                # agree: case-sensitive
+        '{"k": [1,2]}': (None, None),            # agree: non-scalar
+        '{"k": null}': (None, None),             # agree
+        '{"k": 9999999999999999999}': (None, None),  # agree: i64 overflow
+        '{"k": 2147483648}': (2147483648, 2147483648),  # agree: >i32
+        '{"k":"7"}': (None, 7),                  # DIVERGE: typed vs coerce
+        '{"k": 1.9}': (None, 2),                 # DIVERGE
+        '{"k": true}': (None, 1),                # DIVERGE
+        '{"k": 1e3}': (None, 1000),              # DIVERGE
+        '{"k":1,"k":2}': (2, 1),                 # DIVERGE: dup-key order
+        "{'k': 5}": (5, None),                   # DIVERGE: syntax leniency
+    }
+    sdf = spark.createDataFrame([(c,) for c in cases], "props string") \
+        .select("props", F.from_json("props", "k BIGINT")["k"].alias("k"))
+    got_s = {r["props"]: r["k"] for r in sdf.collect()}
+    con = duckdb.connect()
+    for c, (want_s, want_d) in cases.items():
+        got_d = con.execute(
+            """SELECT CASE WHEN json_valid(?)
+               THEN TRY_CAST(json_extract(?, '$.k') AS BIGINT) END""",
+            [c, c]).fetchone()[0]
+        assert got_s[c] == want_s, (c, got_s[c])
+        assert got_d == want_d, (c, got_d)

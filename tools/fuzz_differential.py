@@ -90,8 +90,11 @@ def _val(rng: random.Random) -> float | None:
 def _ts(rng: random.Random):
     if rng.random() < 0.05:
         return None
-    base = datetime.datetime(2024, 1, 1)
-    return base + datetime.timedelta(seconds=rng.randint(0, 90 * 86400))
+    # span a YEAR BOUNDARY (2023-12-01 .. ~2024-03-30): week/month/year
+    # truncation and extraction behave convention-dependently exactly
+    # there, and a Jan-anchored window never exercised it
+    base = datetime.datetime(2023, 12, 1)
+    return base + datetime.timedelta(seconds=rng.randint(0, 120 * 86400))
 
 
 def gen_fixture(spark, rng: random.Random, d: str) -> None:
@@ -182,10 +185,19 @@ def gen_fixture(spark, rng: random.Random, d: str) -> None:
         else:
             vec = [rng.uniform(-1, 1) for _ in range(dim)]
         embeddings.append((i + 1, vec, rng.randint(0, 3)))
+    # props pool stays inside the engine-AGREED JSON region
+    # (SEMANTICS.md "JSON"): strictly-valid syntax, integer-literal /
+    # absent / null / non-scalar k. Quoted numbers, floats, bools,
+    # exponents, duplicate keys and single quotes extract DIFFERENTLY
+    # by engine design (typed Jackson vs coercing TRY_CAST) — pinned in
+    # test_adversarial_events, not fixture material.
     events = [(i + 1, _pts(rng), rng.choice([None] + list(range(1, 30))),
                rng.choice(ETYPES), _pval(rng),
                rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}", "[]",
-                           "garbage", "", None]))
+                           "garbage", "", None,
+                           ' {"k":4} ', '{"K": 3}', '{"k": [1,2]}',
+                           '{"k": null}', '{"k": 2147483648}',
+                           '{"k": 9999999999999999999}']))
               for i in range(n_ev)]
 
     data = {"region": region, "nation": nation, "customer": customer,
