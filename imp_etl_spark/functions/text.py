@@ -92,13 +92,25 @@ def quality_score(col: Column | str) -> Column:
     0.4 * length-band + 0.3 * stopword presence + 0.3 * (1 - punct
     excess). Not a model — a deterministic, oracle-checkable shape for the
     'quality scoring' pipeline stage.
-    """
+
+    Quantized to 6dp with PURE IEEE ops — ``floor(x*1e6 + 0.5)/1e6`` —
+    not ``round(x, 6)``: both engines compute the raw double
+    bit-identically (same IEEE ops on the same integer counts, same
+    order), but their round() implementations diverge on exact decimal
+    ties (Spark half-ups the shortest decimal repr via BigDecimal;
+    DuckDB scales the double, where a true tie like 0.5051625 sits just
+    below .5 and floors). Found by fuzz seed 224 — the score's inputs
+    are ratios of small integers, which land on exact 7-digit ties at a
+    rate ordinary money values never do. floor(x*1e6+0.5) is the same
+    ROUNDING RULE stated in the double domain, so both engines get the
+    identical bit pattern on every input, ties included."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c).cast("double")
     len_band = F.least(n / F.lit(500.0), F.lit(1.0))
     sw = F.least(stopword_ratio(c) * 4, F.lit(1.0))
     punct_pen = F.greatest(F.lit(1.0) - punct_ratio(c) * 5, F.lit(0.0))
-    return F.round(0.4 * len_band + 0.3 * sw + 0.3 * punct_pen, 6)
+    raw = 0.4 * len_band + 0.3 * sw + 0.3 * punct_pen
+    return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

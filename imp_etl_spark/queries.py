@@ -1279,6 +1279,12 @@ _DRIVER_WINDOW_FIRST = [
     #    re-row:
     "minhash_lsh_pairs", "dedup_pipeline_survivors",
     "dedup_cluster_assign", "cross_corpus_survivors",
+    #    ...and the quality_score family (fuzz seed 224, the r7
+    #    finding-bearer): the 6dp quantization now runs as IEEE
+    #    floor(x*1e6+0.5) on BOTH engines instead of each engine's
+    #    round(), which diverged on the exact tie 0.5051625. All three
+    #    consumers of the shared helper re-row:
+    "doc_quality", "quality_percentile_filter", "corpus_curation_funnel",
     # -- (2) the r6-documented backfill queue, verbatim: 12 r2-era
     #    TPC-H rows first,
     "q9_product_profit", "q10_returned_items",
@@ -1287,9 +1293,10 @@ _DRIVER_WINDOW_FIRST = [
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q21_sole_late_supplier",
     "q22_dormant_customers",
-    #    then the r3-era tier in its r5 order,
+    #    then the r3-era tier in its r5 order (doc_quality moved up —
+    #    it is one of the seed-224 changed entries),
     "a2_processed_skipped", "dedup_exact_content", "dedup_exact_group",
-    "dedup_latest_per_key", "doc_quality", "events_rollup_hour_day",
+    "dedup_latest_per_key", "events_rollup_hour_day",
     "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
     "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
     "log_parse_tail", "q1_pricing_summary", "q3_shipping_priority",
@@ -1300,20 +1307,21 @@ _DRIVER_WINDOW_FIRST = [
     #    then the two rows-only entries (outside the hash gate by
     #    permanent justification — approximate/libm-ulp contracts),
     "agg_approx_stats", "math_transcendental",
-    # -- (3) oldest-green fill: the first 7 r4-era entries
-    #    (alphabetical — all r4-era rows are equally old)
+    # -- (3) oldest-green fill: the first 5 r4-era entries
+    #    (alphabetical — all r4-era rows are equally old; the seed-224
+    #    swap-in displaced doc_token_rarity and j4_merge_preview to 51+)
     "basket_part_pairs_lift", "bpe_pair_counts", "cap_docs_per_source",
     "cohort_retention_daily", "contamination_overlap",
-    "doc_token_rarity", "j4_merge_preview",
     # -- position 51+: the r8 backfill queue if the budget exceeds 50 —
     #    the remaining r4-era greens, then the r5-era tier
     #    (alphabetical within era), then the r6-era tier
+    "doc_token_rarity", "j4_merge_preview",
     "ngram_novelty", "oov_rate_docs", "passage_dedup_docs",
     "profile_orders", "q20_bolt_suppliers", "q2_min_cost_supplier",
-    "quality_percentile_filter", "rolling_24h_user_value",
+    "rolling_24h_user_value",
     "shard_documents_balanced", "split_train_counts", "tfidf_top_term",
     "user_activity_streaks", "weighted_sample_docs",
-    "agg_stats_moments", "ann_cosine_topk", "corpus_curation_funnel",
+    "agg_stats_moments", "ann_cosine_topk",
     "customer_order_gaps", "doc_length_quartile_bins",
     "dup_rate_by_source", "embedding_near_dup", "event_type_transitions",
     "events_inactivity_churn", "events_session_10m",

@@ -254,8 +254,9 @@ WITH q AS (
       FROM s0
     )
     SELECT doc_id,
-           round(0.4 * len_band + 0.3 * least(sr * 4, 1.0)
-                 + 0.3 * greatest(1.0 - pr * 5, 0.0), 6) AS quality
+           floor((0.4 * len_band + 0.3 * least(sr * 4, 1.0)
+                  + 0.3 * greatest(1.0 - pr * 5, 0.0)) * 1000000 + 0.5)
+             / 1000000.0 AS quality
     FROM r
   ) s USING (doc_id)
 ), ranked AS (
@@ -355,7 +356,7 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_QUALITY = f"""
   SELECT doc_id,
-         round(0.4 * least(length(text) / 500.0, 1.0)
+         floor((0.4 * least(length(text) / 500.0, 1.0)
                + 0.3 * least(CASE WHEN len(t) > 0
                     THEN CAST(len(list_filter(t, x -> list_contains(
                          ['the','a','an','and','or','of','to','in','on','for',
@@ -366,7 +367,8 @@ _DUCK_QUALITY = f"""
                     THEN CAST(length(regexp_replace(text,
                          '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
                          / length(text)
-                    ELSE 0.0 END * 5, 0.0), 6) AS quality
+                    ELSE 0.0 END * 5, 0.0)) * 1000000 + 0.5)
+           / 1000000.0 AS quality
   FROM s0
 """
 

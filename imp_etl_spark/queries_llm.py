@@ -175,8 +175,9 @@ WITH s AS (
   FROM s
 )
 SELECT doc_id,
-       round(0.4 * len_band + 0.3 * least(sr * 4, 1.0)
-             + 0.3 * greatest(1.0 - pr * 5, 0.0), 6) AS quality
+       floor((0.4 * len_band + 0.3 * least(sr * 4, 1.0)
+              + 0.3 * greatest(1.0 - pr * 5, 0.0)) * 1000000 + 0.5)
+         / 1000000.0 AS quality
 FROM r
 """)
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
