@@ -97,16 +97,24 @@ def _ts(rng: random.Random):
     return base + datetime.timedelta(seconds=rng.randint(0, 120 * 86400))
 
 
-def gen_fixture(spark, rng: random.Random, d: str) -> None:
+def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
+    # scale > 1 ("big seeds"): every LIMIT/OFFSET/cap boundary in the
+    # registry is dead code at the default cardinalities — the paginated
+    # scan pages at offset=100/limit=200 over <=80 orders, the top-100 /
+    # top-50 cuts never truncate, and the LSH max_bucket=256 cap never
+    # engages. Multiplying cardinalities (while KEEPING the small tie
+    # pools, so the tie mass grows with n) pushes heavy tie groups
+    # straight onto those cut boundaries — exactly where an engine pair
+    # without a total-order tie-break would diverge.
     n_region = rng.randint(0, 4)
     n_nation = rng.randint(0, 6)
-    n_cust = rng.randint(0, 40)
-    n_supp = rng.randint(0, 8)
-    n_part = rng.randint(0, 20)
-    n_ord = rng.randint(0, 80)
-    n_docs = rng.randint(0, 60)
-    n_emb = rng.randint(0, 40)
-    n_ev = rng.randint(0, 150)
+    n_cust = rng.randint(0, 40 * scale)
+    n_supp = rng.randint(0, 8 * scale)
+    n_part = rng.randint(0, 20 * scale)
+    n_ord = rng.randint(0, 80 * scale)
+    n_docs = rng.randint(0, 60 * scale)
+    n_emb = rng.randint(0, 40 * scale)
+    n_ev = rng.randint(0, 150 * scale)
     dim = 64
 
     region = [(i, rng.choice(WORDS)) for i in range(n_region)]
@@ -247,7 +255,8 @@ def _rows_match(sn, dn) -> list:
                                            for x, y in zip(a, b))]
 
 
-def run_seed(spark, seed: int, workers: int = 8) -> list[tuple]:
+def run_seed(spark, seed: int, workers: int = 8,
+             scale: int = 1) -> list[tuple]:
     import duckdb
 
     from imp_etl_spark.queries import REGISTRY
@@ -255,7 +264,7 @@ def run_seed(spark, seed: int, workers: int = 8) -> list[tuple]:
     rng = random.Random(seed)
     d = tempfile.mkdtemp(prefix=f"sf_fuzz_{seed}_")
     try:
-        gen_fixture(spark, rng, d)
+        gen_fixture(spark, rng, d, scale=scale)
         con = duckdb.connect()
         for t in schemas.FIXTURE_TABLES:
             con.execute(
@@ -310,12 +319,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[1])
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="cardinality multiplier: >1 engages the "
+                         "LIMIT/OFFSET/cap boundaries (big seeds)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
     failed = False
     for seed in args.seeds:
-        bad = run_seed(spark, seed, workers=args.workers)
+        bad = run_seed(spark, seed, workers=args.workers,
+                       scale=args.scale)
         print(f"seed {seed}: {'CLEAN' if not bad else f'{len(bad)} findings'}")
         for b in bad:
             print("  " + " | ".join(str(x) for x in b))
