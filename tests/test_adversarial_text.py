@@ -172,3 +172,72 @@ def test_case_folding_engine_boundary(spark):
         got_d = con.execute("SELECT upper(?)", [t]).fetchone()[0]
         assert got[t][1] == want_s, (t, got[t][1])
         assert got_d == want_d, (t, got_d)
+
+
+def test_string_order_and_reverse_engine_boundary(spark):
+    """Pin two proactively-probed string boundaries (SEMANTICS.md "Text").
+
+    1. ORDER BY / comparison on strings AGREES across engines — both
+       compare raw UTF-8 bytes. This is NOT automatic: java.lang.String
+       compares UTF-16 code units, under which surrogate pairs (astral
+       chars, 0xD800-0xDFFF units) sort BELOW the high-BMP block
+       [U+E000, U+FFFF], the exact opposite of UTF-8 byte order. Spark
+       is safe only because Tungsten's UTF8String stores and compares
+       UTF-8 bytes directly — so this pin exists to catch any future
+       collation/config change that re-routes comparison through Java
+       semantics. The probe set straddles the trap: U+E000/U+F8FF/
+       U+FFFD (3-byte UTF-8, high UTF-16 units) vs U+10000/U+1F389
+       (4-byte UTF-8, surrogate UTF-16 units).
+
+    2. reverse() DIVERGES by engine design: Spark reverses code points
+       (UTF8String.reverse), DuckDB reverses extended grapheme
+       clusters — so any multi-code-point cluster (combining marks,
+       ZWJ emoji, conjoining jamo) comes out different: the JVM splits
+       the cluster (combining mark migrates to the PRECEDING char),
+       utf8proc keeps it intact. ASCII and astral-without-combining
+       agree (a pair surrogate is one code point, not two). The
+       registry's only reverse() (string_funcs_suite, queries_scalar)
+       sits on c_mktsegment, ASCII in the testdata and in both fixture
+       pools — this test documents WHY that column must stay
+       grapheme-cluster-free rather than it being an accident.
+    """
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+
+    # -- 1. sort order: agreement, including across the UTF-16 trap
+    strs = ["abc", "znormal", "森", "\uE000", "\uF8FF", "\uFFFD",
+            "\U00010000", "\U0001F389", "", "a\U0001F389", "a\uFFFD"]
+    got_s = [r.s for r in spark.createDataFrame(
+        [(x,) for x in strs], "s string").orderBy("s").collect()]
+    got_d = [r[0] for r in con.execute(
+        "SELECT s FROM (VALUES " + ",".join("(?)" for _ in strs)
+        + ") t(s) ORDER BY s", strs).fetchall()]
+    assert got_s == got_d, (got_s, got_d)
+    # the UTF-16 ordering WOULD have flipped these two:
+    assert got_s.index("\uFFFD") < got_s.index("\U0001F389")
+
+    # -- 2. reverse(): divergence on clusters, agreement off them
+    cases = {
+        # text: (spark_expected = code-point reverse,
+        #        duck_expected  = grapheme reverse)
+        "xe\u0301y": ("y\u0301ex", "ye\u0301x"),        # combining acute
+        "\u1100\u1161\u11A8z": ("z\u11A8\u1161\u1100",  # conjoining jamo
+                                "z\u1100\u1161\u11A8"),
+        "\U0001F468\u200D\U0001F469k": (                # ZWJ family
+            "k\U0001F469\u200D\U0001F468",
+            "k\U0001F468\u200D\U0001F469"),
+        # same on both engines — the boundary is cluster-only
+        "abc": ("cba", "cba"),
+        "a\U0001F389b": ("b\U0001F389a", "b\U0001F389a"),
+        "森林x": ("x林森", "x林森"),
+    }
+    got = {r["t"]: r["rev"] for r in spark.createDataFrame(
+        [(t,) for t in cases], "t string").select(
+        "t", F.reverse("t").alias("rev")).collect()}
+    for t, (want_s, want_d) in cases.items():
+        assert got[t] == want_s, (t, got[t].encode("unicode_escape"))
+        d = con.execute("SELECT reverse(?)", [t]).fetchone()[0]
+        assert d == want_d, (t, d.encode("unicode_escape"))
