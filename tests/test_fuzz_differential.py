@@ -1,11 +1,11 @@
-"""Seeded randomized differential as a regression test: four fixed
+"""Seeded randomized differential as a regression test: six fixed
 seeds of tools/fuzz_differential.py (random dirty-but-in-domain
 fixtures, all oracle-backed queries compared Spark-vs-DuckDB
 value-for-value, modulo the documented quantization tolerance).
 Deterministic: the generator is a seeded random.Random, so these exact
-fixtures reproduce forever. Seed count per VERDICT r5 item 6 (the tool
-has run seeds 1-25 clean; CI pins four of them under the <20 min suite
-budget).
+fixtures reproduce forever. Pin policy per VERDICT r6 item 7: every
+finding-bearing seed joins the pins, capped at ~6 to hold the suite
+near the 20 min budget (the ad-hoc campaign has run 300+ seeds clean).
 
 Ad-hoc exploration runs more seeds:
     PYTHONPATH=. python tools/fuzz_differential.py --seeds 1 2 3 ...
@@ -32,5 +32,10 @@ def test_randomized_differential_seed_is_clean(spark, seed):
     # — pinned so the fixes regress loudly
     from fuzz_differential import run_seed
 
-    bad = run_seed(spark, seed)
+    # workers=16: the per-query cost on a tiny fixture is Spark
+    # job-submission latency, and the suite runs tests sequentially so
+    # the threads have the machine to themselves — measured ~12% faster
+    # per seed than the tool's default 8, keeping six pins inside the
+    # suite budget
+    bad = run_seed(spark, seed, workers=16)
     assert not bad, f"seed {seed}: {bad[:5]}"
