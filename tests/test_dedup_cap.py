@@ -323,3 +323,107 @@ def test_minhash_int_self_defends_on_degenerate_input(spark):
 
     with pytest.raises(ValueError, match="permutation table"):
         minhash_int(F.col("hs"), len(MINHASH_A) + 1)
+
+
+def test_three_epoch_incremental_crawl_equals_batch_first_wins(
+        spark, tmp_path):
+    """Multi-epoch incremental-crawl dedup is EXACTLY equivalent to a
+    from-scratch batch "first occurrence wins" pass — pinned over three
+    crawl waves with planted intra-wave, cross-wave and CHAINED
+    duplicates.
+
+    The equivalence theorem (and the policy it forces): at each epoch
+    the FULL wave — survivors and dropped docs alike — is appended to
+    the reference signature index. Then "new doc d is dropped iff some
+    earlier-seen doc verified-matches d" is the same predicate on both
+    paths, because (a) append == rebuild (signatures are stateless
+    per-doc functions, pinned above), (b) the batch LSH self-join and
+    the incremental cross/intra joins share the identical (band, sig)
+    bucket-match condition below the cap, and (c) pairwise Jaccard
+    verification scores a pair identically whatever frame it rides in.
+    The chained-duplicate case (A in wave 1; B = A with one word
+    changed, wave 2, dropped; C = B with ANOTHER word changed, wave 3 —
+    so C matches B above threshold but A only below it) is the reason
+    the dropped-doc-still-indexed policy is load-bearing: an index of
+    survivors only would let C resurface, and this test would fail.
+    """
+    from imp_etl_spark.operators.dedup import (
+        build_minhash_index,
+        cross_corpus_candidates,
+        minhash_index_append,
+        minhash_lsh_candidates,
+        minhash_stacked,
+        ngram_jaccard_pairs,
+        read_minhash_index,
+    )
+
+    # 30-word docs: 28 grams at n=3 -> one-word change ~0.81 Jaccard,
+    # two-word change ~0.65 (threshold 0.7 splits them with margin)
+    def doc(i, mutate=()):
+        words = [f"t{i}x{j}" for j in range(30)]
+        for pos, tok in mutate:
+            words[pos] = tok
+        return " ".join(words)
+
+    a_text = doc(0)
+    b_text = doc(0, [(8, "mutB")])            # 1 word off A  -> ~0.81
+    c_text = doc(0, [(8, "mutB"), (20, "mutC")])  # 1 off B, 2 off A -> ~0.65 vs A
+    waves = {
+        1: [(1, a_text), (2, doc(2)), (3, doc(2)),   # 3 = intra-wave exact dup
+            (4, doc(4))],
+        2: [(11, b_text),                            # chained near-dup of A
+            (12, doc(4)),                            # cross-wave exact dup
+            (13, doc(13))],
+        3: [(21, c_text),                            # matches B (dropped), not A
+            (22, doc(22)), (23, doc(13, [(5, "zz")]))],  # near-dup of 13
+    }
+    K = dict(shingle_k=3, num_hashes=12, bands=4)
+    V = dict(n=3, threshold=0.7)
+    all_rows = [r for w in waves.values() for r in w]
+    union = spark.createDataFrame(all_rows, ["doc_id", "text"])
+
+    # sanity: the chain behaves as constructed
+    jac = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        union, n=3, threshold=0.0).collect()}
+    assert jac[(1, 11)] >= 0.7 and jac[(11, 21)] >= 0.7
+    assert jac.get((1, 21), 0.0) < 0.7
+
+    # ---- batch path: first occurrence (lowest doc_id == arrival) wins
+    cand = minhash_lsh_candidates(union, **K)
+    ver = ngram_jaccard_pairs(union, candidates=cand, **V)
+    batch_dropped = {r.id_b for r in ver.collect()}  # id_a < id_b
+    batch_survivors = sorted(
+        i for i, _ in all_rows if i not in batch_dropped)
+
+    # ---- incremental path: per-epoch intra self-dedup + cross match,
+    # then FULL-wave append
+    path = str(tmp_path / "crawl_index")
+    inc_survivors = []
+    for epoch in (1, 2, 3):
+        wave = spark.createDataFrame(waves[epoch], ["doc_id", "text"])
+        dropped = set()
+        if epoch == 1:
+            build_minhash_index(wave, path, "text", "doc_id", **K)
+            ref = None
+        else:
+            ref_stacked, _ = read_minhash_index(spark, path)
+            new_stacked = minhash_stacked(wave, "text", "doc_id", **K)
+            cross = cross_corpus_candidates(new_stacked, ref_stacked)
+            cross_pairs = cross.select(
+                F.least("id_new", "id_ref").alias("id_a"),
+                F.greatest("id_new", "id_ref").alias("id_b")).distinct()
+            cross_ver = ngram_jaccard_pairs(
+                union, candidates=cross_pairs, **V)
+            # ids are assigned in arrival order, so id_b is the new doc
+            dropped |= {r.id_b for r in cross_ver.collect()}
+            minhash_index_append(spark, path, wave)
+        intra = minhash_lsh_candidates(wave, **K)
+        intra_ver = ngram_jaccard_pairs(union, candidates=intra, **V)
+        dropped |= {r.id_b for r in intra_ver.collect()}
+        inc_survivors.extend(
+            i for i, _ in waves[epoch] if i not in dropped)
+
+    assert sorted(inc_survivors) == batch_survivors
+    # the planted structure actually fired: chained C (21), exact dups
+    # (3, 12), near-dup 23 all dropped; uniques survive
+    assert batch_survivors == [1, 2, 4, 13, 22]
