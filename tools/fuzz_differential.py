@@ -147,16 +147,22 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
             return rng.choice(ts_pool)
         return _ts(rng)
 
+    # fact-side FK draws overshoot the dim key range by 2: the fixture
+    # class "dangling reference" (order -> missing customer, lineitem ->
+    # missing part/supplier) otherwise occurs ONLY on empty-dim seeds,
+    # leaving the anti-join / missing-reference guards under-fuzzed —
+    # the region/nation level already had this mix, the fact level
+    # didn't (gap found in r7)
     orders, lineitem = [], []
     for i in range(n_ord):
         ok = i + 1
         odate = _pts(rng)
-        orders.append((ok, rng.randint(1, max(n_cust, 1)),
+        orders.append((ok, rng.randint(1, max(n_cust, 1) + 2),
                        rng.choice(["O", "F", "P", "", None]), _pval(rng),
                        odate, rng.choice(["1-URGENT", "5-LOW", "", None])))
         for ln in range(1, rng.randint(1, 4)):
-            lineitem.append((ok, rng.randint(1, max(n_part, 1)),
-                             rng.randint(1, max(n_supp, 1)), ln,
+            lineitem.append((ok, rng.randint(1, max(n_part, 1) + 2),
+                             rng.randint(1, max(n_supp, 1) + 2), ln,
                              _pval(rng), _pval(rng),
                              rng.choice([0.0, 0.05, 0.1, 0.5, 1.0]),
                              rng.choice([0.0, 0.08]),
