@@ -179,3 +179,49 @@ def test_merge_upsert_state_machine_matches_model(spark, tmp_path_factory,
         got = {r["k"]: r["v"]
                for r in U.read_target(spark, path).collect()}
         assert got == model
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """SEMANTICS.md's numeric-domain claim is that exact-decimal
+    aggregation makes sums and moments bit-reproducible "across engines
+    and partitionings" — the DuckDB differential checks the engine
+    axis, but always at one partitioning, so the partitioning axis was
+    asserted, never tested. This runs the float-sensitive tiers (second
+    moments, EWMA recurrence, prefix-sum shares, quantile ranks,
+    z-scores, time-weighted averages, histogram buckets, quality
+    scores) at shuffle.partitions=5 and =47 and requires IDENTICAL
+    results: a double-typed partial aggregate would make the partial
+    grouping (and thus the addition order) leak into the answer,
+    exactly what the DECIMAL(38) convention exists to prevent. The
+    dedup tier is deliberately absent — its memoized shared artifacts
+    would serve one partitioning's result to the other and mask the
+    signal.
+    """
+    from imp_etl_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    names = ["agg_stats_moments", "ewma_user_value",
+             "parts_pareto_cumshare", "rfm_customer_segments",
+             "outlier_events_zscore", "twap_user_value",
+             "events_value_histogram", "doc_quality"]
+
+    def key(row):
+        return tuple((v is None, str(v)) for v in row)
+
+    def run_all():
+        return {n: sorted(map(tuple, REGISTRY[n][0](
+            spark, SF_DIR).collect()), key=key) for n in names}
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        at5 = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "47")
+        at47 = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert at5[n] == at47[n], (
+            f"{n}: result depends on shuffle partitioning "
+            f"({len(at5[n])} vs {len(at47[n])} rows; first diff: "
+            f"{next(((a, b) for a, b in zip(at5[n], at47[n]) if a != b), None)})")
