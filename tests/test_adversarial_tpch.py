@@ -178,3 +178,31 @@ def test_fuzzy_pairs_use_character_level_edit_distance(spark, adv_rel_dir):
     got = {(r["name_a"], r["name_b"]): r["edit_dist"]
            for r in fn(spark, adv_rel_dir).collect()}
     assert got[("forest green ring", "forest green rïng")] == 1
+
+
+def test_pareto_zero_total_revenue_drops_every_row(spark, tmp_path):
+    # curated seed-88 regression (the generator stream changed in r7
+    # when the dangling-FK class was added, so seed 88 no longer
+    # regenerates the finding fixture — this pins the finding class
+    # deterministically): pooled +/- revenues cancel to an EXACT zero
+    # total, making every cumulative share 0/0. try_divide yields NULL
+    # on Spark, double/0 yields NULL on DuckDB, and the <= 0.8 cut
+    # drops all rows on BOTH engines — neither inf nor a crash.
+    import duckdb
+
+    d = _dt(1995, 6, 1)
+    rows = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d),
+        (2, 2, 1, 1, 1.0, -100.0, 0.0, 0.0, "N", "O", d),
+    ]
+    spark.createDataFrame(rows, schemas.FIXTURE_TABLES["lineitem"]) \
+        .write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "lineitem.parquet"))
+    fn, sql = REGISTRY["parts_pareto_cumshare"]
+    assert fn(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet/*.parquet')")
+    assert con.sql(sql).fetchall() == []
+    con.close()

@@ -404,7 +404,6 @@ def test_three_epoch_incremental_crawl_equals_batch_first_wins(
         dropped = set()
         if epoch == 1:
             build_minhash_index(wave, path, "text", "doc_id", **K)
-            ref = None
         else:
             ref_stacked, _ = read_minhash_index(spark, path)
             new_stacked = minhash_stacked(wave, "text", "doc_id", **K)

@@ -54,8 +54,11 @@ def _sweep_registry(spark, sf_dir):
 
     Threaded (same pattern as tools/fuzz_differential.run_seed): the
     per-query cost on a 0-3-row fixture is job-submission latency, not
-    compute; Spark's scheduler is thread-safe and the dedup tier's
-    shared-artifact memo is lock-serialized for this caller shape.
+    compute. Sound because of the registry-wide thread-safety contract
+    stated at REGISTRY's definition (imp_etl_spark/registry.py): every
+    entry must tolerate concurrent callers on a shared session and a
+    shared sf_dir — the idempotent view re-registration in load_tables
+    and the lock-serialized dedup memo are what make that hold today.
     Measured ~3x faster than the serial loop on the 150-query registry.
     """
     from concurrent.futures import ThreadPoolExecutor

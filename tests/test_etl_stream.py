@@ -260,3 +260,34 @@ def test_incremental_view_adopts_existing_bucket_count(spark, tmp_path):
             for r in orders.groupBy("o_custkey").agg(
                 F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_direct_stream_run_releases_dedup_caches_by_default(
+        spark, tmp_path):
+    """VERDICT r7 item 4: ``run_etl_stream`` called DIRECTLY (no
+    controller) must release the dedup tier's tracked persists after
+    each epoch, because ``on_epoch_end`` now defaults to the release
+    hook instead of None. Seed the tracker with a genuine tracked
+    persist (what a dedup query leaves behind), run one epoch, and the
+    tracker must come back empty with the frame unpersisted."""
+    from imp_etl_spark import queries_llm
+
+    seeded = queries_llm._track_persist(
+        spark.range(8).withColumnRenamed("id", "id_a"))
+    seeded.count()  # materialize the cache entry
+    assert len(queries_llm._DEDUP_PERSISTS) == 1
+    assert seeded.storageLevel.useMemory
+
+    queue = _queue_frames(spark).limit(50)
+    voucher, txn = _entities(spark)
+    src = str(tmp_path / "queue_stream")
+    queue.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "log_id BIGINT, reference_no STRING, table STRING").parquet(src)
+    q = run_etl_stream(spark, stream, voucher, txn,
+                       str(tmp_path / "voucher"), str(tmp_path / "txn"),
+                       str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert queries_llm._DEDUP_PERSISTS == []
+    assert not seeded.storageLevel.useMemory  # actually unpersisted

@@ -2,10 +2,21 @@
 seeds of tools/fuzz_differential.py (random dirty-but-in-domain
 fixtures, all oracle-backed queries compared Spark-vs-DuckDB
 value-for-value, modulo the documented quantization tolerance).
-Deterministic: the generator is a seeded random.Random, so these exact
-fixtures reproduce forever. Pin policy per VERDICT r6 item 7: every
-finding-bearing seed joins the pins, capped at ~6 to hold the suite
-near the 20 min budget (the ad-hoc campaign has run 300+ seeds clean).
+Deterministic per generator VERSION: each seed reproduces its fixture
+exactly for as long as the generator code is unchanged, but the
+generator stream has evolved (r7 added the dangling-FK overshoot, r8
+the small-integer-ratio quality pool), so the pinned seeds below no
+longer regenerate the fixtures that ORIGINALLY exposed their findings.
+That is fine for what the pins are — six diverse randomized-fixture
+differentials holding the whole oracle surface green — because every
+historical finding ALSO has a curated deterministic regression that
+survives generator drift: seed 30 (pareto null-rank) and seed 88
+(zero-total cumulative share) in test_adversarial_tpch.py, seed 36
+(grouping-sets global row on empty input) in test_empty_inputs.py,
+seed 224 (exact 6dp quantization tie) in test_quantize.py. Pin policy
+per VERDICT r6 item 7: every finding-bearing seed joins the pins,
+capped at ~6 to hold the suite near the 20 min budget (the ad-hoc
+campaign has run 300+ seeds clean).
 
 Ad-hoc exploration runs more seeds:
     PYTHONPATH=. python tools/fuzz_differential.py --seeds 1 2 3 ...

@@ -212,14 +212,25 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         return {n: sorted(map(tuple, REGISTRY[n][0](
             spark, SF_DIR).collect()), key=key) for n in names}
 
+    # AQE partition coalescing (on in session.py) can merge the
+    # 5-partition and 47-partition shuffles toward similar final
+    # groupings on a small fixture, which would weaken the very signal
+    # this test exists to exercise — hold it off for both runs so the
+    # aggregations genuinely group under different partitionings.
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled")
     try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         at5 = run_all()
         spark.conf.set("spark.sql.shuffle.partitions", "47")
         at47 = run_all()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
     for n in names:
         assert at5[n] == at47[n], (
             f"{n}: result depends on shuffle partitioning "
