@@ -85,7 +85,7 @@ HEADLINE = [
 # timed from build, not just the write.
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
                "doc_length_quartile_bins", "peak_click_concurrency",
-               "rfm_customer_segments",
+               "rfm_customer_segments", "outlier_events_mad",
                "minhash_lsh_pairs", "dedup_pipeline_survivors",
                "cross_corpus_survivors"}
 

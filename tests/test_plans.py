@@ -403,10 +403,15 @@ def test_percentile_position_single_shared_sort(spark):
 def test_mad_outliers_broadcast_stats_no_nested_loop(spark):
     plan = _executed(_run("outlier_events_mad", spark))
     # median/MAD frames broadcast back onto the fact; integer-only
-    # predicate; group-keyed windows, never empty-partitionBy
+    # predicate; never empty-partitionBy. r8: the rank-picks run on
+    # (group, value) COUNTS through the range-partitioned distributed
+    # prefix sum — a dominant group splits across tasks instead of
+    # funneling one sort task (the pre-r8 group-keyed row window paid
+    # 2.3x at 25x under ~97% one-group skew, SCALING.md)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partitionBy=[]" not in plan.replace(" ", "")
+    assert "rangepartitioning" in plan.lower()
 
 
 def test_snm_is_equi_join_on_index(spark):

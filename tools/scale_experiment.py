@@ -74,7 +74,7 @@ def build_5x(spark, out_dir: str) -> None:
 
 
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
-               "doc_length_quartile_bins",
+               "doc_length_quartile_bins", "outlier_events_mad",
                "rfm_customer_segments"}  # same rule as bench.py
 
 
@@ -351,6 +351,67 @@ def main_prefix25x() -> None:
         shutil.rmtree(big, ignore_errors=True)
 
 
+def main_madskew25x() -> None:
+    """The r8 skew point for the MAD/median tier (VERDICT r7 item 6):
+    ``mad_outliers`` (operators/quality.py) runs two full
+    ``row_number().over(partitionBy(event_type))`` rank-picking passes.
+    On the fixture the five event types are uniform (~20% each), so no
+    SCALING.md row ever exercised the shape that actually hurts a
+    per-group sort at cluster scale: ONE group holding ~90%+ of rows,
+    funneling its sort into however many tasks hold that key's shuffle
+    partition. Three rows isolate the skew cost from the scale cost:
+
+    - 1x: sf0.1 events as-is (uniform types, baseline);
+    - 25x uniform: 25 key-shifted copies, type mix preserved;
+    - 25x skewed: same 25 copies but copies 1..24 remapped to a single
+      dominant type ('click'), which then holds (24 + 0.2)/25 = ~97%
+      of rows — strictly harder than the 90% the verdict asked for.
+
+    The comparison that matters is 25x-skewed vs 25x-uniform at EQUAL
+    row count: that ratio is pure skew penalty."""
+    from imp_etl_spark.queries import REGISTRY
+
+    spark = get_spark("scale-experiment-madskew25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_madskew_")
+    base = read_table(spark, SF_DIR, "events")
+    for flavor, skew in (("uniform", False), ("skewed", True)):
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if skew:
+                shifted = shifted.withColumn("event_type", F.lit("click"))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(
+            f"{big}/{flavor}/events.parquet")
+    fn, _ = REGISTRY["outlier_events_mad"]
+    # warm codegen off the small fixture before timing
+    fn(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()
+    n1 = base.count()
+    nbig = read_table(spark, f"{big}/skewed", "events").count()
+    dom = (read_table(spark, f"{big}/skewed", "events")
+           .filter(F.col("event_type") == "click").count())
+    print(f"events rows: {n1:,} -> {nbig:,} ({nbig / n1:.0f}x); "
+          f"dominant type holds {dom / nbig:.1%} of skewed rows")
+    print(f"| outlier_events_mad | wall (s) | vs 1x | vs {copies}x "
+          f"uniform |")
+    print("|---|---|---|---|")
+    s1 = time_query(fn, spark, SF_DIR, "outlier_events_mad")
+    print(f"| 1x uniform | {s1:.2f} | 1.00 | — |")
+    su = time_query(fn, spark, f"{big}/uniform", "outlier_events_mad")
+    print(f"| {copies}x uniform | {su:.2f} | {su / s1:.2f} | 1.00 |")
+    ss = time_query(fn, spark, f"{big}/skewed", "outlier_events_mad")
+    print(f"| {copies}x skewed (~97% one type) | {ss:.2f} "
+          f"| {ss / s1:.2f} | {ss / su:.2f} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
 def main() -> None:
     from imp_etl_spark.queries import REGISTRY
 
@@ -395,7 +456,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SCALE_PREFIX25"):
+    if os.environ.get("SCALE_MADSKEW25"):
+        main_madskew25x()
+    elif os.environ.get("SCALE_PREFIX25"):
         main_prefix25x()
     elif os.environ.get("SCALE_X25"):
         main_25x()
