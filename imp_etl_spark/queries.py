@@ -1261,81 +1261,53 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-7 window (VERDICT.md r6, next-round items 1-2): registry
-    # stays frozen at 150 and ZERO entries are stale, so the 50-slot
-    # budget is (a) the entries whose code/oracle changed THIS round,
-    # then (b) pure recency hygiene — the r6 verdict's documented 51+
-    # backfill queue in order (the 12 r2-era TPC-H rows, the r3-era
-    # tier, the two rows-only entries), then (c) the oldest r4-era
-    # greens to fill the remaining slots.
-    # -- (1) changed in round 7 (tools/staleness_audit.py vs 40ad2eb):
-    #    the ADVICE closeout edits to the shared minhash helper chain —
-    #    minhash_stacked's zero-shingle predicate is now rlike(\S)
-    #    (the FULL \s+ whitespace class, matching tokens(); trim()
-    #    stripped only 0x20, so tab/newline-only docs leaked a sentinel
-    #    signature), and minhash_int is self-defending (NULL on an
-    #    empty hashes array, loud ValueError past the permutation
-    #    table). All four consumers of the shared signature artifact
-    #    re-row:
-    "minhash_lsh_pairs", "dedup_pipeline_survivors",
-    "dedup_cluster_assign", "cross_corpus_survivors",
-    #    ...and the quality_score family (fuzz seed 224, the r7
-    #    finding-bearer): the 6dp quantization now runs as IEEE
-    #    floor(x*1e6+0.5) on BOTH engines instead of each engine's
-    #    round(), which diverged on the exact tie 0.5051625. All three
-    #    consumers of the shared helper re-row:
-    "doc_quality", "quality_percentile_filter", "corpus_curation_funnel",
-    # -- (2) the r6-documented backfill queue, verbatim: 12 r2-era
-    #    TPC-H rows first,
-    "q9_product_profit", "q10_returned_items",
-    "q11_important_balance", "q13_customer_distribution",
-    "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
-    "q19_disjunctive_bands", "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    #    then the r3-era tier in its r5 order (doc_quality moved up —
-    #    it is one of the seed-224 changed entries),
-    "a2_processed_skipped", "dedup_exact_content", "dedup_exact_group",
-    "dedup_latest_per_key", "events_rollup_hour_day",
-    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
-    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
-    "log_parse_tail", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "s1_workqueue_count", "setops_suite",
-    "split_hash_counts", "stream_dedup_events", "stream_interval_join",
-    "t_cleanse_suite", "topk_orders", "win_topn_per_group",
-    "word_counts_top50",
-    #    then the two rows-only entries (outside the hash gate by
-    #    permanent justification — approximate/libm-ulp contracts),
-    "agg_approx_stats", "math_transcendental",
-    # -- (3) oldest-green fill: the first 5 r4-era entries
-    #    (alphabetical — all r4-era rows are equally old; the seed-224
-    #    swap-in displaced doc_token_rarity and j4_merge_preview to 51+)
-    "basket_part_pairs_lift", "bpe_pair_counts", "cap_docs_per_source",
-    "cohort_retention_daily", "contamination_overlap",
-    # -- position 51+: the r8 backfill queue if the budget exceeds 50 —
-    #    the remaining r4-era greens, then the r5-era tier
-    #    (alphabetical within era), then the r6-era tier
-    "doc_token_rarity", "j4_merge_preview",
-    "ngram_novelty", "oov_rate_docs", "passage_dedup_docs",
-    "profile_orders", "q20_bolt_suppliers", "q2_min_cost_supplier",
-    "rolling_24h_user_value",
+    # round-8 window (VERDICT.md r7, next-round items 1 and 8): registry
+    # frozen at 150, so the 50-slot budget is (a) entries whose code or
+    # oracle changed THIS round, then (b) the verdict's rotation order —
+    # ALL 14 r4-era greens (merge/sink family first), then the r5-era
+    # tier alphabetically until the window fills. After this rotation no
+    # entry's latest green predates r5 except the four r5 rows displaced
+    # to position 51+, which already satisfy the >= r5 floor.
+    # -- (1) changed in round 8 (tools/staleness_audit.py vs 39ab976):
+    #    mad_outliers' rank-pick moved from per-group row_number windows
+    #    to (group, value)-count prefix sums (skew-immune — measured
+    #    2.31x single-task penalty at 25x with ~97% one-group skew,
+    #    SCALING.md); its one registered consumer re-rows:
+    "outlier_events_mad",
+    # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
+    #    verdict's explicit order), the rest alphabetical:
+    "j4_merge_preview",
+    "doc_token_rarity", "ngram_novelty", "oov_rate_docs",
+    "passage_dedup_docs", "profile_orders", "q20_bolt_suppliers",
+    "q2_min_cost_supplier", "rolling_24h_user_value",
     "shard_documents_balanced", "split_train_counts", "tfidf_top_term",
     "user_activity_streaks", "weighted_sample_docs",
-    "agg_stats_moments", "ann_cosine_topk",
-    "customer_order_gaps", "doc_length_quartile_bins",
-    "dup_rate_by_source", "embedding_near_dup", "event_type_transitions",
+    # -- (3) r5-era fill, alphabetical (outlier_events_mad already
+    #    leads as a changed entry; the last four alphabetical r5 rows
+    #    — text_stats, top_event_paths, twap_user_value,
+    #    zorder_events_layout — are displaced to 51+):
+    "agg_stats_moments", "ann_cosine_topk", "customer_order_gaps",
+    "doc_length_quartile_bins", "dup_rate_by_source",
+    "embedding_near_dup", "event_type_transitions",
     "events_inactivity_churn", "events_session_10m",
     "events_sliding_1h_30m", "events_tumbling_1h",
     "events_value_histogram", "events_wow_growth",
-    "funnel_signup_purchase", "incremental_agg_merge", "ivf_cosine_topk",
-    "ivf_indexed_topk", "jaccard_sampled_pairs", "lang_confusion_matrix",
-    "nation_supplier_hhi", "orders_backlog_aging", "outlier_events_mad",
-    "outlier_events_zscore", "peak_click_concurrency", "per_group_trend",
-    "pivot_status_counts", "q12_priority_class", "resample_ffill_hourly",
-    "s2_paginated_scan", "scd2_user_state", "seasonal_anomaly_events",
-    "simhash_docs", "simhash_near_dup", "skew_profile_orders_custkey",
-    "srp_bucket_topk", "stream_incremental_view", "text_stats",
-    "top_event_paths", "twap_user_value", "zorder_events_layout",
+    "funnel_signup_purchase", "incremental_agg_merge",
+    "ivf_cosine_topk", "ivf_indexed_topk", "jaccard_sampled_pairs",
+    "lang_confusion_matrix", "nation_supplier_hhi",
+    "orders_backlog_aging", "outlier_events_zscore",
+    "peak_click_concurrency", "per_group_trend", "pivot_status_counts",
+    "q12_priority_class", "resample_ffill_hourly", "s2_paginated_scan",
+    "scd2_user_state", "seasonal_anomaly_events", "simhash_docs",
+    "simhash_near_dup", "skew_profile_orders_custkey", "srp_bucket_topk",
+    "stream_incremental_view",
+    # -- position 51+: the r9 backfill queue if the budget exceeds 50 —
+    #    the four displaced r5-era rows, then the r6-era tier, then the
+    #    r7-era tier (alphabetical within era; the two rows-only
+    #    entries agg_approx_stats / math_transcendental ride in their
+    #    r7 positions)
+    "text_stats", "top_event_paths", "twap_user_value",
+    "zorder_events_layout",
     "agg_cube", "agg_distinct_customers", "agg_exact_median",
     "agg_grouping_sets", "agg_percentiles_disc", "agg_rollup",
     "asof_click_before_purchase", "attribution_last_touch",
@@ -1353,6 +1325,25 @@ _DRIVER_WINDOW_FIRST = [
     "string_funcs_suite", "t_time_format_suite", "text_quality_gopher",
     "unpivot_measures", "win_lag_lead", "win_percentile_position",
     "win_rank_dense", "win_running_sum",
+    "a2_processed_skipped", "agg_approx_stats", "basket_part_pairs_lift",
+    "bpe_pair_counts", "cap_docs_per_source", "cohort_retention_daily",
+    "contamination_overlap", "corpus_curation_funnel",
+    "cross_corpus_survivors", "dedup_cluster_assign",
+    "dedup_exact_content", "dedup_exact_group", "dedup_latest_per_key",
+    "dedup_pipeline_survivors", "doc_quality", "events_rollup_hour_day",
+    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
+    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
+    "log_parse_tail", "math_transcendental", "minhash_lsh_pairs",
+    "q10_returned_items", "q11_important_balance",
+    "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
+    "q19_disjunctive_bands", "q1_pricing_summary",
+    "q21_sole_late_supplier", "q22_dormant_customers",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q9_product_profit", "quality_percentile_filter",
+    "s1_workqueue_count", "setops_suite", "split_hash_counts",
+    "stream_dedup_events", "stream_interval_join", "t_cleanse_suite",
+    "topk_orders", "win_topn_per_group", "word_counts_top50",
 ]
 
 

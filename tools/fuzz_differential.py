@@ -52,6 +52,23 @@ ETYPES = ["click", "purchase", "signup", "view", None, ""]
 WS_ONLY = ["\t", "\n", "\r", "\f", "\t\t", " \t", "\n\n", " \t\n\r ",
            "\t \t", "\r\n"]
 
+#: Quantization-tie bait (VERDICT r7 item 3, the seed-224 class):
+#: quality_score composes ratios of SMALL INTEGER counts (char length /
+#: 500, stopwords / tokens, punct / chars), which land on exact 7-digit
+#: decimal ties at a rate arbitrary prose never does — seed 224's
+#: 0.5051625 came from exactly such a ratio. This pool builds short
+#: texts from stopwords, tiny words and punctuation so those counts
+#: stay small and commensurable, concentrating draws near the
+#: floor(x*1e6+0.5) tie boundaries on every engine-pair run.
+RATIO_WORDS = ["the", "of", "and", "a", "in", "is", "it",
+               "fox", "run", "data", "x", "xy", "xyz",
+               ".", ",", "!", "?", ";", "..", "a.", "the."]
+
+
+def _ratio_text(rng: random.Random) -> str:
+    return " ".join(rng.choice(RATIO_WORDS)
+                    for _ in range(rng.randint(1, 25)))
+
 
 def _text(rng: random.Random) -> str | None:
     r = rng.random()
@@ -183,6 +200,8 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
             if toks:
                 toks[rng.randrange(len(toks))] = rng.choice(WORDS)
             text = " ".join(toks)
+        elif r < 0.32:
+            text = _ratio_text(rng)  # small-integer-ratio tie bait
         else:
             text = _text(rng)
         documents.append((i + 1, text, rng.choice(LANGS),
