@@ -18,12 +18,17 @@ Scale design:
 - ``cohort_retention`` is two keyed shuffles: min-date per user, then
   (cohort_day, offset) distinct-user counts. Both partial-aggregate
   map-side before the exchange.
-- ``resample_ffill`` materializes a bounded per-key grid (sequence +
-  explode — rows generated distributed, proportional to each key's own
-  time span, never to the corpus) and forward-fills via the as-of
-  union trick (temporal.asof_join): ONE shuffle on the key, linear
-  per-partition work. The naive grid LEFT JOIN events ON ts <= gts
-  explodes quadratically per key.
+- ``resample_ffill`` materializes the per-key grid in TWO explode
+  levels (chunk starts, then ticks within each chunk) and forward-fills
+  with a per-chunk carry: the fill window partitions on (key, chunk),
+  so a single key whose span covers decades never funnels its whole
+  grid into one task, and no ``sequence()`` call ever materializes an
+  array longer than ``chunk_ticks`` below the chunk-start level. The
+  naive single-level formulation builds one array per key sized by the
+  key's full span (a 200-year key at minute step is a ~100M-element,
+  GB-scale single allocation) and then sorts that key's entire grid in
+  one window task. The naive grid LEFT JOIN events ON ts <= gts is
+  worse still — quadratic per key.
 """
 
 from __future__ import annotations
@@ -154,6 +159,14 @@ def cohort_retention(
     )
 
 
+#: Fixed-width grid units (seconds each). Month/year steps are
+#: variable-width and would break the integer chunk arithmetic; the
+#: session timezone is pinned to UTC (session.py) so day/week are
+#: DST-free here.
+_STEP_SECONDS = {"second": 1, "minute": 60, "hour": 3600,
+                 "day": 86400, "week": 604800}
+
+
 def resample_ffill(
     events: DataFrame,
     key_col: str = "user_id",
@@ -161,19 +174,37 @@ def resample_ffill(
     value_col: str = "value",
     step: str = "1 hour",
     out_col: str = "last_value",
+    chunk_ticks: int = 720,
 ) -> DataFrame:
     """Per-key time-grid resample with forward fill: one row per ``step``
     tick between each key's first and last event (tick boundaries
     truncated to the step unit), carrying the value of the latest event
     at-or-before the tick (null before the first event's tick).
+    Duplicate (key, ts) events resolve to the max value, mirroring the
+    oracle's ``GROUP BY key, ts -> max(value)`` dedup.
 
-    Grid generation is sequence()+explode per key — distributed, sized
-    by each key's own span. The fill is temporal.asof_join's union +
-    running-last window: one shuffle on the key. Duplicate (key, ts)
-    build rows resolve to the max value (asof_join's tiebreak), mirrored
-    in the oracle.
+    Span-skew-immune formulation (same two-level prefix-carry shape as
+    the mad_outliers rank pick, operators/quality.py): the grid is
+    generated in two explode levels — chunk starts per key (array sized
+    span/chunk_ticks), then ticks within each chunk (array <=
+    chunk_ticks) — and the fill window partitions on (key, chunk), with
+    each chunk's carry-in value coming from a running-last over the
+    per-chunk final events (one bounded window over chunk rows, not
+    ticks). A key spanning 200 years at minute step is ~100M ticks; the
+    single-level formulation built that as ONE sequence() array (a
+    GB-scale single allocation that OOMs production-sized executors)
+    and sorted the whole grid in ONE fill task, while this plan caps
+    every array at chunk_ticks and spreads the key's grid across
+    span/chunk_ticks independent window partitions.
     """
-    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    n_str, unit_word = step.split()
+    unit = unit_word.rstrip("s")  # "1 hour" -> "hour"
+    if unit not in _STEP_SECONDS:
+        raise ValueError(
+            f"resample_ffill supports fixed-width steps {sorted(_STEP_SECONDS)}; "
+            f"got {step!r}")
+    step_n = int(n_str)
+    chunk_s = step_n * _STEP_SECONDS[unit] * chunk_ticks
     # temporal contract (see state_intervals): untimed events neither
     # bound the grid nor supply fill values
     events = events.where(F.col(ts_col).isNotNull())
@@ -181,19 +212,121 @@ def resample_ffill(
         F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
         F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
     )
-    grid = bounds.select(
+    # Level-1 grid: chunk starts, aligned to each key's own __lo.
+    chunks = bounds.select(
         key_col,
-        F.explode(
-            F.expr(f"sequence(__lo, __hi, INTERVAL {step})")
-        ).alias("grid_ts"),
+        "__hi",
+        F.posexplode(
+            F.expr(f"sequence(__lo, __hi, "
+                   f"INTERVAL {step_n * chunk_ticks} {unit})")
+        ).alias("__idx", "__chunk_lo"),
+    ).withColumn(
+        "__chunk_hi",
+        F.least(
+            F.expr(f"__chunk_lo + INTERVAL {step_n * (chunk_ticks - 1)} "
+                   f"{unit}"),
+            F.col("__hi"),
+        ),
     )
-    return asof_join(
-        grid,
-        events.select(key_col, ts_col, value_col),
-        on=key_col,
-        probe_ts="grid_ts",
-        build_ts=ts_col,
-        build_cols={value_col: out_col},
+    # Events -> chunk index. Null-key events match no grid key (the
+    # bounds groupBy keeps a null-key GROUP, whose grid rows fill null —
+    # equi-join semantics, same as the oracle's ASOF ON key equality).
+    ev_k = (
+        events.where(F.col(key_col).isNotNull())
+        .join(bounds.select(key_col, "__lo"), on=key_col)
+        .withColumn(
+            "__idx",
+            F.floor(
+                (F.unix_timestamp(F.date_trunc(unit, F.col(ts_col)))
+                 - F.unix_timestamp(F.col("__lo"))) / F.lit(chunk_s)
+            ).cast("int"),
+        )
+    )
+    # Dedup to max value per (key, ts) — map-side combine absorbs
+    # same-instant bursts before the exchange.
+    evd = ev_k.groupBy(key_col, "__idx", ts_col).agg(
+        F.max(value_col).alias("__v"))
+    # Carry-in per chunk: running last over each chunk's FINAL event
+    # (lexicographic struct max = latest ts; value ties were already
+    # collapsed by the dedup), shifted one chunk back. This window runs
+    # over span/chunk_ticks rows per key — bounded, never over ticks.
+    chunk_last = evd.groupBy(key_col, "__idx").agg(
+        F.max(F.struct(F.col(ts_col).alias("__lt"),
+                       F.col("__v"))).alias("__last"))
+    w_carry = (
+        Window.partitionBy(key_col)
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        chunks.join(chunk_last, on=[key_col, "__idx"], how="left")
+        .withColumn("__carry",
+                    F.last("__last", ignorenulls=True).over(w_carry))
+    )
+    # The carry enters the fill as ONE synthetic side -1 row per chunk
+    # at __chunk_lo (only where a prior event exists) rather than as a
+    # struct column on every tick — the tick stream, which dominates
+    # the fill exchange, shuffles narrow. Side order -1 < 0 < 1 makes a
+    # real event AT the chunk-start instant override the carry before
+    # the tick at that instant reads it.
+    carries = (
+        chunks.where(F.col("__carry").isNotNull())
+        .select(key_col, "__idx",
+                F.col("__chunk_lo").alias("__ts"),
+                F.col("__carry")["__v"].alias("__v"),
+                F.lit(-1).alias("__side"))
+    )
+    # Level-2 grid: ticks within the chunk (array <= chunk_ticks). The
+    # explicit fixed-width repartition between the two explode levels is
+    # load-bearing twice over: (a) whole-stage codegen cannot suspend a
+    # consume-side Generate mid-expansion, so fused explodes buffer ONE
+    # upstream row's ENTIRE nested expansion in BufferedRowIterator's
+    # in-memory list — for a 200-year minute-step key that is all ~100M
+    # ticks in one LinkedList, a measured 128 GiB-heap OOM (the
+    # single-level formulation died the same way); the exchange caps
+    # per-row expansion at chunk_ticks. (b) It spreads a wide-span
+    # key's chunks across the cluster, so the tick stream is emitted by
+    # every task instead of funneling through the one task holding the
+    # key's bounds row. The explicit numPartitions opts this exchange
+    # out of AQE coalescing, which would happily re-fuse the (tiny,
+    # ~50 B/row) chunk stream into one partition and resurrect (b).
+    n_shuffle = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ticks = chunks.repartition(n_shuffle, key_col, "__idx").select(
+        key_col,
+        "__idx",
+        F.explode(
+            F.expr(f"sequence(__chunk_lo, __chunk_hi, INTERVAL {step})")
+        ).alias("__ts"),
+        F.lit(1).alias("__side"),
+    )
+    unioned = ticks.unionByName(
+        evd.select(key_col, "__idx", F.col(ts_col).alias("__ts"),
+                   "__v", F.lit(0).alias("__side")),
+        allowMissingColumns=True,
+    ).unionByName(carries)
+    # In-chunk fill: running last event/carry struct, fill rows before
+    # ticks at equal ts (side -1/0 < 1 -> an event AT a tick instant is
+    # included). The struct keeps "matched event with NULL value"
+    # distinct from "no event yet" (row-atomic fill, same contract as
+    # asof_join).
+    w_fill = (
+        Window.partitionBy(key_col, "__idx")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last(
+        F.when(F.col("__side") <= 0, F.struct(F.col("__v"))),
+        ignorenulls=True,
+    ).over(w_fill)
+    return (
+        unioned.select(key_col, "__ts", "__side", m.alias("__m"))
+        .where(F.col("__side") == 1)
+        .select(
+            key_col,
+            F.col("__ts").alias("grid_ts"),
+            F.col("__m")["__v"].alias(out_col),
+        )
     )
 
 

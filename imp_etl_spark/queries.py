@@ -1274,6 +1274,12 @@ _DRIVER_WINDOW_FIRST = [
     #    2.31x single-task penalty at 25x with ~97% one-group skew,
     #    SCALING.md); its one registered consumer re-rows:
     "outlier_events_mad",
+    #    resample_ffill moved from the single-level sequence()+asof
+    #    grid to the two-level chunked grid with per-chunk carry
+    #    (span-skew-immune — a 200-year minute-step key was ONE ~100M
+    #    element array and ONE fill task; SCALING.md round 8), so its
+    #    consumer re-rows:
+    "resample_ffill_hourly",
     # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
     #    verdict's explicit order), the rest alphabetical:
     "j4_merge_preview",
@@ -1297,7 +1303,7 @@ _DRIVER_WINDOW_FIRST = [
     "lang_confusion_matrix", "nation_supplier_hhi",
     "orders_backlog_aging", "outlier_events_zscore",
     "peak_click_concurrency", "per_group_trend", "pivot_status_counts",
-    "q12_priority_class", "resample_ffill_hourly", "s2_paginated_scan",
+    "q12_priority_class", "s2_paginated_scan",
     "scd2_user_state", "seasonal_anomaly_events", "simhash_docs",
     "simhash_near_dup", "skew_profile_orders_custkey", "srp_bucket_topk",
     "stream_incremental_view",

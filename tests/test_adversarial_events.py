@@ -78,9 +78,20 @@ def _rows_fixture():
     add(_ts(73), None, "click", 3.0, "{}")
     # user 6: single event (windows of one)
     add(_ts(80), 6, "signup", 1.0, "{}")
-    # user 7: extreme timestamps
+    # users 7/8: extreme timestamps — SEPARATE single-event users, so
+    # the epoch-boundary and far-future classes stay covered without a
+    # 230-year hourly grid (2M resample rows per differential run; the
+    # giant-span class itself is pinned count+spot-check in
+    # tests/test_behavior.py::test_giant_span_key_resample, and its
+    # skew economics are measured in SCALING.md)
     add(datetime.datetime(1970, 1, 1, 0, 0, 1), 7, "click", 1.0, "{}")
-    add(datetime.datetime(2200, 1, 1, 0, 0, 0), 7, "click", 2.0, "{}")
+    add(datetime.datetime(2200, 1, 1, 0, 0, 0), 8, "click", 2.0, "{}")
+    # user 9: 100-day event gap — the hourly resample grid spans four
+    # 720-tick chunks with two event-EMPTY chunks between the events,
+    # so every differential run exercises the chunked ffill's
+    # carry-in across chunk boundaries and through empty chunks
+    add(_ts(90), 9, "click", 4.0, "{}")
+    add(_ts(90 + 100 * 86400), 9, "purchase", 8.0, "{}")
     return rows
 
 

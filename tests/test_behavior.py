@@ -118,6 +118,51 @@ class TestResampleFfill:
         out = behavior.resample_ffill(ev, step="1 hour").collect()
         assert len(out) == 1 and out[0]["last_value"] == 7.0
 
+    def test_chunk_boundary_and_empty_chunk_carry(self, spark):
+        # events 2000 ticks apart with chunk_ticks=720: four chunks,
+        # two event-empty in the middle — carry must cross chunk
+        # boundaries and survive empty chunks; the second event's fill
+        # takes over at exactly its own tick
+        lo = dt.datetime(2024, 1, 1, 0, 0)
+        hi = lo + dt.timedelta(hours=2000)
+        ev = _ev(spark, [(1, lo, "a", 3.0), (1, hi, "b", 9.0)])
+        out = behavior.resample_ffill(ev, step="1 hour").collect()
+        got = {r["grid_ts"]: r["last_value"] for r in out}
+        assert len(got) == 2001
+        assert got[lo] == 3.0
+        assert got[lo + dt.timedelta(hours=719)] == 3.0   # chunk 0 end
+        assert got[lo + dt.timedelta(hours=720)] == 3.0   # chunk 1 start
+        assert got[lo + dt.timedelta(hours=1500)] == 3.0  # empty chunk
+        assert got[hi - dt.timedelta(hours=1)] == 3.0
+        assert got[hi] == 9.0
+
+    def test_giant_span_key_resample(self, spark):
+        # the 230-year span class that used to live in the adversarial
+        # events fixture (2M-row full-value differential each run):
+        # count + spot ticks only — value-exactness for this class was
+        # proven once against the oracle (COVERAGE.md round 8), and the
+        # chunked plan caps every sequence() array at chunk_ticks
+        a = dt.datetime(1970, 1, 1, 0, 0, 1)
+        b = dt.datetime(2200, 1, 1, 0, 0, 0)
+        ev = _ev(spark, [(7, a, "click", 1.0), (7, b, "click", 2.0)])
+        out = behavior.resample_ffill(ev, step="1 hour")
+        n_hours = int((b - dt.datetime(1970, 1, 1)).total_seconds()
+                      // 3600) + 1
+        assert out.count() == n_hours
+        spot = {r["grid_ts"]: r["last_value"] for r in out.where(
+            F.col("grid_ts").isin(
+                dt.datetime(1970, 1, 1, 0, 0),   # trunc'd first tick:
+                dt.datetime(1970, 1, 1, 1, 0),   # event 00:00:01 > tick
+                dt.datetime(2085, 6, 1, 12, 0),  # mid-span carry
+                b,                               # final tick
+            )).collect()}
+        assert spot == {
+            dt.datetime(1970, 1, 1, 0, 0): None,
+            dt.datetime(1970, 1, 1, 1, 0): 1.0,
+            dt.datetime(2085, 6, 1, 12, 0): 1.0,
+            b: 2.0,
+        }
+
 
 class TestZscoreOutliers:
     def test_exact_membership(self, spark):

@@ -1,5 +1,5 @@
-"""Seeded randomized differential as a regression test: six fixed
-seeds of tools/fuzz_differential.py (random dirty-but-in-domain
+"""Seeded randomized differential as a regression test: the four
+finding-bearing seeds of tools/fuzz_differential.py (random dirty-but-in-domain
 fixtures, all oracle-backed queries compared Spark-vs-DuckDB
 value-for-value, modulo the documented quantization tolerance).
 Deterministic per generator VERSION: each seed reproduces its fixture
@@ -7,7 +7,7 @@ exactly for as long as the generator code is unchanged, but the
 generator stream has evolved (r7 added the dangling-FK overshoot, r8
 the small-integer-ratio quality pool), so the pinned seeds below no
 longer regenerate the fixtures that ORIGINALLY exposed their findings.
-That is fine for what the pins are — six diverse randomized-fixture
+That is fine for what the pins are — diverse randomized-fixture
 differentials holding the whole oracle surface green — because every
 historical finding ALSO has a curated deterministic regression that
 survives generator drift: seed 30 (pareto null-rank) and seed 88
@@ -15,8 +15,8 @@ survives generator drift: seed 30 (pareto null-rank) and seed 88
 (grouping-sets global row on empty input) in test_empty_inputs.py,
 seed 224 (exact 6dp quantization tie) in test_quantize.py. Pin policy
 per VERDICT r6 item 7: every finding-bearing seed joins the pins,
-capped at ~6 to hold the suite near the 20 min budget (the ad-hoc
-campaign has run 300+ seeds clean).
+capped to hold the suite inside the 20 min budget (the ad-hoc
+campaign has run 300+ seeds clean per round).
 
 Ad-hoc exploration runs more seeds:
     PYTHONPATH=. python tools/fuzz_differential.py --seeds 1 2 3 ...
@@ -31,7 +31,7 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [1, 3, 30, 36, 88, 224])
+@pytest.mark.parametrize("seed", [30, 36, 88, 224])
 def test_randomized_differential_seed_is_clean(spark, seed):
     # seeds 30, 36 and 88 are the round-6 finding-bearers (pareto
     # null-rank ordering; grouping-sets global row on empty input;
@@ -40,7 +40,15 @@ def test_randomized_differential_seed_is_clean(spark, seed):
     # an EXACT 6dp rounding tie, 0.5051625, where Spark's BigDecimal
     # half-up and DuckDB's scaled-double round diverge — the score now
     # quantizes via IEEE floor(x*1e6+0.5), identical on both engines)
-    # — pinned so the fixes regress loudly
+    # — pinned so the fixes regress loudly.
+    # Round 8 consolidation (VERDICT r7 item 7 — profile & consolidate
+    # before adding): the two never-finding placeholder seeds 1 and 3
+    # (~80 s/run combined) are dropped; they were the same differential
+    # machinery on two more random fixtures, coverage the per-round
+    # ad-hoc campaign provides at 50x the volume (300+ seeds/round,
+    # COVERAGE.md), while every HISTORICAL finding keeps both its
+    # finding-bearing seed here and a curated generator-drift-proof
+    # regression (module docstring).
     from fuzz_differential import run_seed
 
     # workers=16: the per-query cost on a tiny fixture is Spark
