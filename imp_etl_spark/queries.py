@@ -1195,8 +1195,8 @@ ASOF LEFT JOIN clicks c
 """)
 def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks up the latest click at-or-before it
-    by the same user. Single shuffle on user_id (union+window plan — see
-    operators/temporal.py scale notes)."""
+    by the same user. Range-partitioned union + per-partition carry
+    (hot-key-immune — see operators/temporal.py scale notes)."""
     from imp_etl_spark.operators.temporal import asof_join
 
     ev = read_table(spark, sf_dir, "events")
@@ -1280,6 +1280,11 @@ _DRIVER_WINDOW_FIRST = [
     #    element array and ONE fill task; SCALING.md round 8), so its
     #    consumer re-rows:
     "resample_ffill_hourly",
+    #    asof_join moved from the per-key hash window to the range
+    #    partitioning on (key, ts, side) with a driver-chained
+    #    per-partition carry (hot-key-immune; SCALING.md round 8), so
+    #    both its consumers re-row:
+    "asof_click_before_purchase", "attribution_last_touch",
     # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
     #    verdict's explicit order), the rest alphabetical:
     "j4_merge_preview",
@@ -1291,7 +1296,11 @@ _DRIVER_WINDOW_FIRST = [
     # -- (3) r5-era fill, alphabetical (outlier_events_mad already
     #    leads as a changed entry; the last four alphabetical r5 rows
     #    — text_stats, top_event_paths, twap_user_value,
-    #    zorder_events_layout — are displaced to 51+):
+    #    zorder_events_layout — are displaced to 51+, and the round-8
+    #    asof_join change promotes its two consumers to the changed
+    #    group, displacing srp_bucket_topk and stream_incremental_view
+    #    to 51/52 as well; every displaced row already holds an r5
+    #    green, so the >= r5 recency floor survives the displacement):
     "agg_stats_moments", "ann_cosine_topk", "customer_order_gaps",
     "doc_length_quartile_bins", "dup_rate_by_source",
     "embedding_near_dup", "event_type_transitions",
@@ -1316,7 +1325,6 @@ _DRIVER_WINDOW_FIRST = [
     "zorder_events_layout",
     "agg_cube", "agg_distinct_customers", "agg_exact_median",
     "agg_grouping_sets", "agg_percentiles_disc", "agg_rollup",
-    "asof_click_before_purchase", "attribution_last_touch",
     "bpe_token_count", "chunk_documents", "date_funcs_suite",
     "dq_rule_violations", "events_dau_wau", "ewma_user_value",
     "fuzzy_part_pairs", "hof_array_suite", "j1_lookup_inner",

@@ -470,9 +470,10 @@ FROM p ASOF LEFT JOIN c
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute each purchase to the user's latest click at-or-before
     it (left semantics: unattributed purchases keep nulls). Reuses
-    temporal.asof_join — union + running-last, one shuffle on the user
-    key, no inequality join. Duplicate (user, ts) clicks resolve to the
-    max value, mirrored in the oracle's pre-dedup."""
+    temporal.asof_join — range-partitioned union + running-last with a
+    per-partition carry (hot-key-immune), no inequality join. Duplicate
+    (user, ts) clicks resolve to the max value, mirrored in the
+    oracle's pre-dedup."""
     from imp_etl_spark.operators.temporal import asof_join
 
     ev = read_table(spark, sf_dir, "events")

@@ -85,3 +85,52 @@ def test_range_join_binned_boundaries(spark):
         lower="'-10' minutes", upper="'0' seconds", bin_width_s=600,
     )
     assert sorted(r.bid for r in out.collect()) == [21, 22]
+
+
+def test_asof_partition_count_invariance_and_hot_key(spark):
+    """Round-8 range-partitioned asof (temporal.py module docstring):
+    a single hot key whose probe+build history spans MANY range
+    partitions must fill identically at num_partitions 1, 7 and 32 —
+    the per-partition carry chain is exactly equivalent to the old
+    one-task-per-key window. Mixes null-value builds (row-atomic
+    carry), a null-key probe (routed around the ranged machinery), a
+    null-ts probe (sorts before its key's builds -> no match), and a
+    same-instant burst (dedup by groupBy, max payload wins)."""
+    import random
+
+    rng = random.Random(5)
+    build_rows = [(i, 1, _ts(i), float(i) if i % 7 else None)
+                  for i in range(0, 400, 2)]
+    build_rows += [(1000 + j, 1, _ts(100), 50.0 + j) for j in range(5)]
+    build_rows += [(2000, 2, _ts(3), 9.0)]
+    build = spark.createDataFrame(
+        build_rows, "bid INT, key INT, ts TIMESTAMP_NTZ, v DOUBLE")
+    probe_rows = [(i, 1, _ts(rng.uniform(-5, 405))) for i in range(300)]
+    probe_rows += [(900, 2, _ts(2.5)), (901, 2, _ts(3)),
+                   (902, None, _ts(10)), (903, 3, _ts(10)),
+                   (904, 1, None)]
+    probe = spark.createDataFrame(
+        probe_rows, "pid INT, key INT, ts TIMESTAMP_NTZ")
+
+    def run(n):
+        out = asof_join(
+            probe, build, on="key", probe_ts="ts", build_ts="ts",
+            build_cols={"bid": "m_bid", "v": "m_v"}, num_partitions=n)
+        return sorted(
+            ((r.pid, r.m_bid, r.m_v) for r in out.collect()),
+            key=lambda t: t[0])
+
+    r1, r7, r32 = run(1), run(7), run(32)
+    assert r1 == r7 == r32
+    got = {pid: (b, v) for pid, b, v in r1}
+    assert got[900] == (None, None)      # before key 2's only build
+    assert got[901] == (2000, 9.0)       # equal-ts inclusive
+    assert got[902] == (None, None)      # null key never matches
+    assert got[903] == (None, None)      # key with no builds
+    assert got[904] == (None, None)      # null probe ts
+    # burst at ts=100: the (key, ts) dedup keeps ONLY the max payload
+    # (bid 1004) — some probe lands in [100, 102) so it must surface,
+    # and no probe may ever see a losing burst row (100, 1000..1003)
+    matched_bids = {b for _, b, _ in r1 if b is not None}
+    assert 1004 in matched_bids
+    assert matched_bids.isdisjoint({100, 1000, 1001, 1002, 1003})
