@@ -209,3 +209,35 @@ def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
                      (F.sum(F.col(value_col)).over(w) + off).cast("long"))
         .drop("__pid")
     )
+
+
+def group_rank(df: DataFrame, group_cols: Sequence[str],
+               order_cols: Sequence[str],
+               rank_col: str = "__grk", n_col: str = "__gn",
+               num_partitions: int | None = None,
+               release: list[DataFrame] | None = None) -> DataFrame:
+    """Per-group 1-based row rank over a UNIQUE (group + order) total
+    order, plus the group size — WITHOUT a per-group window. This is
+    the giant-group-safe replacement for
+    ``row_number()/percent_rank() over (partition by group)`` when the
+    group domain is small and the groups are therefore corpus-sized
+    (source, returnflag, event_type...): a global ``prefix_sum`` of 1s
+    over the (group, order) range partitioning spreads every group
+    across tasks, and per-group offsets come back as one broadcast row
+    per group (bounded by the group DOMAIN, not the data). Same
+    two-phase machinery and persist/release lifecycle as
+    ``prefix_sum``/``global_index``; the r8 mad_outliers rank-pick is
+    the count-collapsed sibling of this per-row form.
+    """
+    cum = prefix_sum(df.withColumn("__one", F.lit(1)),
+                     [*group_cols, *order_cols], "__one",
+                     out_col="__cum", num_partitions=num_partitions,
+                     release=release)
+    per_g = cum.groupBy(*group_cols).agg(
+        (F.min("__cum") - 1).alias("__off"),
+        F.count(F.lit(1)).alias(n_col))
+    return (
+        cum.join(F.broadcast(per_g), on=list(group_cols))
+        .withColumn(rank_col, F.col("__cum") - F.col("__off"))
+        .drop("__cum", "__off", "__one")
+    )

@@ -1285,6 +1285,12 @@ _DRIVER_WINDOW_FIRST = [
     #    per-partition carry (hot-key-immune; SCALING.md round 8), so
     #    both its consumers re-row:
     "asof_click_before_purchase", "attribution_last_touch",
+    #    the giant-group rank class (returnflag/source-keyed
+    #    row_number/percent_rank windows over corpus-sized groups)
+    #    moved to count-collapse / group_rank prefix sums
+    #    (SCALING.md round 8), so its three consumers re-row:
+    "agg_percentiles_disc", "quality_percentile_filter",
+    "corpus_curation_funnel",
     # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
     #    verdict's explicit order), the rest alphabetical:
     "j4_merge_preview",
@@ -1324,7 +1330,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_stats", "top_event_paths", "twap_user_value",
     "zorder_events_layout",
     "agg_cube", "agg_distinct_customers", "agg_exact_median",
-    "agg_grouping_sets", "agg_percentiles_disc", "agg_rollup",
+    "agg_grouping_sets", "agg_rollup",
     "bpe_token_count", "chunk_documents", "date_funcs_suite",
     "dq_rule_violations", "events_dau_wau", "ewma_user_value",
     "fuzzy_part_pairs", "hof_array_suite", "j1_lookup_inner",
@@ -1341,7 +1347,7 @@ _DRIVER_WINDOW_FIRST = [
     "win_rank_dense", "win_running_sum",
     "a2_processed_skipped", "agg_approx_stats", "basket_part_pairs_lift",
     "bpe_pair_counts", "cap_docs_per_source", "cohort_retention_daily",
-    "contamination_overlap", "corpus_curation_funnel",
+    "contamination_overlap",
     "cross_corpus_survivors", "dedup_cluster_assign",
     "dedup_exact_content", "dedup_exact_group", "dedup_latest_per_key",
     "dedup_pipeline_survivors", "doc_quality", "events_rollup_hour_day",
@@ -1354,7 +1360,7 @@ _DRIVER_WINDOW_FIRST = [
     "q19_disjunctive_bands", "q1_pricing_summary",
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q9_product_profit", "quality_percentile_filter",
+    "q9_product_profit",
     "s1_workqueue_count", "setops_suite", "split_hash_counts",
     "stream_dedup_events", "stream_interval_join", "t_cleanse_suite",
     "topk_orders", "win_topn_per_group", "word_counts_top50",

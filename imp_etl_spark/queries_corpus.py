@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from imp_etl_spark.functions.hashing import shingles
 from imp_etl_spark.functions.text import lang_id, quality_score, tokens
+from imp_etl_spark.operators.window import group_rank
 from imp_etl_spark.registry import register
 from imp_etl_spark.queries_sqlfrag import DUCK_TOKS as _DUCK_TOKS
 from imp_etl_spark.queries_sqlfrag import lang_sql as _lang_sql
@@ -273,20 +274,25 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     — source-relative filtering, the standard guard against one noisy
     source dominating a global threshold.
 
-    Scale shape: the score is row-local builtins; the window shuffles
-    once on the bounded `source` key. Skew caveat: a single giant
-    source serializes its partition through one task — the production
-    variant two-passes it (per-source exact count + rank via
-    distributed prefix sums, operators/window.py) once a source exceeds
-    ~10M docs; percent_rank over (quality, doc_id) keeps membership
-    deterministic either way.
+    Scale shape (r8 — the skew caveat this docstring used to carry is
+    retired): per-row ranks come from operators/window.group_rank — a
+    distributed prefix sum over the (source, quality, doc_id) range
+    order with one broadcast offset row per source — so a single giant
+    source spreads across tasks instead of serializing through one.
+    percent_rank = (rank-1)/(n-1), pinned 0.0 for single-doc sources
+    (the SQL definition), keeps membership deterministic.
     """
     docs = read_table(spark, sf_dir, "documents")
     q = docs.select("doc_id", "source",
                     quality_score("text").alias("quality"))
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    r = group_rank(q, ["source"], ["quality", "doc_id"],
+                   rank_col="__rk", n_col="__n")
+    # percent_rank = (rank-1)/(n-1), defined 0.0 for single-row groups
+    pctile = F.when(F.col("__n") > 1,
+                    (F.col("__rk") - 1) / (F.col("__n") - 1)
+                    ).otherwise(F.lit(0.0))
     return (
-        q.withColumn("pctile", F.percent_rank().over(w))
+        r.withColumn("pctile", pctile)
         .where(F.col("pctile") >= 0.5)
         .select("doc_id", "source", "quality", "pctile")
     )
@@ -439,9 +445,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text",
         F.size(tokens(F.col("text"))).alias("ntok"),
         quality_score("text").alias("q")).persist()
-    wq = Window.partitionBy("source").orderBy("q", "doc_id")
-    s1 = (base.withColumn("pr", F.percent_rank().over(wq))
-          .where(F.col("pr") >= 0.5))
+    # stage-1 quality gate: distributed per-source rank (group_rank —
+    # giant-source-safe, r8) instead of a per-source percent_rank
+    # window; percent_rank is 0.0 for a single-doc source by definition
+    r1 = group_rank(base, ["source"], ["q", "doc_id"],
+                    rank_col="__rk", n_col="__n")
+    s1 = (r1.where((F.col("__n") > 1)
+                   & ((F.col("__rk") - 1) / (F.col("__n") - 1) >= 0.5))
+          .drop("__rk", "__n"))
     wd = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
     s2 = s1.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
     wc = Window.partitionBy("source").orderBy(

@@ -679,26 +679,40 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-indexed rank ceil(p*n) in sort order. Returning an ACTUAL element
     makes the result deterministic with no interpolation-rule risk —
     duplicates in the order don't matter because the value at a fixed
-    rank is unique even when the tie ORDER isn't. Single shuffle on the
-    group key; the per-group sort is spillable and never global.
-    Value-less rows are no percentile candidates (a NULL would occupy
-    an engine-dependent rank position)."""
+    rank is unique even when the tie ORDER isn't. Value-less rows are
+    no percentile candidates (a NULL would occupy an engine-dependent
+    rank position).
+
+    Giant-group-safe shape (r8, the mad_outliers rank-pick applied to
+    multi-target percentiles): l_returnflag has a THREE-value domain,
+    so the old ``row_number() over (partition by l_returnflag)`` sorted
+    a third of lineitem in each of three tasks. Collapse to
+    (group, value) -> count (map-side combine — prices are
+    cents-quantized so the collapsed domain is small), distributed
+    prefix_sum over (group, value) order, then each target rank
+    ceil(p*n) falls in exactly ONE (group, value) row's cumulative
+    span. Two tiny plan-build collects (EAGER_BUILD in bench)."""
+    from imp_etl_spark.operators.window import prefix_sum
+
     li = read_table(spark, sf_dir, "lineitem").where(
         F.col("l_extendedprice").isNotNull())
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wn = Window.partitionBy("l_returnflag")
-    ranked = (
-        li.select("l_returnflag", "l_extendedprice")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-    )
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("__c"))
+    cum = prefix_sum(counts, ["l_returnflag", "l_extendedprice"], "__c",
+                     out_col="__cum")
+    per_g = cum.groupBy("l_returnflag").agg(
+        F.min(F.col("__cum") - F.col("__c")).alias("__off"),
+        F.sum("__c").alias("n"))
+    j = cum.join(F.broadcast(per_g), on="l_returnflag")
+    within = F.col("__cum") - F.col("__off")
 
     def pick(p: float, name: str):
+        target = F.ceil(F.col("n") * F.lit(p))
         return F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+            F.when((within >= target) & (within - F.col("__c") < target),
                    F.col("l_extendedprice"))).alias(name)
 
-    return ranked.groupBy("l_returnflag").agg(
+    return j.groupBy("l_returnflag").agg(
         F.max("n").alias("n"),
         pick(0.25, "p25"), pick(0.5, "p50"),
         pick(0.75, "p75"), pick(0.95, "p95"),
