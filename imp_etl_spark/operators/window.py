@@ -236,8 +236,19 @@ def group_rank(df: DataFrame, group_cols: Sequence[str],
     per_g = cum.groupBy(*group_cols).agg(
         (F.min("__cum") - 1).alias("__off"),
         F.count(F.lit(1)).alias(n_col))
+    # NULL-SAFE group join: partitionBy/GROUP BY treat NULL as a real
+    # group, so the offset lookup must too — a plain equi join would
+    # silently drop every null-keyed group's rows (caught by fuzz seed
+    # 501 before this ever shipped a round)
+    per_g = per_g.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__off", n_col)
+    cond = None
+    for g in group_cols:
+        c = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
     return (
-        cum.join(F.broadcast(per_g), on=list(group_cols))
+        cum.join(F.broadcast(per_g), on=cond)
         .withColumn(rank_col, F.col("__cum") - F.col("__off"))
-        .drop("__cum", "__off", "__one")
+        .drop("__cum", "__off", "__one",
+              *[f"__g_{g}" for g in group_cols])
     )

@@ -703,7 +703,11 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_g = cum.groupBy("l_returnflag").agg(
         F.min(F.col("__cum") - F.col("__c")).alias("__off"),
         F.sum("__c").alias("n"))
-    j = cum.join(F.broadcast(per_g), on="l_returnflag")
+    # null-safe: GROUP BY keeps a NULL returnflag group; a plain equi
+    # join would drop it (fuzz seed 501)
+    j = cum.join(
+        F.broadcast(per_g.withColumnRenamed("l_returnflag", "__g")),
+        on=F.col("l_returnflag").eqNullSafe(F.col("__g"))).drop("__g")
     within = F.col("__cum") - F.col("__off")
 
     def pick(p: float, name: str):

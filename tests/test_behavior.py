@@ -403,3 +403,32 @@ class TestPrefixSum:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestGroupRank:
+    def test_matches_window_rank_including_null_group(self, spark):
+        """Fuzz seed 501 (round 8): group_rank's per-group offset join
+        must be NULL-SAFE — partitionBy/GROUP BY treat NULL as a real
+        group, and a plain equi join silently dropped every null-keyed
+        group's rows (quality_percentile_filter lost the whole
+        null-source tier; agg_percentiles_disc lost a returnflag
+        group). Curated deterministic form so the class survives fuzz
+        generator drift."""
+        from pyspark.sql import Window
+
+        from imp_etl_spark.operators.window import group_rank
+
+        rows = [(g, i * 7 % 13, i) for g in ["a", "b", None, ""]
+                for i in range(23)]
+        df = spark.createDataFrame(rows, "g STRING, v INT, id INT")
+        got = {(r["g"], r["id"]): (r["__grk"], r["__gn"])
+               for r in group_rank(df, ["g"], ["v", "id"],
+                                   num_partitions=7).collect()}
+        w = Window.partitionBy("g").orderBy("v", "id")
+        wn = Window.partitionBy("g")
+        want = {(r["g"], r["id"]): (r["rk"], r["n"])
+                for r in df.withColumn("rk", F.row_number().over(w))
+                           .withColumn("n", F.count(F.lit(1)).over(wn))
+                           .collect()}
+        assert got == want
+        assert (None, 0) in got  # the null group is present and ranked

@@ -13,7 +13,10 @@ historical finding ALSO has a curated deterministic regression that
 survives generator drift: seed 30 (pareto null-rank) and seed 88
 (zero-total cumulative share) in test_adversarial_tpch.py, seed 36
 (grouping-sets global row on empty input) in test_empty_inputs.py,
-seed 224 (exact 6dp quantization tie) in test_quantize.py. Pin policy
+seed 224 (exact 6dp quantization tie) in test_quantize.py, seed 501
+(null-keyed group dropped by group_rank's offset equi-join, round 8 —
+caught the SAME DAY the operator landed, before any driver round) in
+test_behavior.py::TestGroupRank. Pin policy
 per VERDICT r6 item 7: every finding-bearing seed joins the pins,
 capped to hold the suite inside the 20 min budget (the ad-hoc
 campaign has run 300+ seeds clean per round).
@@ -31,7 +34,7 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [30, 36, 88, 224])
+@pytest.mark.parametrize("seed", [30, 36, 88, 224, 501])
 def test_randomized_differential_seed_is_clean(spark, seed):
     # seeds 30, 36 and 88 are the round-6 finding-bearers (pareto
     # null-rank ordering; grouping-sets global row on empty input;
