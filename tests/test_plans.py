@@ -260,11 +260,16 @@ def test_histogram_window_runs_on_result_not_input(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_percentiles_one_shuffle_shared_sort(spark):
+def test_percentiles_rank_pick_is_range_partitioned(spark):
     plan = _executed(_run("agg_percentiles_disc", spark))
-    assert plan.count("Exchange hashpartitioning") == 1
-    # both windows reuse one per-group sort
-    assert plan.count("Sort [l_returnflag") == 1
+    # r8 giant-group-safe shape: count-collapse + prefix_sum — the rank
+    # scan runs over a RANGE partitioning on (group, value), never a
+    # per-group window sort (l_returnflag's domain is 3, so the old
+    # shape sorted a third of lineitem per task)
+    assert "rangepartitioning" in plan.lower()
+    assert "percent_rank" not in plan.lower()
+    assert plan.count("Window") <= 1  # only prefix_sum's __pid cumsum
+    assert "BroadcastHashJoin" in plan  # per-group offsets broadcast back
 
 
 def test_passage_dedup_partial_window_group_limit(spark):
