@@ -211,6 +211,114 @@ def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
     )
 
 
+def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
+            lags: dict[str, str] | None = None,
+            leads: dict[str, str] | None = None,
+            k: int = 1,
+            num_partitions: int | None = None,
+            release: list[DataFrame] | None = None) -> DataFrame:
+    """Hot-key-immune ``lag(col, k)`` / ``lead(col, k)`` ``OVER
+    (PARTITION BY keys ORDER BY order_cols)`` — the fourth machinery of
+    the per-key sequential-window family (SCALING.md watch table):
+    count-collapse/prefix_sum covers rank picks, chunked grids cover
+    fills, range+carry covers as-of matches, and this covers the lag
+    class (twap / event paths / transitions / SCD2 / order gaps), where
+    a 10^8-event bot key would otherwise serialize its entire history
+    through one ``partitionBy(key)`` window task.
+
+    Shape: range-partition on ``(*keys, *order_cols)`` — a hot key's
+    rows split across consecutive range partitions — then a plain
+    per-``(partition, key)`` window computes every lag/lead in
+    parallel. Only the k rows at each partition edge need a neighbor,
+    so the fix is an exchange of ``n_partitions x k`` boundary rows,
+    not a rebuild: per-partition head/tail candidates come back in ONE
+    tiny collect, the driver chains them across empty/short partitions
+    (the carry into partition p is the global last-k [first-k] rows of
+    the prefix [suffix], which — because keys are contiguous under the
+    range order — always contains exactly the ``min(k, available)``
+    trailing [leading] rows of the one key that spans the boundary),
+    and they re-enter as edge-tagged union rows that are dropped after
+    the window pass.
+
+    Contract: ``(*keys, *order_cols)`` must be a UNIQUE total order
+    (same as ``prefix_sum``) — uniqueness is what makes edge rows sort
+    strictly outside their neighbor partition's range. NULL keys form a
+    real group (matching ``PARTITION BY``); NULL order values sort
+    first in both the range partitioner and the window, so the global
+    order is consistent. ``lags``/``leads`` map source column -> output
+    name, all at offset ``k``. Results are invariant to
+    ``num_partitions`` (pinned by tests). ``release`` receives the
+    persisted ranged frame for explicit ``unpersist()`` (same lifecycle
+    as ``global_index``).
+    """
+    from collections import deque
+
+    from pyspark.sql import types as T
+    from pyspark.storagelevel import StorageLevel
+
+    lags = dict(lags or {})
+    leads = dict(leads or {})
+    assert lags or leads, "need at least one of lags/leads"
+    srcs = sorted(set(lags) | set(leads))
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    order = [F.col(c).asc() for c in [*keys, *order_cols]]
+
+    d = (df.repartitionByRange(n, *order)
+         .withColumn("__pid", F.spark_partition_id())
+         .withColumn("__edge", F.lit(0)))
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    if release is not None:
+        release.append(d)
+
+    payload = F.struct(*[F.col(c) for c in [*keys, *order_cols, *srcs]])
+    w_head = Window.partitionBy("__pid").orderBy(*order)
+    w_tail = Window.partitionBy("__pid").orderBy(
+        *[F.col(c).desc() for c in [*keys, *order_cols]])
+    cand = (d.select(F.col("__pid"), payload.alias("__row"),
+                     F.row_number().over(w_head).alias("__h"),
+                     F.row_number().over(w_tail).alias("__t"))
+            .where((F.col("__h") <= k) | (F.col("__t") <= k))
+            .collect())
+    heads: dict[int, list] = {}
+    tails: dict[int, list] = {}
+    for r in sorted(cand, key=lambda r: (r["__pid"], r["__h"])):
+        if leads and r["__h"] <= k:
+            heads.setdefault(r["__pid"], []).append(r["__row"])
+        if lags and r["__t"] <= k:
+            tails.setdefault(r["__pid"], []).append(r["__row"])
+
+    carry: list[tuple] = []
+    if lags:
+        dq: deque = deque(maxlen=k)  # global last-k of the prefix, asc
+        for pid in sorted(tails):
+            carry.extend((pid, row) for row in dq)
+            dq.extend(tails[pid])
+    if leads:
+        first_k: list = []  # global first-k of the suffix, asc
+        for pid in sorted(heads, reverse=True):
+            carry.extend((pid, row) for row in first_k)
+            first_k = (heads[pid] + first_k)[:k]
+    row_type = d.select(payload.alias("__row")).schema["__row"].dataType
+    carry_df = spark.createDataFrame(
+        carry,
+        T.StructType([
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__row", row_type, True),
+        ]),
+    ).select("__pid", F.lit(1).alias("__edge"), "__row.*")
+
+    u = d.unionByName(carry_df, allowMissingColumns=True)
+    w = Window.partitionBy("__pid", *keys).orderBy(*[F.col(c).asc()
+                                                     for c in order_cols])
+    outs = ([F.lag(src, k).over(w).alias(dst) for src, dst in lags.items()]
+            + [F.lead(src, k).over(w).alias(dst)
+               for src, dst in leads.items()])
+    return (u.select("*", *outs)
+            .where(F.col("__edge") == 0)
+            .drop("__pid", "__edge"))
+
+
 def group_rank(df: DataFrame, group_cols: Sequence[str],
                order_cols: Sequence[str],
                rank_col: str = "__grk", n_col: str = "__gn",

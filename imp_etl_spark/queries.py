@@ -1291,6 +1291,13 @@ _DRIVER_WINDOW_FIRST = [
     #    (SCALING.md round 8), so its three consumers re-row:
     "agg_percentiles_disc", "quality_percentile_filter",
     "corpus_curation_funnel",
+    #    the lag class gained its machinery late in round 8 (seq_lag:
+    #    range partitioning + k-boundary-row exchange with
+    #    driver-chained carry, operators/window.py); its first rewired
+    #    consumer re-rows (it was already inside this window at the
+    #    r5-fill position, so the 50-entry window SET is unchanged —
+    #    the entry only moves up to the changed group):
+    "event_type_transitions",
     # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
     #    verdict's explicit order), the rest alphabetical:
     "j4_merge_preview",
@@ -1309,7 +1316,7 @@ _DRIVER_WINDOW_FIRST = [
     #    green, so the >= r5 recency floor survives the displacement):
     "agg_stats_moments", "ann_cosine_topk", "customer_order_gaps",
     "doc_length_quartile_bins", "dup_rate_by_source",
-    "embedding_near_dup", "event_type_transitions",
+    "embedding_near_dup",
     "events_inactivity_churn", "events_session_10m",
     "events_sliding_1h_30m", "events_tumbling_1h",
     "events_value_histogram", "events_wow_growth",

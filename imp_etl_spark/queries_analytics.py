@@ -1366,17 +1366,25 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence: counts and per-source-state probabilities — the
     compact companion to top_event_paths' full path mining.
 
-    Scale shape: one user-keyed exchange for the lag window, then the
-    transition counts partial-combine into a |types|^2-group exchange;
-    the probability normalizer is a window over <=|types|^2 rows.
-    sum(cnt) is exact integer, so prob is one IEEE division.
-    Temporal contract: untimed or untyped events are no transition.
+    Scale shape (round 8): the per-user lag runs on the hot-key-immune
+    ``seq_lag`` machinery (operators/window.py — range partitioning on
+    (user, ts, event_id) + 1-boundary-row exchange with driver-chained
+    carry) instead of a ``partitionBy(user_id)`` window, so a single
+    bot user's 10^8-event history never serializes through one sort
+    task; then the transition counts partial-combine into a
+    |types|^2-group exchange and the probability normalizer is a
+    window over <=|types|^2 rows. sum(cnt) is exact integer, so prob
+    is one IEEE division. Temporal contract: untimed or untyped
+    events are no transition. (user_id, ts, event_id) is a unique
+    total order because event_id is unique.
     """
+    from imp_etl_spark.operators.window import seq_lag
+
     ev = read_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    c = ev.select("user_id", "event_type",
-                  F.lag("event_type").over(w).alias("prev"))
+    c = seq_lag(ev.select("user_id", "ts", "event_id", "event_type"),
+                ["user_id"], ["ts", "event_id"],
+                lags={"event_type": "prev"})
     t = (c.where(F.col("prev").isNotNull())
          .groupBy("prev", F.col("event_type").alias("next"))
          .agg(F.count(F.lit(1)).alias("cnt")))

@@ -134,3 +134,48 @@ def test_asof_partition_count_invariance_and_hot_key(spark):
     matched_bids = {b for _, b, _ in r1 if b is not None}
     assert 1004 in matched_bids
     assert matched_bids.isdisjoint({100, 1000, 1001, 1002, 1003})
+
+
+def test_seq_lag_partition_invariance_and_hot_key(spark):
+    """Round-8 lag-class machinery (operators/window.py seq_lag —
+    range partitioning on (key, order) + k-boundary-row exchange with
+    driver-chained carry): a hot key holding most of the frame spans
+    MANY range partitions, and every lag/lead must equal the plain
+    ``partitionBy(key)`` window form at num_partitions 1, 7 and 32 —
+    including NULL-keyed rows (a real group per PARTITION BY), keys
+    whose whole history fits inside one partition, keys with fewer
+    than k prior rows at a boundary (carry chains across short and
+    empty partitions), and k=2 (two boundary rows per edge)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from imp_etl_spark.operators.window import seq_lag
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice([None, "hot", "hot", "hot", "hot", "u1", "u2", "u3"]),
+         rng.randint(0, 10**6), eid, rng.choice("abcde"),
+         float(rng.randint(0, 100)))
+        for eid in range(1500)
+    ]
+    rows.append(("lone", 5, 9001, "z", 1.0))  # single-row key
+    df = spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, et STRING, v DOUBLE")
+
+    w = Window.partitionBy("user").orderBy("ts", "eid")
+    exp = sorted(
+        (tuple(r) for r in df.select(
+            "*", F.lag("et", 2).over(w).alias("p_et"),
+            F.lag("v", 2).over(w).alias("p_v"),
+            F.lead("et", 2).over(w).alias("n_et")).collect()),
+        key=lambda t: t[2])
+    for n in (1, 7, 32):
+        got = sorted(
+            (tuple(r) for r in seq_lag(
+                df, ["user"], ["ts", "eid"],
+                lags={"et": "p_et", "v": "p_v"}, leads={"et": "n_et"},
+                k=2, num_partitions=n).collect()),
+            key=lambda t: t[2])
+        assert got == exp, f"n={n}: first diff " + str(
+            next((a, b) for a, b in zip(got, exp) if a != b))

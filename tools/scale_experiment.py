@@ -412,6 +412,82 @@ def main_madskew25x() -> None:
     shutil.rmtree(big, ignore_errors=True)
 
 
+def main_lagskew25x() -> None:
+    """The r8 skew point for the lag class (SCALING.md watch table):
+    ``event_type_transitions`` ran ``lag() over (partition by
+    user_id)`` — fine on the fixture's uniform users, but a single
+    bot user holding ~97% of a 25x corpus funnels its entire ordered
+    history through one window task. Round 8 rewired the query onto
+    ``seq_lag`` (operators/window.py: range partitioning on
+    (user, ts, event_id) + 1-boundary-row exchange, driver-chained
+    carry). Rows isolate skew cost from scale cost for BOTH shapes:
+
+    - 1x / 25x uniform: fixture user mix (scale cost);
+    - 25x skewed: copies 1..24 remapped to one user id (~97% of rows
+      on one key; the old shape's single sort task vs seq_lag's
+      range-spread — the ratio between the shapes on THIS row is the
+      machinery's whole justification)."""
+    from pyspark.sql import Window
+
+    from imp_etl_spark.queries import REGISTRY
+
+    spark = get_spark("scale-experiment-lagskew25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_lagskew_")
+    base = read_table(spark, SF_DIR, "events")
+    for flavor, skew in (("uniform", False), ("skewed", True)):
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if skew:
+                shifted = shifted.withColumn("user_id", F.lit(424242))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(
+            f"{big}/{flavor}/events.parquet")
+
+    def old_shape(spark, sf_dir):
+        # the pre-r8 per-user window form, verbatim
+        ev = read_table(spark, sf_dir, "events").where(
+            F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        c = ev.select("user_id", "event_type",
+                      F.lag("event_type").over(w).alias("prev"))
+        t = (c.where(F.col("prev").isNotNull())
+             .groupBy("prev", F.col("event_type").alias("next"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+        wn = Window.partitionBy("prev")
+        return t.select(
+            "prev", "next", "cnt",
+            (F.col("cnt").cast("double") / F.sum("cnt").over(wn)
+             ).alias("prob"))
+
+    new_fn, _ = REGISTRY["event_type_transitions"]
+    new_fn(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()  # warm codegen
+    n1 = base.count()
+    sk = read_table(spark, f"{big}/skewed", "events")
+    nbig = sk.count()
+    dom = sk.filter(F.col("user_id") == 424242).count()
+    print(f"events rows: {n1:,} -> {nbig:,} ({nbig / n1:.0f}x); "
+          f"hot user holds {dom / nbig:.1%} of skewed rows")
+    print("| event_type_transitions | window shape (s) | seq_lag "
+          "shape (s) | seq_lag vs window |")
+    print("|---|---|---|---|")
+    for label, d in (("1x uniform", SF_DIR),
+                     (f"{copies}x uniform", f"{big}/uniform"),
+                     (f"{copies}x skewed (~97% one user)",
+                      f"{big}/skewed")):
+        so = time_query(old_shape, spark, d)
+        sn = time_query(new_fn, spark, d)
+        print(f"| {label} | {so:.2f} | {sn:.2f} | {sn / so:.2f} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
 def main() -> None:
     from imp_etl_spark.queries import REGISTRY
 
@@ -456,7 +532,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if os.environ.get("SCALE_MADSKEW25"):
+    if os.environ.get("SCALE_LAGSKEW25"):
+        main_lagskew25x()
+    elif os.environ.get("SCALE_MADSKEW25"):
         main_madskew25x()
     elif os.environ.get("SCALE_PREFIX25"):
         main_prefix25x()
