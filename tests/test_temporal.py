@@ -179,3 +179,21 @@ def test_seq_lag_partition_invariance_and_hot_key(spark):
             key=lambda t: t[2])
         assert got == exp, f"n={n}: first diff " + str(
             next((a, b) for a, b in zip(got, exp) if a != b))
+
+    # short-partition chain: 11 rows at num_partitions 32 forces every
+    # range partition to hold FEWER than k=3 rows, so each carry must
+    # chain through multiple short/empty partitions (and a null key
+    # rides along as its own group)
+    tiny = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(7)]
+        + [(None, i, float(100 + i)) for i in range(4)],
+        "user STRING, ts LONG, v DOUBLE")
+    wt = Window.partitionBy("user").orderBy("ts")
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    texp = sorted((tuple(r) for r in tiny.select(
+        "*", F.lag("v", 3).over(wt).alias("p"),
+        F.lead("v", 3).over(wt).alias("nx")).collect()), key=key)
+    tgot = sorted((tuple(r) for r in seq_lag(
+        tiny, ["user"], ["ts"], lags={"v": "p"}, leads={"v": "nx"},
+        k=3, num_partitions=32).collect()), key=key)
+    assert tgot == texp
