@@ -114,7 +114,8 @@ def _ts(rng: random.Random):
     return base + datetime.timedelta(seconds=rng.randint(0, 120 * 86400))
 
 
-def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
+def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
+                hot: bool = False) -> None:
     # scale > 1 ("big seeds"): every LIMIT/OFFSET/cap boundary in the
     # registry is dead code at the default cardinalities — the paginated
     # scan pages at offset=100/limit=200 over <=80 orders, the top-100 /
@@ -164,6 +165,40 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
             return rng.choice(ts_pool)
         return _ts(rng)
 
+    # HOT-KEY MODE (round 8, --hotkey; seed namespace 3001+): the r8
+    # skew rewrites (seq_lag / asof range+carry / chunked resample /
+    # rank prefix sums) changed the physical shape of every per-key
+    # sequential operator, but the standard generator draws user_id /
+    # custkey nearly uniformly, so no fuzz fixture ever concentrated a
+    # key the way the machinery exists for. Under hot=True one user
+    # holds ~70% of events (and one customer ~70% of orders) with a
+    # 10% null-user mass riding along — combined with the tie pools
+    # this piles same-instant bursts onto ONE key's ordered history,
+    # exactly the boundary-carry paths the rewrites added. Flag-gated
+    # so existing seed streams stay byte-reproducible.
+    # hot-only draws are GUARDED so the hot=False rng-call sequence is
+    # byte-identical to the pre-hotkey generator: standard seeds keep
+    # regenerating their exact fixtures (the r8 advice flagged
+    # unguarded stream drift on the dangling-FK change; not repeating
+    # that)
+    hot_user = rng.randint(1, 29) if hot else None
+    hot_cust = rng.randint(1, max(n_cust, 1)) if hot else None
+
+    def _uid(rng):
+        if not hot:
+            return rng.choice([None] + list(range(1, 30)))
+        r = rng.random()
+        if r < 0.70:
+            return hot_user
+        if r < 0.80:
+            return None
+        return rng.randint(1, 29)
+
+    def _ck(rng):
+        if hot and rng.random() < 0.70:
+            return hot_cust
+        return rng.randint(1, max(n_cust, 1) + 2)
+
     # fact-side FK draws overshoot the dim key range by 2: the fixture
     # class "dangling reference" (order -> missing customer, lineitem ->
     # missing part/supplier) otherwise occurs ONLY on empty-dim seeds,
@@ -174,7 +209,7 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
     for i in range(n_ord):
         ok = i + 1
         odate = _pts(rng)
-        orders.append((ok, rng.randint(1, max(n_cust, 1) + 2),
+        orders.append((ok, _ck(rng),
                        rng.choice(["O", "F", "P", "", None]), _pval(rng),
                        odate, rng.choice(["1-URGENT", "5-LOW", "", None])))
         for ln in range(1, rng.randint(1, 4)):
@@ -224,7 +259,7 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1) -> None:
     # exponents, duplicate keys and single quotes extract DIFFERENTLY
     # by engine design (typed Jackson vs coercing TRY_CAST) — pinned in
     # test_adversarial_events, not fixture material.
-    events = [(i + 1, _pts(rng), rng.choice([None] + list(range(1, 30))),
+    events = [(i + 1, _pts(rng), _uid(rng),
                rng.choice(ETYPES), _pval(rng),
                rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}", "[]",
                            "garbage", "", None,
@@ -281,7 +316,7 @@ def _rows_match(sn, dn) -> list:
 
 
 def run_seed(spark, seed: int, workers: int = 8,
-             scale: int = 1) -> list[tuple]:
+             scale: int = 1, hot: bool = False) -> list[tuple]:
     import duckdb
 
     from imp_etl_spark.queries import REGISTRY
@@ -289,7 +324,7 @@ def run_seed(spark, seed: int, workers: int = 8,
     rng = random.Random(seed)
     d = tempfile.mkdtemp(prefix=f"sf_fuzz_{seed}_")
     try:
-        gen_fixture(spark, rng, d, scale=scale)
+        gen_fixture(spark, rng, d, scale=scale, hot=hot)
         con = duckdb.connect()
         for t in schemas.FIXTURE_TABLES:
             con.execute(
@@ -347,13 +382,17 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=1,
                     help="cardinality multiplier: >1 engages the "
                          "LIMIT/OFFSET/cap boundaries (big seeds)")
+    ap.add_argument("--hotkey", action="store_true",
+                    help="concentrate ~70%% of events on one user and "
+                         "~70%% of orders on one customer (skew class "
+                         "for the r8 range+carry machineries)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
     failed = False
     for seed in args.seeds:
         bad = run_seed(spark, seed, workers=args.workers,
-                       scale=args.scale)
+                       scale=args.scale, hot=args.hotkey)
         print(f"seed {seed}: {'CLEAN' if not bad else f'{len(bad)} findings'}")
         for b in bad:
             print("  " + " | ".join(str(x) for x in b))
