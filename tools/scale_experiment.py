@@ -75,7 +75,10 @@ def build_5x(spark, out_dir: str) -> None:
 
 EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
                "doc_length_quartile_bins", "outlier_events_mad",
-               "rfm_customer_segments"}  # same rule as bench.py
+               "rfm_customer_segments",
+               # r8-late: seq_lag's range exchange + persist + boundary
+               # collect run at build time
+               "event_type_transitions"}  # same rule as bench.py
 
 
 def time_query(fn, spark, sf_dir: str, name: str = "",
@@ -482,8 +485,12 @@ def main_lagskew25x() -> None:
                      (f"{copies}x uniform", f"{big}/uniform"),
                      (f"{copies}x skewed (~97% one user)",
                       f"{big}/skewed")):
-        so = time_query(old_shape, spark, d)
-        sn = time_query(new_fn, spark, d)
+        # eager=True for BOTH shapes: seq_lag runs its range exchange +
+        # persist + boundary-candidate collect at BUILD time (same rule
+        # as the EAGER_BUILD queries), so lazy timing would silently
+        # exclude most of its cost and flatter the new shape
+        so = time_query(old_shape, spark, d, eager=True)
+        sn = time_query(new_fn, spark, d, eager=True)
         print(f"| {label} | {so:.2f} | {sn:.2f} | {sn / so:.2f} |")
     shutil.rmtree(big, ignore_errors=True)
 
