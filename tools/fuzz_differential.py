@@ -199,6 +199,15 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
             return hot_cust
         return rng.randint(1, max(n_cust, 1) + 2)
 
+    def _src(rng):
+        # hot documents source: one source holding ~70% of docs is the
+        # giant-group shape the r8 rank rewrites (group_rank /
+        # percentile prefix sums) and the cap/shard WindowGroupLimit
+        # tier exist for
+        if hot and rng.random() < 0.70:
+            return "web"
+        return rng.choice(SOURCES)
+
     # fact-side FK draws overshoot the dim key range by 2: the fixture
     # class "dangling reference" (order -> missing customer, lineitem ->
     # missing part/supplier) otherwise occurs ONLY on empty-dim seeds,
@@ -240,7 +249,7 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
         else:
             text = _text(rng)
         documents.append((i + 1, text, rng.choice(LANGS),
-                          rng.choice(SOURCES), rng.randint(0, 10000)))
+                          _src(rng), rng.randint(0, 10000)))
     embeddings = []
     for i in range(n_emb):
         r = rng.random()
@@ -383,9 +392,10 @@ def main() -> int:
                     help="cardinality multiplier: >1 engages the "
                          "LIMIT/OFFSET/cap boundaries (big seeds)")
     ap.add_argument("--hotkey", action="store_true",
-                    help="concentrate ~70%% of events on one user and "
-                         "~70%% of orders on one customer (skew class "
-                         "for the r8 range+carry machineries)")
+                    help="concentrate ~70%% of events on one user, ~70%% "
+                         "of orders on one customer, and ~70%% of docs "
+                         "on one source (skew class for the r8 "
+                         "range+carry and rank-prefix machineries)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
