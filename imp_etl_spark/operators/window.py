@@ -272,20 +272,24 @@ def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
         release.append(d)
 
     payload = F.struct(*[F.col(c) for c in [*keys, *order_cols, *srcs]])
+    # one ascending rank + a whole-partition count: the count's
+    # unordered frame reuses the rank's (pid, order) sort, so the
+    # candidate pass costs ONE per-partition sort, not two (a
+    # descending row_number for the tail rank would re-sort every
+    # partition the other way); tail rank = __n - __h + 1
     w_head = Window.partitionBy("__pid").orderBy(*order)
-    w_tail = Window.partitionBy("__pid").orderBy(
-        *[F.col(c).desc() for c in [*keys, *order_cols]])
+    w_cnt = Window.partitionBy("__pid")
     cand = (d.select(F.col("__pid"), payload.alias("__row"),
                      F.row_number().over(w_head).alias("__h"),
-                     F.row_number().over(w_tail).alias("__t"))
-            .where((F.col("__h") <= k) | (F.col("__t") <= k))
+                     F.count(F.lit(1)).over(w_cnt).alias("__n"))
+            .where((F.col("__h") <= k) | (F.col("__h") > F.col("__n") - k))
             .collect())
     heads: dict[int, list] = {}
     tails: dict[int, list] = {}
     for r in sorted(cand, key=lambda r: (r["__pid"], r["__h"])):
         if leads and r["__h"] <= k:
             heads.setdefault(r["__pid"], []).append(r["__row"])
-        if lags and r["__t"] <= k:
+        if lags and r["__h"] > r["__n"] - k:
             tails.setdefault(r["__pid"], []).append(r["__row"])
 
     carry: list[tuple] = []
