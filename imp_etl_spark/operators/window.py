@@ -211,9 +211,13 @@ def prefix_sum(df: DataFrame, order_cols: Sequence[str], value_col: str,
     )
 
 
+LagSpec = (dict[str, "str | tuple[str, int]"]
+           | Sequence[tuple[str, str, int]] | None)
+
+
 def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
-            lags: dict[str, str] | None = None,
-            leads: dict[str, str] | None = None,
+            lags: LagSpec = None,
+            leads: LagSpec = None,
             k: int = 1,
             num_partitions: int | None = None,
             release: list[DataFrame] | None = None) -> DataFrame:
@@ -246,20 +250,43 @@ def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
     real group (matching ``PARTITION BY``); NULL order values sort
     first in both the range partitioner and the window, so the global
     order is consistent. ``lags``/``leads`` map source column -> output
-    name, all at offset ``k``. Results are invariant to
-    ``num_partitions`` (pinned by tests). ``release`` receives the
-    persisted ranged frame for explicit ``unpersist()`` (same lifecycle
-    as ``global_index``).
+    name at offset ``k`` (dict values may be ``(output, offset)``), or
+    are a list of ``(src, dst, offset)`` triples — the form that takes
+    SEVERAL offsets of one source (lag 1 AND lag 2 of event_type in one
+    pass); a source may also be a key or order column (the payload
+    dedupes). The boundary exchange carries ``max(offsets)`` rows per
+    edge and only in the requested directions (tails for lags, heads
+    for leads). Results are invariant to ``num_partitions`` (pinned by
+    tests). ``release`` receives the persisted ranged frame for
+    explicit ``unpersist()`` (same lifecycle as ``global_index``).
     """
     from collections import deque
 
     from pyspark.sql import types as T
     from pyspark.storagelevel import StorageLevel
 
-    lags = dict(lags or {})
-    leads = dict(leads or {})
-    assert lags or leads, "need at least one of lags/leads"
-    srcs = sorted(set(lags) | set(leads))
+    def _norm(spec) -> list[tuple[str, str, int]]:
+        # dict src -> dst | (dst, offset), or list of (src, dst, offset)
+        # triples (the list form is how one source takes SEVERAL
+        # offsets — lag 1 and lag 2 of event_type in one pass)
+        if spec is None:
+            return []
+        if not isinstance(spec, dict):
+            return [(s, d, int(kk)) for s, d, kk in spec]
+        out = []
+        for src, v in spec.items():
+            if isinstance(v, (tuple, list)):
+                out.append((src, v[0], int(v[1])))
+            else:
+                out.append((src, v, k))
+        return out
+
+    lag_specs = _norm(lags)
+    lead_specs = _norm(leads)
+    assert lag_specs or lead_specs, "need at least one of lags/leads"
+    assert all(kk >= 1 for _, _, kk in lag_specs + lead_specs)
+    km = max(kk for _, _, kk in lag_specs + lead_specs)
+    srcs = sorted({s for s, _, _ in lag_specs + lead_specs})
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     order = [F.col(c).asc() for c in [*keys, *order_cols]]
@@ -271,38 +298,50 @@ def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
     if release is not None:
         release.append(d)
 
-    payload = F.struct(*[F.col(c) for c in [*keys, *order_cols, *srcs]])
+    # a lag/lead source may itself be a key or order column — dedupe so
+    # the payload struct (and its `__row.*` expansion) stays collision-free
+    pay_cols = list(dict.fromkeys([*keys, *order_cols, *srcs]))
+    payload = F.struct(*[F.col(c) for c in pay_cols])
     # one ascending rank + a whole-partition count: the count's
     # unordered frame reuses the rank's (pid, order) sort, so the
     # candidate pass costs ONE per-partition sort, not two (a
     # descending row_number for the tail rank would re-sort every
-    # partition the other way); tail rank = __n - __h + 1
+    # partition the other way); tail rank = __n - __h + 1. The count
+    # (and the tail predicate) is only built when lags need it — a
+    # lead-only call collects head rows alone, and vice versa.
     w_head = Window.partitionBy("__pid").orderBy(*order)
     w_cnt = Window.partitionBy("__pid")
+    n_col = (F.count(F.lit(1)).over(w_cnt) if lag_specs
+             else F.lit(0)).alias("__n")
+    preds = []
+    if lead_specs:
+        preds.append(F.col("__h") <= km)
+    if lag_specs:
+        preds.append(F.col("__h") > F.col("__n") - km)
+    pred = preds[0] if len(preds) == 1 else (preds[0] | preds[1])
     cand = (d.select(F.col("__pid"), payload.alias("__row"),
-                     F.row_number().over(w_head).alias("__h"),
-                     F.count(F.lit(1)).over(w_cnt).alias("__n"))
-            .where((F.col("__h") <= k) | (F.col("__h") > F.col("__n") - k))
+                     F.row_number().over(w_head).alias("__h"), n_col)
+            .where(pred)
             .collect())
     heads: dict[int, list] = {}
     tails: dict[int, list] = {}
     for r in sorted(cand, key=lambda r: (r["__pid"], r["__h"])):
-        if leads and r["__h"] <= k:
+        if lead_specs and r["__h"] <= km:
             heads.setdefault(r["__pid"], []).append(r["__row"])
-        if lags and r["__h"] > r["__n"] - k:
+        if lag_specs and r["__h"] > r["__n"] - km:
             tails.setdefault(r["__pid"], []).append(r["__row"])
 
     carry: list[tuple] = []
-    if lags:
-        dq: deque = deque(maxlen=k)  # global last-k of the prefix, asc
+    if lag_specs:
+        dq: deque = deque(maxlen=km)  # global last-km of the prefix, asc
         for pid in sorted(tails):
             carry.extend((pid, row) for row in dq)
             dq.extend(tails[pid])
-    if leads:
-        first_k: list = []  # global first-k of the suffix, asc
+    if lead_specs:
+        first_k: list = []  # global first-km of the suffix, asc
         for pid in sorted(heads, reverse=True):
             carry.extend((pid, row) for row in first_k)
-            first_k = (heads[pid] + first_k)[:k]
+            first_k = (heads[pid] + first_k)[:km]
     row_type = d.select(payload.alias("__row")).schema["__row"].dataType
     carry_df = spark.createDataFrame(
         carry,
@@ -315,9 +354,10 @@ def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
     u = d.unionByName(carry_df, allowMissingColumns=True)
     w = Window.partitionBy("__pid", *keys).orderBy(*[F.col(c).asc()
                                                      for c in order_cols])
-    outs = ([F.lag(src, k).over(w).alias(dst) for src, dst in lags.items()]
-            + [F.lead(src, k).over(w).alias(dst)
-               for src, dst in leads.items()])
+    outs = ([F.lag(src, kk).over(w).alias(dst)
+             for src, dst, kk in lag_specs]
+            + [F.lead(src, kk).over(w).alias(dst)
+               for src, dst, kk in lead_specs])
     return (u.select("*", *outs)
             .where(F.col("__edge") == 0)
             .drop("__pid", "__edge"))

@@ -197,3 +197,64 @@ def test_seq_lag_partition_invariance_and_hot_key(spark):
         tiny, ["user"], ["ts"], lags={"v": "p"}, leads={"v": "nx"},
         k=3, num_partitions=32).collect()), key=key)
     assert tgot == texp
+
+
+def test_seq_lag_order_column_sources_and_multi_offset(spark):
+    """Round-9 fixes: (a) a lag/lead SOURCE may be a key or order
+    column (the payload struct dedupes — previously
+    COLUMN_ALREADY_EXISTS, exactly the shape the order-gaps and SCD2
+    consumers need: lag the order date, lead the timestamp); (b) one
+    call may request DIFFERENT offsets per output via the triple-list
+    form (lag 1 AND lag 2 of the same column — top_event_paths'
+    n-gram shape) with the boundary exchange sized by max(offsets);
+    (c) a lead-only call must not depend on the tail count. All
+    value-exact against the plain window form at several partition
+    counts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from imp_etl_spark.operators.window import seq_lag
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice([None, "hot", "hot", "hot", "u1", "u2"]),
+         rng.randint(0, 10**5), eid, rng.choice("abc"))
+        for eid in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, et STRING")
+    w = Window.partitionBy("user").orderBy("ts", "eid")
+    exp = sorted(
+        (tuple(r) for r in df.select(
+            "*",
+            F.lag("ts", 1).over(w).alias("prev_ts"),
+            F.lead("ts", 1).over(w).alias("next_ts"),
+            F.lag("et", 1).over(w).alias("p1"),
+            F.lag("et", 2).over(w).alias("p2")).collect()),
+        key=lambda t: t[2])
+    for n in (1, 5, 32):
+        got = sorted(
+            (tuple(r) for r in seq_lag(
+                df, ["user"], ["ts", "eid"],
+                lags=[("ts", "prev_ts", 1),
+                      ("et", "p1", 1), ("et", "p2", 2)],
+                leads={"ts": "next_ts"},
+                num_partitions=n)
+             .select("user", "ts", "eid", "et",
+                     "prev_ts", "next_ts", "p1", "p2")
+             .collect()),
+            key=lambda t: t[2])
+        assert got == exp, f"n={n}: first diff " + str(
+            next((a, b) for a, b in zip(got, exp) if a != b))
+
+    # lead-only call (no tail collect) on an order-column source
+    le = sorted((tuple(r) for r in seq_lag(
+        df, ["user"], ["ts", "eid"], leads={"eid": "nx"},
+        num_partitions=7)
+        .select("user", "ts", "eid", "et", "nx").collect()),
+        key=lambda t: t[2])
+    lexp = sorted((tuple(r) for r in df.select(
+        "*", F.lead("eid", 1).over(w).alias("nx")).collect()),
+        key=lambda t: t[2])
+    assert le == lexp

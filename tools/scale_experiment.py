@@ -483,7 +483,7 @@ def main_lagskew25x() -> None:
     print("|---|---|---|---|")
     for label, d in (("1x uniform", SF_DIR),
                      (f"{copies}x uniform", f"{big}/uniform"),
-                     (f"{copies}x skewed (~97% one user)",
+                     (f"{copies}x skewed (~{dom / nbig:.0%} one user)",
                       f"{big}/skewed")):
         # eager=True for BOTH shapes: seq_lag runs its range exchange +
         # persist + boundary-candidate collect at BUILD time (same rule
