@@ -87,7 +87,12 @@ EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
                "doc_length_quartile_bins", "peak_click_concurrency",
                "rfm_customer_segments", "outlier_events_mad",
                "minhash_lsh_pairs", "dedup_pipeline_survivors",
-               "cross_corpus_survivors"}
+               "cross_corpus_survivors",
+               # r9: lag-class dispatch consumers run the 2-pass skew
+               # probe (and, when it picks seq, seq_lag's range
+               # exchange + boundary collect) at BUILD time
+               "twap_user_value", "top_event_paths", "scd2_user_state",
+               "win_lag_lead", "customer_order_gaps"}
 
 
 def main() -> None:
@@ -119,6 +124,26 @@ def main() -> None:
     # cache-cold vs 3.14 s warm for an identical build).
     read_table(spark, sf_dir, "documents").write.format(
         "noop").mode("overwrite").save()
+
+    # machine-state calibration (VERDICT r8 item 7): the recorded
+    # totals swing ~6 s run-to-run on this box from background load
+    # alone, so each bench sample carries (a) the 1-minute load average
+    # at start and (b) a fixed CPU-bound reference job — 2e8 xxhash64
+    # rows, no IO, no shuffle — timed best-of-2. Totals are comparable
+    # across rounds only after checking these agree; a mover whose
+    # round also moved the calibration number is machine state, not
+    # code.
+    from pyspark.sql import functions as F
+
+    load_avg = round(os.getloadavg()[0], 2)
+    cal = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).select(
+            F.sum(F.xxhash64("id")).alias("h")).write.format(
+            "noop").mode("overwrite").save()
+        cal = min(cal or 9e9, time.perf_counter() - t0)
+    calibration = round(cal, 3)
 
     timings: dict[str, float] = {}
 
@@ -219,6 +244,10 @@ def main() -> None:
         "etl_records": queue_records,
         "etl_rec_per_sec": round(queue_records / timings["etl_pipeline"], 1)
         if timings["etl_pipeline"] else None,
+        # machine-state markers (see comment at the calibration block):
+        # compare totals across rounds only when these agree
+        "load_avg_1m": load_avg,
+        "calibration_sec": calibration,
     }))
 
 

@@ -366,6 +366,7 @@ def state_intervals(
     ts_col: str = "ts",
     state_col: str = "event_type",
     tiebreak_col: str = "event_id",
+    mode: str | None = None,
 ) -> DataFrame:
     """SCD-Type-2 interval compression: collapse a per-key event-state
     sequence into ``[valid_from, valid_to)`` intervals — a new interval
@@ -373,33 +374,48 @@ def state_intervals(
     (ordered by ``ts, tiebreak``), and the key's last interval stays
     open (``valid_to`` null, ``is_current`` true).
 
-    Two windows over ONE shuffle on the key (same partitioning, shared
-    sort): lag() marks change points, lead() over the change points
-    closes each interval. This is the dimension-history build the
-    reference's MERGE sink cannot express (plans/upsert.py keeps only
-    the latest row); at 100 TB it is two linear passes per partition.
+    Two sequential-window passes: lag() marks change points, lead()
+    over the change points closes each interval. Round 9: both passes
+    go through the lag-class skew dispatch (operators/window.py
+    lag_dispatch) — one probe of the key column picks the plain
+    per-key window (uniform keys: ONE shuffle, shared sort) or the
+    hot-key-immune ``seq_lag`` range+boundary-exchange shape (a bot
+    key's history never serializes through one sort task); ``mode``
+    forces ``"window"``/``"seq"`` explicitly (tests pin both shapes
+    value-equal). This is the dimension-history build the reference's
+    MERGE sink cannot express (plans/upsert.py keeps only the latest
+    row); at 100 TB it is two linear passes per partition either way.
     """
-    w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    from imp_etl_spark.operators.window import (
+        lag_dispatch,
+        resolve_lag_mode,
+    )
+
     # temporal contract: an event without a timestamp cannot be
     # sequenced into a state history — excluded, not sorted to an
     # engine-dependent end (Spark asc = nulls first, most SQL engines =
     # nulls last; a null-ts row would silently shift every interval)
-    marked = events.where(F.col(ts_col).isNotNull()).select(
-        F.col(key_col), F.col(ts_col), F.col(state_col),
-        F.col(tiebreak_col),
-        F.lag(F.col(state_col)).over(w).alias("__prev"),
-    )
+    timed = events.where(F.col(ts_col).isNotNull())
+    # probe ONCE on the raw key column (column-pruned scan) and reuse
+    # the decision for both passes — the change-point frame inherits
+    # its key skew from the input
+    mode = resolve_lag_mode(timed.select(key_col), [key_col], mode=mode)
+    marked = lag_dispatch(
+        timed.select(key_col, ts_col, state_col, tiebreak_col),
+        [key_col], [ts_col, tiebreak_col],
+        lags={state_col: "__prev"}, mode=mode)
     changes = marked.filter(
         ~F.col(state_col).eqNullSafe(F.col("__prev")))
-    w2 = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    closed = lag_dispatch(
+        changes.select(key_col, ts_col, state_col, tiebreak_col),
+        [key_col], [ts_col, tiebreak_col],
+        leads={ts_col: "__valid_to"}, mode=mode)
     return (
-        changes.select(
+        closed.select(
             F.col(key_col),
             F.col(state_col).alias("state"),
             F.col(ts_col).alias("valid_from"),
-            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+            F.col("__valid_to").alias("valid_to"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )

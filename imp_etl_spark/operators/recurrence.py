@@ -1,0 +1,177 @@
+"""Distributed linear-recurrence scans (the EWMA class).
+
+``s_i = alpha*x_i + (1-alpha)*s_{i-1}`` is the one per-key sequential
+shape none of the round-8 machineries covers (SCALING.md watch table):
+it is not a pick (count-collapse rank machinery), not a fill (chunked
+grid), not a bounded-neighbor exchange (``seq_lag`` — every row depends
+on ALL prior rows of its key). The classic parallel treatment is the
+RESCALED SCAN: because the recurrence is linear with constant decay
+``beta = 1-alpha``, the state factors as
+
+    s_i = beta^e_i * RS_i + carry * beta^(e_i+1)
+
+where ``RS`` is a plain running sum of ``coef_j * beta^(-e_j) * x_j``
+inside a fixed-size chunk (``e`` = offset inside the chunk) and
+``carry`` is the state entering the chunk. ``beta^(-e)`` overflows for
+large ``e``, so the chunk size C is chosen from alpha to keep the
+rescale factor inside double range — that per-chunk renormalization is
+what makes the scan numerically viable (Blelloch-style scan literature
+calls this segmented rescaling).
+
+Shape at scale: the per-row work is ONE bounded window (<= C rows per
+(key, chunk) group — giant-group-safe by construction, a 10^8-row bot
+key becomes 10^8/C independent window groups); the sequential residue
+is the per-key carry chain over CHUNK SUMMARIES, C-times compressed
+(10^8 rows -> 10^5 summary rows), run as one Arrow-batched
+``applyInPandas`` pass whose groups are tiny. For keys beyond ~10^10
+rows the chain could recurse on itself (another C-fold compression per
+level); one level covers every realistic entity today and the code
+asserts nothing — the chain is exact at any depth, only its task gets
+longer, linearly.
+
+Reference parity note: the reference engine (SURVEY.md §2) has no
+recursive analytics at all — this operator exists for the §7.8
+training-data/analytics north star (trend smoothing, anomaly
+baselines), same tier as seq_lag/group_rank.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _chunk_size(alpha: float) -> int:
+    """Largest chunk whose rescale factor beta^-(C-1) stays safely
+    inside double range: C*(-log2 beta) <= 500, clamped to [1, 4096]
+    (500 bits of headroom leaves ~2^523 for |x| before overflow)."""
+    beta = 1.0 - alpha
+    if beta <= 0.0:  # alpha == 1: s_i = x_i, no recursion at all
+        return 1
+    bits = -math.log2(beta)
+    return max(1, min(4096, int(500.0 / max(bits, 1e-12))))
+
+
+def ewma_scan(df: DataFrame, keys: Sequence[str],
+              order_cols: Sequence[str], value_col: str,
+              alpha: float, out_col: str = "ewma",
+              mode: str | None = None,
+              num_partitions: int | None = None,
+              release: list[DataFrame] | None = None,
+              chunk_size: int | None = None) -> DataFrame:
+    """Per-row recursive EWMA over each key's ordered sequence:
+    ``s_1 = x_1``; ``s_i = alpha*x_i + (1-alpha)*s_{i-1}`` (the
+    pandas ``ewm(adjust=False)`` recursion; the ``adjust=True`` form
+    is the ratio of two such scans with coef 1 and x=1 for the
+    denominator). NULL values propagate the previous state unchanged
+    is NOT implemented — rows with NULL ``value_col`` must be filtered
+    by the caller (same temporal contract as the rest of the package:
+    a valueless observation is no observation).
+
+    Contract: ``(*keys, *order_cols)`` must be a UNIQUE total order
+    (ties would make the recursion order-dependent). NULL keys form a
+    real group. ``mode`` picks how the per-key rank is computed —
+    ``"window"`` (plain ``row_number`` per key: one shuffle, but a hot
+    key's rank sort runs in one task) or ``"seq"`` (``group_rank``'s
+    distributed prefix-sum rank: hot-key-immune, two-phase tax); None
+    resolves via the same probe/conf dispatch as the lag class
+    (``spark.imp_etl.lagDispatch.*``). EVERYTHING after the rank is
+    shared code — identical float operations in identical order — so
+    the two modes are bit-equal (pinned by tests), and both match the
+    naive sequential recursion to ~1e-12 relative (also pinned; exact
+    equality with the naive form is impossible for ANY reassociating
+    parallel scheme).
+
+    Overflow domain: |x| < ~1e140 (the rescale factor spends up to
+    2^500 of double range; see ``_chunk_size``).
+    """
+    from imp_etl_spark.operators.window import (
+        group_rank,
+        resolve_lag_mode,
+    )
+
+    assert 0.0 < alpha <= 1.0, alpha
+    beta = 1.0 - alpha
+    # chunk_size override: tests force tiny chunks so the carry chain
+    # and the chunk-boundary algebra are exercised on small fixtures
+    c_size = min(chunk_size or _chunk_size(alpha), _chunk_size(alpha))
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    mode = resolve_lag_mode(df.select(*keys), keys, mode=mode)
+    if mode == "window":
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).asc() for c in order_cols])
+        ranked = df.withColumn("__r", F.row_number().over(w))
+    else:
+        ranked = group_rank(df, keys, order_cols, rank_col="__r",
+                            n_col="__gn", num_partitions=num_partitions,
+                            release=release).drop("__gn")
+
+    # ---- shared path: identical float ops in both modes ----
+    d = (ranked
+         .withColumn("__chunk", ((F.col("__r") - 1) / c_size)
+                     .cast("long"))
+         .withColumn("__e", (F.col("__r") - 1) % c_size))
+    coef = F.when(F.col("__r") == 1, F.lit(1.0)).otherwise(F.lit(alpha))
+    term = (coef * F.pow(F.lit(beta), -F.col("__e").cast("double"))
+            * F.col(value_col).cast("double"))
+    wc = (Window.partitionBy(*keys, "__chunk")
+          .orderBy(*[F.col(c).asc() for c in order_cols])
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn(
+        "__local",
+        F.pow(F.lit(beta), F.col("__e").cast("double"))
+        * F.sum(term).over(wc))
+
+    # chunk summaries: end-state of each chunk + its row count. The
+    # carry chain is the one sequential residue — C-times compressed,
+    # per-key groups of (key_rows / C) summary rows, chained in one
+    # Arrow-batched pass. max_by on __e picks the chunk's last row
+    # (unique inside a chunk by construction).
+    summ = d.groupBy(*keys, "__chunk").agg(
+        F.max_by("__local", "__e").alias("__end"),
+        F.count(F.lit(1)).alias("__len"))
+
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in summ.schema if f.name in keys)
+    out_schema = (key_fields + ", __chunk long, __carry double")
+
+    def chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__chunk")
+        carry, out = 0.0, []
+        for end, ln in zip(pdf["__end"], pdf["__len"]):
+            out.append(carry)
+            carry = end + carry * (beta ** int(ln))
+        pdf = pdf.assign(__carry=out)
+        return pdf[[*keys, "__chunk", "__carry"]]
+
+    carries = summ.groupBy(*keys).applyInPandas(chain, out_schema)
+
+    # null-safe join back (NULL keys are real groups — the fuzz-501
+    # class); keyed by (keys, chunk) so a hot key spreads over its
+    # chunks, never one join task
+    cj = carries.select(
+        *[F.col(c).alias(f"__j_{c}") for c in keys], "__chunk",
+        "__carry")
+    cond = F.col("__chunk").eqNullSafe(F.col("__chunk"))
+    cond = None
+    for g in keys:
+        c = F.col(g).eqNullSafe(F.col(f"__j_{g}"))
+        cond = c if cond is None else (cond & c)
+    joined = d.join(cj, on=cond & (d["__chunk"] == cj["__chunk"]),
+                    how="left").drop(cj["__chunk"])
+    return (joined
+            .withColumn(
+                out_col,
+                F.col("__local")
+                + F.coalesce(F.col("__carry"), F.lit(0.0))
+                * F.pow(F.lit(beta), (F.col("__e") + 1).cast("double")))
+            .drop("__r", "__chunk", "__e", "__local", "__carry",
+                  *[f"__j_{g}" for g in keys]))

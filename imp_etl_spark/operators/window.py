@@ -215,6 +215,25 @@ LagSpec = (dict[str, "str | tuple[str, int]"]
            | Sequence[tuple[str, str, int]] | None)
 
 
+def _norm_specs(spec: LagSpec, k: int) -> list[tuple[str, str, int]]:
+    """Normalize a lag/lead spec to ``[(src, dst, offset)]``.
+
+    Accepts a dict src -> dst (offset ``k``) | (dst, offset), or a list
+    of (src, dst, offset) triples — the form that takes SEVERAL offsets
+    of one source (lag 1 and lag 2 of event_type in one pass)."""
+    if spec is None:
+        return []
+    if not isinstance(spec, dict):
+        return [(s, d, int(kk)) for s, d, kk in spec]
+    out = []
+    for src, v in spec.items():
+        if isinstance(v, (tuple, list)):
+            out.append((src, v[0], int(v[1])))
+        else:
+            out.append((src, v, k))
+    return out
+
+
 def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
             lags: LagSpec = None,
             leads: LagSpec = None,
@@ -265,24 +284,8 @@ def seq_lag(df: DataFrame, keys: Sequence[str], order_cols: Sequence[str],
     from pyspark.sql import types as T
     from pyspark.storagelevel import StorageLevel
 
-    def _norm(spec) -> list[tuple[str, str, int]]:
-        # dict src -> dst | (dst, offset), or list of (src, dst, offset)
-        # triples (the list form is how one source takes SEVERAL
-        # offsets — lag 1 and lag 2 of event_type in one pass)
-        if spec is None:
-            return []
-        if not isinstance(spec, dict):
-            return [(s, d, int(kk)) for s, d, kk in spec]
-        out = []
-        for src, v in spec.items():
-            if isinstance(v, (tuple, list)):
-                out.append((src, v[0], int(v[1])))
-            else:
-                out.append((src, v, k))
-        return out
-
-    lag_specs = _norm(lags)
-    lead_specs = _norm(leads)
+    lag_specs = _norm_specs(lags, k)
+    lead_specs = _norm_specs(leads, k)
     assert lag_specs or lead_specs, "need at least one of lags/leads"
     assert all(kk >= 1 for _, _, kk in lag_specs + lead_specs)
     km = max(kk for _, _, kk in lag_specs + lead_specs)
@@ -404,3 +407,130 @@ def group_rank(df: DataFrame, group_cols: Sequence[str],
         .drop("__cum", "__off", "__one",
               *[f"__g_{g}" for g in group_cols])
     )
+
+
+def top_key_share(df: DataFrame, keys: Sequence[str],
+                  support: float = 0.125) -> tuple[float, object]:
+    """Cheap exact-verified probe of the hottest key's row share, for
+    skew dispatch decisions.
+
+    Two passes over the key column(s) only (a column-pruned parquet
+    scan when ``df`` is a bare ``read_table`` projection): (1)
+    ``freqItems`` (Karp et al. one-pass heavy hitters — returns a
+    superset of every item with share > ``support``, at most
+    ceil(1/support) candidates, NO false negatives above support), then
+    (2) one aggregation that exactly counts the candidates and the
+    total, so the returned share is EXACT for any key whose true share
+    exceeds ``support`` — false candidates just waste a counter. Both
+    passes are map-side-combining aggregations; nothing shuffles by
+    key, so the probe itself cannot skew.
+
+    Composite keys are folded to one string (NULL folds to '' — the
+    probe may merge a null key with an empty-string key, which only
+    ever OVERSTATES the hot share: the conservative direction for a
+    dispatch that picks the skew-immune shape on high shares).
+
+    Returns ``(share, key_string)`` of the hottest verified candidate,
+    or ``(0.0, None)`` when no key exceeds ``support`` / df is empty.
+    """
+    kc = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
+    keyed = df.select(kc.alias("__k"))
+    cand = keyed.stat.freqItems(["__k"], support).collect()[0][0]
+    if not cand:
+        return 0.0, None
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(F.col("__k") == F.lit(c), 1).otherwise(0))
+        .alias(f"__c{i}")
+        for i, c in enumerate(cand)]
+    r = keyed.agg(*aggs).collect()[0]
+    if not r["__n"]:
+        return 0.0, None
+    share, top = max(
+        ((r[f"__c{i}"] or 0) / r["__n"], c) for i, c in enumerate(cand))
+    return share, top
+
+
+def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
+                     mode: str | None = None,
+                     threshold: float | None = None,
+                     support: float | None = None) -> str:
+    """Resolve the lag-class dispatch decision to ``"window"`` or
+    ``"seq"`` — the probe half of :func:`lag_dispatch`, exposed so a
+    caller with SEVERAL window passes over one input (state_intervals:
+    lag over the full frame, then lead over the change points) probes
+    ONCE and reuses the decision. Conf keys documented on
+    :func:`lag_dispatch`."""
+    conf = probe.sparkSession.conf
+    mode = mode or conf.get("spark.imp_etl.lagDispatch.mode", "auto")
+    assert mode in ("auto", "window", "seq"), mode
+    if mode != "auto":
+        return mode
+    threshold = float(
+        threshold if threshold is not None
+        else conf.get("spark.imp_etl.lagDispatch.threshold", "0.34"))
+    support = float(
+        support if support is not None
+        else conf.get("spark.imp_etl.lagDispatch.support", "0.125"))
+    support = min(support, threshold)
+    share, _ = top_key_share(probe, keys, support)
+    return "seq" if share >= threshold else "window"
+
+
+def lag_dispatch(df: DataFrame, keys: Sequence[str],
+                 order_cols: Sequence[str],
+                 lags: LagSpec = None, leads: LagSpec = None, k: int = 1,
+                 num_partitions: int | None = None,
+                 release: list[DataFrame] | None = None,
+                 mode: str | None = None,
+                 threshold: float | None = None,
+                 support: float | None = None,
+                 probe: DataFrame | None = None) -> DataFrame:
+    """Per-run skew dispatch for the lag class (SCALING.md watch
+    table, decided round 9): compute ``lag/lead OVER (PARTITION BY
+    keys ORDER BY order_cols)`` on whichever shape the DATA warrants —
+    the plain per-key window (~2x cheaper on uniform keys: no second
+    exchange, no persist, no boundary collect) or the hot-key-immune
+    ``seq_lag`` (range partition + k-boundary-row exchange; the window
+    shape pays ~2.9x at 96% one-key concentration and ~4.7x at 99%,
+    trending to a multi-hour straggler at a 10^8-event bot key).
+
+    The decision probes the hottest key's exact share via
+    ``top_key_share`` (two map-side aggregation passes over the key
+    column only) and picks ``seq_lag`` iff ``share >= threshold``.
+    Both shapes are value-exact for lag/lead (picks, not sums), so the
+    dispatch never changes results — pinned by tests either way.
+
+    Config (session conf, overridable per call):
+    - ``spark.imp_etl.lagDispatch.mode``: auto | window | seq
+      (default auto; window/seq skip the probe entirely)
+    - ``spark.imp_etl.lagDispatch.threshold``: hot-share cutoff
+      (default 0.34 — the measured 25x crossover sits at a 32-40%
+      share: seq/window wall ratio 1.87 at ~0% share, 1.37 at 24%,
+      1.07 at 32%, 0.83 at 40%, 0.42 at 96% — SCALING.md r9 table.
+      Just below crossover is the right bias: a false seq pick costs
+      a bounded <=7% there, while a false window pick at a genuinely
+      hot key is an unbounded single-task straggler whose penalty
+      GROWS with the key's absolute size)
+    - ``spark.imp_etl.lagDispatch.support``: freqItems support
+      (default min(0.125, threshold) — must stay <= threshold so the
+      no-false-negatives guarantee covers the cutoff)
+    ``probe`` substitutes the probed frame (e.g. the raw table
+    projection) when ``df`` already carries upstream work that the
+    probe shouldn't recompute. Build-time jobs: in auto mode the probe
+    runs 2 tiny jobs when the plan is BUILT (same eager-measurement
+    rule as seq_lag).
+    """
+    mode = resolve_lag_mode(probe if probe is not None else df, keys,
+                            mode=mode, threshold=threshold,
+                            support=support)
+    if mode == "seq":
+        return seq_lag(df, keys, order_cols, lags=lags, leads=leads, k=k,
+                       num_partitions=num_partitions, release=release)
+    lag_specs = _norm_specs(lags, k)
+    lead_specs = _norm_specs(leads, k)
+    assert lag_specs or lead_specs, "need at least one of lags/leads"
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols])
+    outs = ([F.lag(s, kk).over(w).alias(d) for s, d, kk in lag_specs]
+            + [F.lead(s, kk).over(w).alias(d) for s, d, kk in lead_specs])
+    return df.select("*", *outs)

@@ -634,14 +634,19 @@ WINDOW w AS (PARTITION BY o_custkey
              ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
 """)
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead via the lag-class skew dispatch (round 9): uniform
+    keys plan the classic one-shuffle window; a probed hot custkey
+    flips to the seq_lag range+boundary-exchange shape."""
+    from imp_etl_spark.operators.window import lag_dispatch
+
     o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return o.select(
-        "o_custkey", "o_orderkey", "o_totalprice",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
-    )
+    return lag_dispatch(
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        lags={"o_totalprice": "prev_price"},
+        leads={"o_totalprice": "next_price"},
+    ).select("o_custkey", "o_orderkey", "o_totalprice",
+             "prev_price", "next_price")
 
 
 @register("win_running_sum", """

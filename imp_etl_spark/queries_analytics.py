@@ -413,18 +413,22 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) integers (DuckDB HUGEINT mirror) — every product is
     taken in 38-digit arithmetic, never a 64-bit lane — and the final
     division converts decimal->double directly (correctly rounded,
-    bit-equal to HUGEINT->DOUBLE; no BIGINT hop to overflow). One
-    window + one hash agg, both on the user key — one shuffle total.
-    Temporal contract: untimed events hold no interval."""
+    bit-equal to HUGEINT->DOUBLE; no BIGINT hop to overflow). The
+    per-user lead goes through the lag-class skew dispatch (round 9,
+    operators/window.py lag_dispatch): uniform keys keep the one-
+    shuffle window + hash agg plan; a probed hot key (bot user) flips
+    to the seq_lag range+boundary-exchange shape instead of
+    serializing its history through one sort task. Temporal contract:
+    untimed events hold no interval."""
+    from imp_etl_spark.operators.window import lag_dispatch
+
     ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc())
     d38 = "decimal(38,0)"
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     seg = (
-        ev.select(
-            "user_id", "ts", "value", "event_id",
-            F.lead("ts").over(w).alias("nxt"))
+        lag_dispatch(
+            ev.select("user_id", "ts", "event_id", "value"),
+            ["user_id"], ["ts", "event_id"], leads={"ts": "nxt"})
         .filter(F.col("nxt").isNotNull())
         .select(
             "user_id",
@@ -643,17 +647,21 @@ GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
 """)
 def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 three-step event-type paths across user histories (lag
-    window n-grams -> hash count -> bounded top-k with a unique (cnt,
-    path) tiebreak). One shuffle on the user key, one on the path.
-    Temporal contract: untimed or untyped events are no path step."""
+    n-grams -> hash count -> bounded top-k with a unique (cnt, path)
+    tiebreak). The per-user lags go through the lag-class skew
+    dispatch (round 9, operators/window.py lag_dispatch): uniform keys
+    keep the one-shuffle window plan; a probed hot key flips to
+    seq_lag, whose triple-list spec computes lag 1 AND lag 2 of
+    event_type in the same pass. Temporal contract: untimed or untyped
+    events are no path step."""
+    from imp_etl_spark.operators.window import lag_dispatch
+
     ev = read_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc())
-    s = ev.select(
-        "event_type",
-        F.lag("event_type", 1).over(w).alias("p1"),
-        F.lag("event_type", 2).over(w).alias("p2"),
+    s = lag_dispatch(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"], ["ts", "event_id"],
+        lags=[("event_type", "p1", 1), ("event_type", "p2", 2)],
     ).filter(F.col("p2").isNotNull())
     return (
         s.select(F.concat_ws(">", "p2", "p1", "event_type").alias("path"))
@@ -764,7 +772,13 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the reference date is a 1-row broadcast (no window),
     weights are row-local bit shifts, and the single shuffle carries
     (user_id, partial decimal sums) — map-side combine absorbs
-    everything.
+    everything. This bounded-horizon day-weighted form needs NO
+    sequential scan; the genuinely recursive per-event EWMA
+    (s_i = a*x_i + (1-a)*s_{i-1}, unbounded lookback) lives in
+    operators/recurrence.py ewma_scan — the round-9 rescaled-scan
+    machinery (chunked renormalized prefix sums + compressed carry
+    chain; skew point in SCALING.md) that closed the last
+    designated-but-unbuilt watch-table row.
     """
     ev = read_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.to_date("ts")).alias("md"))

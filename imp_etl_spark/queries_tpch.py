@@ -1165,16 +1165,23 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     median (rank-pick — the agg_percentiles_disc pattern), and max gap
     in days between consecutive orders.
 
-    Scale shape: ONE customer-keyed exchange serves the order-history
-    lag, the gap rank, and the final rollup (same partition key
-    throughout, Catalyst shares the sort); per-customer state never
+    Scale shape: on uniform keys ONE customer-keyed exchange serves
+    the order-history lag, the gap rank, and the final rollup (same
+    partition key throughout, Catalyst shares the sort); the lag pass
+    goes through the lag-class skew dispatch (round 9,
+    operators/window.py lag_dispatch), so a probed hot custkey flips
+    it to the seq_lag range+boundary-exchange shape (lagging the ORDER
+    column — the payload-dedupe case). Per-customer state never
     exceeds the customer's own order count. Temporal contract: an
     undated order is no cadence step."""
+    from imp_etl_spark.operators.window import lag_dispatch
+
     orders = read_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate").isNotNull())
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    g = (orders.select("o_custkey", "o_orderdate",
-                       F.lag("o_orderdate").over(w).alias("prev"))
+    g = (lag_dispatch(
+            orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+            ["o_custkey"], ["o_orderdate", "o_orderkey"],
+            lags={"o_orderdate": "prev"})
          .where(F.col("prev").isNotNull())
          .select("o_custkey",
                  F.datediff(F.to_date("o_orderdate"), F.to_date("prev"))

@@ -1,0 +1,93 @@
+"""ewma_scan (operators/recurrence.py): the distributed rescaled scan
+must match the naive per-key sequential recursion to float precision,
+be BIT-equal between its window and seq (group_rank) rank modes, be
+invariant to partition count and chunk size (within float tolerance),
+and handle null keys, hot keys, single-row keys and alpha edge cases.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from imp_etl_spark.operators.recurrence import _chunk_size, ewma_scan
+
+
+def _naive(rows, alpha):
+    """rows: (key, ts, eid, v) — per-key sequential recursion."""
+    out = {}
+    by_key: dict = {}
+    for k, ts, eid, v in sorted(
+            rows, key=lambda r: ((r[0] is not None, r[0] or ""),
+                                 r[1], r[2])):
+        s = by_key.get(k)
+        s = v if s is None or k not in by_key else alpha * v + (1 - alpha) * s
+        by_key[k] = s
+        out[eid] = s
+    return out
+
+
+def _mixed_rows(n=1200, seed=5):
+    rng = random.Random(seed)
+    rows = [("bot" if i % 3 else rng.choice([None, "u0", "u1", "u2", "u3"]),
+             rng.randint(0, 10**6), i, rng.uniform(-50.0, 50.0))
+            for i in range(n)]
+    rows.append(("lone", 7, n + 1, 3.5))  # single-row key
+    return rows
+
+
+@pytest.mark.parametrize("alpha", [0.3, 0.9])
+def test_ewma_scan_matches_naive_both_modes(spark, alpha):
+    rows = _mixed_rows()
+    df = spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, v DOUBLE")
+    ref = _naive(rows, alpha)
+    results = {}
+    for mode in ("window", "seq"):
+        got = {r["eid"]: r["ewma"] for r in ewma_scan(
+            df, ["user"], ["ts", "eid"], "v", alpha, mode=mode).collect()}
+        assert set(got) == set(ref)
+        for eid in ref:
+            assert got[eid] == pytest.approx(ref[eid], rel=1e-11, abs=1e-11)
+        results[mode] = sorted(got.items())
+    # the two rank modes share every float op after the rank — BIT-equal
+    assert results["window"] == results["seq"]
+
+
+def test_ewma_scan_chunk_boundaries_and_partition_invariance(spark):
+    """Tiny chunks force the carry chain through many boundaries; the
+    answer must stay at float tolerance of the one-chunk form and of
+    the naive recursion, at several partition counts."""
+    rows = _mixed_rows(n=400, seed=9)
+    df = spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, v DOUBLE")
+    alpha = 0.25
+    ref = _naive(rows, alpha)
+    for chunk, nparts in ((3, 5), (7, 32), (64, 1)):
+        got = {r["eid"]: r["ewma"] for r in ewma_scan(
+            df, ["user"], ["ts", "eid"], "v", alpha, mode="seq",
+            num_partitions=nparts, chunk_size=chunk).collect()}
+        for eid in ref:
+            assert got[eid] == pytest.approx(ref[eid], rel=1e-11,
+                                             abs=1e-11), (chunk, nparts)
+
+
+def test_ewma_scan_alpha_one_is_identity(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1, 5.0), ("a", 2, 2, -7.0), ("b", 1, 3, 0.0)],
+        "user STRING, ts LONG, eid LONG, v DOUBLE")
+    got = {r["eid"]: r["ewma"] for r in ewma_scan(
+        df, ["user"], ["ts", "eid"], "v", 1.0, mode="window").collect()}
+    assert got == {1: 5.0, 2: -7.0, 3: 0.0}
+
+
+def test_chunk_size_bounds():
+    """The rescale factor beta^-(C-1) must stay inside double range."""
+    for alpha in (0.001, 0.01, 0.1, 0.3, 0.5, 0.9, 0.999):
+        c = _chunk_size(alpha)
+        assert 1 <= c <= 4096
+        assert (1.0 - alpha) ** -(c - 1) < math.inf
+    assert _chunk_size(1.0) == 1

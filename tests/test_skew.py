@@ -43,3 +43,91 @@ def test_salted_join_matches_plain(spark):
     g = sorted(map(tuple, got.select("k", "l_orderkey", "o_orderpriority").collect()))
     w = sorted(map(tuple, want.select("k", "l_orderkey", "o_orderpriority").collect()))
     assert g == w
+
+
+def test_top_key_share_probe(spark):
+    """top_key_share: exact verified share for any key above support
+    (freqItems has no false negatives there), (0, None) when nothing
+    crosses support or the frame is empty."""
+    from imp_etl_spark.operators.window import top_key_share
+
+    rows = ([("hot", i) for i in range(700)]
+            + [(f"u{i}", i) for i in range(300)])
+    df = spark.createDataFrame(rows, "user STRING, x LONG")
+    share, key = top_key_share(df, ["user"], support=0.125)
+    assert key == "hot" and abs(share - 0.7) < 1e-12
+
+    uni = spark.createDataFrame(
+        [(f"u{i % 97}", i) for i in range(970)], "user STRING, x LONG")
+    share, key = top_key_share(uni, ["user"], support=0.125)
+    # ~1% shares: freqItems may surface false candidates, but exact
+    # verification keeps the share tiny and never promotes one
+    assert share < 0.125
+
+    empty = df.where(F.lit(False))
+    assert top_key_share(empty, ["user"]) == (0.0, None)
+
+
+def test_lag_dispatch_modes_and_auto(spark):
+    """lag_dispatch: the window and seq shapes are value-identical;
+    auto picks seq on a hot-key frame and window on a uniform one
+    (resolve_lag_mode), and the conf override forces either."""
+    import random
+
+    from imp_etl_spark.operators.window import (
+        lag_dispatch,
+        resolve_lag_mode,
+    )
+
+    rng = random.Random(7)
+    hot = spark.createDataFrame(
+        [("bot" if i % 10 else f"u{i}", rng.randint(0, 10**6), i,
+          float(i % 13)) for i in range(1000)],
+        "user STRING, ts LONG, eid LONG, v DOUBLE")
+    uni = spark.createDataFrame(
+        [(f"u{i % 50}", rng.randint(0, 10**6), i, float(i % 13))
+         for i in range(1000)],
+        "user STRING, ts LONG, eid LONG, v DOUBLE")
+
+    assert resolve_lag_mode(hot.select("user"), ["user"]) == "seq"
+    assert resolve_lag_mode(uni.select("user"), ["user"]) == "window"
+    assert resolve_lag_mode(hot.select("user"), ["user"],
+                            mode="window") == "window"
+
+    for df in (hot, uni):
+        outs = {}
+        for mode in ("window", "seq"):
+            outs[mode] = sorted(
+                (tuple(r) for r in lag_dispatch(
+                    df, ["user"], ["ts", "eid"],
+                    lags={"v": "pv"}, leads={"ts": "nts"},
+                    mode=mode).collect()),
+                key=lambda t: t[2])
+        assert outs["window"] == outs["seq"]
+
+    # conf override path
+    spark.conf.set("spark.imp_etl.lagDispatch.mode", "seq")
+    try:
+        assert resolve_lag_mode(uni.select("user"), ["user"]) == "seq"
+    finally:
+        spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
+
+
+def test_state_intervals_dispatch_shapes_equal(spark):
+    """state_intervals (SCD2) through the dispatch: forced window and
+    forced seq produce identical interval sets, hot key included."""
+    import random
+
+    from imp_etl_spark.operators import behavior
+
+    rng = random.Random(31)
+    rows = [("bot" if i % 5 else f"u{i % 7}", rng.randint(0, 10**5), i,
+             rng.choice("ab")) for i in range(600)]
+    ev = spark.createDataFrame(
+        rows, "user_id STRING, ts LONG, event_id LONG, event_type STRING")
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    got_w = sorted((tuple(r) for r in behavior.state_intervals(
+        ev, mode="window").collect()), key=key)
+    got_s = sorted((tuple(r) for r in behavior.state_intervals(
+        ev, mode="seq").collect()), key=key)
+    assert got_w == got_s and len(got_w) > 0

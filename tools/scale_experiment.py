@@ -538,8 +538,137 @@ def main() -> None:
     shutil.rmtree(big, ignore_errors=True)
 
 
+def main_lagdispatch25x() -> None:
+    """Round-9 crossover sweep for the lag-class skew dispatch
+    (operators/window.py lag_dispatch): the r8 rows measured only the
+    endpoints (uniform, ~96%/99% one key); the dispatch needs the
+    CROSSOVER, so this sweeps intermediate hot-key shares by remapping
+    m of the 25 copies to one user (share ~= m/copies) and times a
+    production dispatch consumer (twap_user_value) under forced
+    window, forced seq, and auto (probe included — its overhead is
+    auto minus the picked shape). The threshold default in
+    lag_dispatch is set from this table."""
+    from imp_etl_spark.operators.window import top_key_share
+    from imp_etl_spark.queries import REGISTRY
+
+    spark = get_spark("scale-experiment-lagdispatch25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_lagdisp_")
+    base = read_table(spark, SF_DIR, "events")
+    hot_env = os.environ.get("SCALE_HOTMS")
+    hot_ms = ([int(x) for x in hot_env.split(",")] if hot_env
+              else [0, copies // 2, (3 * copies) // 5,
+                    (4 * copies) // 5, copies - 1])
+    fixtures = []
+    for m in dict.fromkeys(hot_ms):
+        name = f"hot{m}"
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if i <= m:
+                shifted = shifted.withColumn("user_id", F.lit(424242))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{big}/{name}/events.parquet")
+        fixtures.append((name, f"{big}/{name}"))
+
+    fn, _ = REGISTRY["twap_user_value"]
+    fn(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()  # warm codegen
+    print(f"| fixture ({copies}x) | top share | window (s) | seq (s) "
+          "| auto (s) | auto picked |")
+    print("|---|---|---|---|---|---|")
+    for name, d in fixtures:
+        ev = read_table(spark, d, "events").where(F.col("ts").isNotNull())
+        share, _k = top_key_share(ev.select("user_id"), ["user_id"])
+        times = {}
+        for mode in ("window", "seq", "auto"):
+            spark.conf.set("spark.imp_etl.lagDispatch.mode", mode)
+            try:
+                # eager: both the probe (auto) and seq_lag run jobs at
+                # build time — lazy timing would exclude them
+                times[mode] = time_query(fn, spark, d, eager=True)
+            finally:
+                spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
+        picked = ("seq" if share >= float(spark.conf.get(
+            "spark.imp_etl.lagDispatch.threshold", "0.5")) else "window")
+        print(f"| {name} | {share:.1%} | {times['window']:.2f} "
+              f"| {times['seq']:.2f} | {times['auto']:.2f} | {picked} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
+def main_ewmascan25x() -> None:
+    """Round-9 skew point for the EWMA rescaled scan
+    (operators/recurrence.py ewma_scan) — the last designated-but-
+    unbuilt watch-table fix. Same fixture recipe as the lag rows
+    (25x events; skewed = 24 of 25 copies remapped to one user,
+    ~96% of rows on one key): the window-rank mode funnels the hot
+    key's rank sort through one task, the seq mode ranks on
+    group_rank's distributed prefix sum. Both modes then share the
+    bounded chunk window + compressed carry chain, so the delta is
+    pure rank machinery. Timed eager (both modes run build-time jobs:
+    the probe-free forced modes still persist inside group_rank)."""
+    from imp_etl_spark.operators.recurrence import ewma_scan
+
+    spark = get_spark("scale-experiment-ewmascan25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_ewma_")
+    base = read_table(spark, SF_DIR, "events")
+    for flavor, skew in (("uniform", False), ("skewed", True)):
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if skew:
+                shifted = shifted.withColumn("user_id", F.lit(424242))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(
+            f"{big}/{flavor}/events.parquet")
+
+    def run(mode):
+        def fn(spark, sf_dir):
+            ev = read_table(spark, sf_dir, "events").where(
+                F.col("ts").isNotNull() & F.col("value").isNotNull())
+            return ewma_scan(
+                ev.select("user_id", "ts", "event_id", "value"),
+                ["user_id"], ["ts", "event_id"], "value", 0.125,
+                mode=mode).select(
+                    "user_id", "event_id", "ewma")
+        return fn
+
+    run("window")(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()  # warm codegen
+    print(f"| ewma_scan ({copies}x) | window-rank (s) | seq-rank (s) "
+          "| seq vs window |")
+    print("|---|---|---|---|")
+    rows = [("1x uniform", SF_DIR), (f"{copies}x uniform",
+                                     f"{big}/uniform")]
+    sk = read_table(spark, f"{big}/skewed", "events")
+    nbig = sk.count()
+    dom = sk.filter(F.col("user_id") == 424242).count()
+    rows.append((f"{copies}x skewed (~{dom / nbig:.0%} one user)",
+                 f"{big}/skewed"))
+    for label, d in rows:
+        tw = time_query(run("window"), spark, d, eager=True)
+        ts_ = time_query(run("seq"), spark, d, eager=True)
+        print(f"| {label} | {tw:.2f} | {ts_:.2f} | {ts_ / tw:.2f} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("SCALE_LAGSKEW25"):
+    if os.environ.get("SCALE_EWMASCAN25"):
+        main_ewmascan25x()
+    elif os.environ.get("SCALE_LAGDISPATCH25"):
+        main_lagdispatch25x()
+    elif os.environ.get("SCALE_LAGSKEW25"):
         main_lagskew25x()
     elif os.environ.get("SCALE_MADSKEW25"):
         main_madskew25x()
