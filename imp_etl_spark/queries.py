@@ -1266,116 +1266,89 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-8 window (VERDICT.md r7, next-round items 1 and 8): registry
-    # frozen at 150, so the 50-slot budget is (a) entries whose code or
-    # oracle changed THIS round, then (b) the verdict's rotation order —
-    # ALL 14 r4-era greens (merge/sink family first), then the r5-era
-    # tier alphabetically until the window fills. After this rotation no
-    # entry's latest green predates r5 except the four r5 rows displaced
-    # to position 51+, which already satisfy the >= r5 floor.
-    # -- (1) changed in round 8 (tools/staleness_audit.py vs 39ab976):
-    #    mad_outliers' rank-pick moved from per-group row_number windows
-    #    to (group, value)-count prefix sums (skew-immune — measured
-    #    2.31x single-task penalty at 25x with ~97% one-group skew,
-    #    SCALING.md); its one registered consumer re-rows:
-    "outlier_events_mad",
-    #    resample_ffill moved from the single-level sequence()+asof
-    #    grid to the two-level chunked grid with per-chunk carry
-    #    (span-skew-immune — a 200-year minute-step key was ONE ~100M
-    #    element array and ONE fill task; SCALING.md round 8), so its
-    #    consumer re-rows:
-    "resample_ffill_hourly",
-    #    asof_join moved from the per-key hash window to the range
-    #    partitioning on (key, ts, side) with a driver-chained
-    #    per-partition carry (hot-key-immune; SCALING.md round 8), so
-    #    both its consumers re-row:
-    "asof_click_before_purchase", "attribution_last_touch",
-    #    the giant-group rank class (returnflag/source-keyed
-    #    row_number/percent_rank windows over corpus-sized groups)
-    #    moved to count-collapse / group_rank prefix sums
-    #    (SCALING.md round 8), so its three consumers re-row:
-    "agg_percentiles_disc", "quality_percentile_filter",
-    "corpus_curation_funnel",
-    #    the lag class gained its machinery late in round 8 (seq_lag:
-    #    range partitioning + k-boundary-row exchange with
-    #    driver-chained carry, operators/window.py); its first rewired
-    #    consumer re-rows (it was already inside this window at the
-    #    r5-fill position, so the 50-entry window SET is unchanged —
-    #    the entry only moves up to the changed group):
-    "event_type_transitions",
-    # -- (2) the 14 r4-era greens, merge/sink family leading (the r7
-    #    verdict's explicit order), the rest alphabetical:
-    "j4_merge_preview",
-    "doc_token_rarity", "ngram_novelty", "oov_rate_docs",
-    "passage_dedup_docs", "profile_orders", "q20_bolt_suppliers",
-    "q2_min_cost_supplier", "rolling_24h_user_value",
-    "shard_documents_balanced", "split_train_counts", "tfidf_top_term",
-    "user_activity_streaks", "weighted_sample_docs",
-    # -- (3) r5-era fill, alphabetical (outlier_events_mad already
-    #    leads as a changed entry; the last four alphabetical r5 rows
-    #    — text_stats, top_event_paths, twap_user_value,
-    #    zorder_events_layout — are displaced to 51+, and the round-8
-    #    asof_join change promotes its two consumers to the changed
-    #    group, displacing srp_bucket_topk and stream_incremental_view
-    #    to 51/52 as well; every displaced row already holds an r5
-    #    green, so the >= r5 recency floor survives the displacement):
-    "agg_stats_moments", "ann_cosine_topk", "customer_order_gaps",
-    "doc_length_quartile_bins", "dup_rate_by_source",
-    "embedding_near_dup",
-    "events_inactivity_churn", "events_session_10m",
-    "events_sliding_1h_30m", "events_tumbling_1h",
-    "events_value_histogram", "events_wow_growth",
-    "funnel_signup_purchase", "incremental_agg_merge",
-    "ivf_cosine_topk", "ivf_indexed_topk", "jaccard_sampled_pairs",
-    "lang_confusion_matrix", "nation_supplier_hhi",
-    "orders_backlog_aging", "outlier_events_zscore",
-    "peak_click_concurrency", "per_group_trend", "pivot_status_counts",
-    "q12_priority_class", "s2_paginated_scan",
-    "scd2_user_state", "seasonal_anomaly_events", "simhash_docs",
-    "simhash_near_dup", "skew_profile_orders_custkey", "srp_bucket_topk",
-    "stream_incremental_view",
-    # -- position 51+: the r9 backfill queue if the budget exceeds 50 —
-    #    the four displaced r5-era rows, then the r6-era tier, then the
-    #    r7-era tier (alphabetical within era; the two rows-only
-    #    entries agg_approx_stats / math_transcendental ride in their
-    #    r7 positions)
-    "text_stats", "top_event_paths", "twap_user_value",
+    # round-9 window (VERDICT.md r8, next-round items 1-3): registry
+    # frozen at 150, so the 50-slot budget is (a) the 7 entries whose
+    # code changed this round, (b) the verdict's rotation order — the
+    # 7 remaining r5-era greens, the two rows-only entries for a fresh
+    # rows check, then the r6-era tier alphabetically until the window
+    # fills (34 of 42; ewma_user_value rides here — item 3's
+    # re-green). After this rotation the latest-green floor is r6.
+    # -- (1) changed in round 9 (tools/staleness_audit.py vs 88e289f):
+    #    the lag-class dispatch rewires (twap, top_event_paths,
+    #    customer_order_gaps, win_lag_lead, and the two
+    #    state_intervals consumers scd2_user_state /
+    #    peak_click_concurrency), plus event_type_transitions whose
+    #    seq_lag machinery took the round-9 payload-dedupe /
+    #    multi-offset / direction-aware-collect fixes:
+    "customer_order_gaps", "event_type_transitions",
+    "peak_click_concurrency", "scd2_user_state", "top_event_paths",
+    "twap_user_value", "win_lag_lead",
+    # -- (2) the 7 remaining r5-era greens (twap/top_event_paths moved
+    #    to the changed group above):
+    "simhash_docs", "simhash_near_dup", "skew_profile_orders_custkey",
+    "srp_bucket_topk", "stream_incremental_view", "text_stats",
     "zorder_events_layout",
+    #    the two permanently rows-only entries (approximate by
+    #    contract / libm ULPs — VERDICT r8 "What's wrong" item 3):
+    #    fresh rows-only check this round:
+    "agg_approx_stats", "math_transcendental",
+    # -- (3) r6-era fill, alphabetical (34 slots; win_lag_lead already
+    #    leads as a changed entry):
     "agg_cube", "agg_distinct_customers", "agg_exact_median",
-    "agg_grouping_sets", "agg_rollup",
-    "bpe_token_count", "chunk_documents", "date_funcs_suite",
-    "dq_rule_violations", "events_dau_wau", "ewma_user_value",
-    "fuzzy_part_pairs", "hof_array_suite", "j1_lookup_inner",
-    "json_extract_props", "math_funcs_suite", "mixture_by_source",
-    "multimodal_features", "multimodal_frame_sample",
-    "nested_types_suite", "null_cond_suite", "pack_sequences",
-    "parts_pareto_cumshare", "pii_redact_docs", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "range_clicks_before_purchase", "regex_funcs_suite",
-    "rfm_customer_segments", "salted_skew_agg", "snm_part_pairs",
-    "stateful_user_stats", "stratified_sample_langs",
-    "string_funcs_suite", "t_time_format_suite", "text_quality_gopher",
-    "unpivot_measures", "win_lag_lead", "win_percentile_position",
-    "win_rank_dense", "win_running_sum",
-    "a2_processed_skipped", "agg_approx_stats", "basket_part_pairs_lift",
-    "bpe_pair_counts", "cap_docs_per_source", "cohort_retention_daily",
-    "contamination_overlap",
-    "cross_corpus_survivors", "dedup_cluster_assign",
-    "dedup_exact_content", "dedup_exact_group", "dedup_latest_per_key",
-    "dedup_pipeline_survivors", "doc_quality", "events_rollup_hour_day",
-    "explode_tokens", "fingerprint_docs", "j1_lookup_semi_join",
-    "j2_exists_composite", "j3_anti_missing", "lang_id_docs",
-    "log_parse_tail", "math_transcendental", "minhash_lsh_pairs",
+    "agg_grouping_sets", "agg_rollup", "bpe_token_count",
+    "chunk_documents", "date_funcs_suite", "dq_rule_violations",
+    "events_dau_wau", "ewma_user_value", "fuzzy_part_pairs",
+    "hof_array_suite", "j1_lookup_inner", "json_extract_props",
+    "math_funcs_suite", "mixture_by_source", "multimodal_features",
+    "multimodal_frame_sample", "nested_types_suite", "null_cond_suite",
+    "pack_sequences", "parts_pareto_cumshare", "pii_redact_docs",
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "range_clicks_before_purchase",
+    "regex_funcs_suite", "rfm_customer_segments", "salted_skew_agg",
+    "snm_part_pairs", "stateful_user_stats",
+    # -- position 51+: the r10 backfill queue — the 8 r6-era rows the
+    #    50-slot budget displaced, then the r7 tier, then the r8 tier
+    #    (alphabetical within era):
+    "stratified_sample_langs", "string_funcs_suite",
+    "t_time_format_suite", "text_quality_gopher", "unpivot_measures",
+    "win_percentile_position", "win_rank_dense", "win_running_sum",
+    "a2_processed_skipped", "basket_part_pairs_lift", "bpe_pair_counts",
+    "cap_docs_per_source", "cohort_retention_daily",
+    "contamination_overlap", "cross_corpus_survivors",
+    "dedup_cluster_assign", "dedup_exact_content", "dedup_exact_group",
+    "dedup_latest_per_key", "dedup_pipeline_survivors", "doc_quality",
+    "events_rollup_hour_day", "explode_tokens", "fingerprint_docs",
+    "j1_lookup_semi_join", "j2_exists_composite", "j3_anti_missing",
+    "lang_id_docs", "log_parse_tail", "minhash_lsh_pairs",
     "q10_returned_items", "q11_important_balance",
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q1_pricing_summary",
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q9_product_profit",
-    "s1_workqueue_count", "setops_suite", "split_hash_counts",
-    "stream_dedup_events", "stream_interval_join", "t_cleanse_suite",
-    "topk_orders", "win_topn_per_group", "word_counts_top50",
+    "q9_product_profit", "s1_workqueue_count", "setops_suite",
+    "split_hash_counts", "stream_dedup_events", "stream_interval_join",
+    "t_cleanse_suite", "topk_orders", "win_topn_per_group",
+    "word_counts_top50",
+    "agg_percentiles_disc", "agg_stats_moments", "ann_cosine_topk",
+    "asof_click_before_purchase", "attribution_last_touch",
+    "corpus_curation_funnel", "doc_length_quartile_bins",
+    "doc_token_rarity", "dup_rate_by_source", "embedding_near_dup",
+    "events_inactivity_churn", "events_session_10m",
+    "events_sliding_1h_30m", "events_tumbling_1h",
+    "events_value_histogram", "events_wow_growth",
+    "funnel_signup_purchase", "incremental_agg_merge",
+    "ivf_cosine_topk", "ivf_indexed_topk", "jaccard_sampled_pairs",
+    "j4_merge_preview", "lang_confusion_matrix", "nation_supplier_hhi",
+    "ngram_novelty", "oov_rate_docs", "orders_backlog_aging",
+    "outlier_events_mad", "outlier_events_zscore", "passage_dedup_docs",
+    "per_group_trend", "pivot_status_counts", "profile_orders",
+    "q12_priority_class", "q20_bolt_suppliers", "q2_min_cost_supplier",
+    "quality_percentile_filter", "resample_ffill_hourly",
+    "rolling_24h_user_value", "s2_paginated_scan",
+    "seasonal_anomaly_events", "shard_documents_balanced",
+    "split_train_counts", "tfidf_top_term", "user_activity_streaks",
+    "weighted_sample_docs",
 ]
 
 
