@@ -101,7 +101,21 @@ def ewma_scan(df: DataFrame, keys: Sequence[str],
     keys = list(keys)
     order_cols = list(order_cols)
 
-    mode = resolve_lag_mode(df.select(*keys), keys, mode=mode)
+    # EWMA has its own dispatch threshold (conf
+    # spark.imp_etl.ewmaScan.threshold, default 0.9): its seq-rank tax
+    # is steeper than the lag class's (group_rank's prefix_sum persists
+    # and re-joins the whole frame: measured 2.8x at 100x uniform vs
+    # seq_lag's ~2x) and its measured crossover sits at near-total
+    # shares on test-scale keys — parity at a 96%-share 2.4M-row key,
+    # seq 0.74x ahead at a 99%-share 10M-row key (SCALING.md r9) —
+    # moving lower as the hot key's ABSOLUTE size grows (the window
+    # rank is a one-task sort, linear in the key). High threshold =
+    # the bounded ~2.8x insurance only engages where the unbounded
+    # straggler is plausible.
+    thr = float(df.sparkSession.conf.get(
+        "spark.imp_etl.ewmaScan.threshold", "0.9"))
+    mode = resolve_lag_mode(df.select(*keys), keys, mode=mode,
+                            threshold=thr)
     if mode == "window":
         w = Window.partitionBy(*keys).orderBy(
             *[F.col(c).asc() for c in order_cols])
