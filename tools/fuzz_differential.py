@@ -115,7 +115,8 @@ def _ts(rng: random.Random):
 
 
 def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
-                hot: bool = False) -> None:
+                hot: bool = False, edge: bool = False,
+                embhot: bool = False) -> None:
     # scale > 1 ("big seeds"): every LIMIT/OFFSET/cap boundary in the
     # registry is dead code at the default cardinalities — the paginated
     # scan pages at offset=100/limit=200 over <=80 orders, the top-100 /
@@ -181,8 +182,32 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
     # regenerating their exact fixtures (the r8 advice flagged
     # unguarded stream drift on the dangling-FK change; not repeating
     # that)
+    # EDGE MODE (round 9, --edge; seed namespace 4001+): the class r8's
+    # machinery CREATED — a hot key whose rows straddle range-partition
+    # edges with DUPLICATE order-column values adjacent to the edge.
+    # seq_lag's uniqueness contract (satisfied by the consumers' id
+    # tie-breaks, not by distinct timestamps), asof's carry chain and
+    # group_rank's offset join all have edge logic exactly there; the
+    # r8 --hotkey class concentrated keys but drew near-distinct
+    # timestamps, so a partition cut almost never fell INSIDE a run of
+    # equal order values. Under edge=True the hot user's events (and
+    # the null-user mass, itself a real seq_lag group) draw timestamps
+    # from a 3-instant pool, and the hot customer's order dates
+    # likewise (customer_order_gaps lags o_orderdate) — with 32 range
+    # partitions over the hot key's run, every cut lands in a tie
+    # burst. edge implies the hot concentration. All new draws are
+    # flag-guarded: hot/standard streams stay byte-identical.
+    hot = hot or edge
     hot_user = rng.randint(1, 29) if hot else None
     hot_cust = rng.randint(1, max(n_cust, 1)) if hot else None
+    edge_ts = edge_dates = None
+    if edge:
+        edge_ts = [t for t in (_ts(rng) for _ in range(8))
+                   if t is not None][:3] \
+            or [datetime.datetime(2024, 1, 15)]
+        edge_dates = [t for t in (_ts(rng) for _ in range(8))
+                      if t is not None][:3] \
+            or [datetime.datetime(2024, 1, 20)]
 
     def _uid(rng):
         if not hot:
@@ -218,7 +243,10 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
     for i in range(n_ord):
         ok = i + 1
         odate = _pts(rng)
-        orders.append((ok, _ck(rng),
+        ck = _ck(rng)
+        if edge and ck == hot_cust and rng.random() < 0.85:
+            odate = rng.choice(edge_dates)
+        orders.append((ok, ck,
                        rng.choice(["O", "F", "P", "", None]), _pval(rng),
                        odate, rng.choice(["1-URGENT", "5-LOW", "", None])))
         for ln in range(1, rng.randint(1, 4)):
@@ -250,6 +278,16 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
             text = _text(rng)
         documents.append((i + 1, text, rng.choice(LANGS),
                           _src(rng), rng.randint(0, 10000)))
+    # EMBEDDINGS-HOT MODE (round 9, --embhot; seed namespace 5001+):
+    # all-near-identical vectors — ~80% of the table is one base vector
+    # or a 1e-3 perturbation of it, so the ENTIRE mass lands in ONE SRP
+    # bucket / ONE IVF cell with razor-thin cosine margins and heavy
+    # exact ties. The r8 hotkey generator never reached the similarity
+    # tier (its duplicate-vector rate is 10% and uncorrelated); this is
+    # the similarity-tier analogue of a bot key: bucket caps, top-k
+    # tie-breaks and the brute/LSH/IVF candidate sets all get their
+    # degenerate single-bucket shape. Draws are flag-guarded as above.
+    emb_base = [rng.uniform(-1, 1) for _ in range(dim)] if embhot else None
     embeddings = []
     for i in range(n_emb):
         r = rng.random()
@@ -259,6 +297,10 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
             vec = [0.0] * dim
         elif embeddings and r < 0.20 and embeddings[-1][1] is not None:
             vec = list(embeddings[-1][1])  # duplicate vector: cosine ties
+        elif embhot and r < 0.30:
+            vec = list(emb_base)           # exact hot duplicate
+        elif embhot and r < 0.90:
+            vec = [b + rng.uniform(-1e-3, 1e-3) for b in emb_base]
         else:
             vec = [rng.uniform(-1, 1) for _ in range(dim)]
         embeddings.append((i + 1, vec, rng.randint(0, 3)))
@@ -268,14 +310,20 @@ def gen_fixture(spark, rng: random.Random, d: str, scale: int = 1,
     # exponents, duplicate keys and single quotes extract DIFFERENTLY
     # by engine design (typed Jackson vs coercing TRY_CAST) — pinned in
     # test_adversarial_events, not fixture material.
-    events = [(i + 1, _pts(rng), _uid(rng),
-               rng.choice(ETYPES), _pval(rng),
-               rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}", "[]",
-                           "garbage", "", None,
-                           ' {"k":4} ', '{"K": 3}', '{"k": [1,2]}',
-                           '{"k": null}', '{"k": 2147483648}',
-                           '{"k": 9999999999999999999}']))
-              for i in range(n_ev)]
+    events = []
+    for i in range(n_ev):
+        ts = _pts(rng)
+        uid = _uid(rng)
+        if edge and (uid == hot_user or uid is None) \
+                and rng.random() < 0.85:
+            ts = rng.choice(edge_ts)
+        events.append((i + 1, ts, uid,
+                       rng.choice(ETYPES), _pval(rng),
+                       rng.choice(['{"k": 1}', '{"k": 2, "u": "x"}', "{}",
+                                   "[]", "garbage", "", None,
+                                   ' {"k":4} ', '{"K": 3}', '{"k": [1,2]}',
+                                   '{"k": null}', '{"k": 2147483648}',
+                                   '{"k": 9999999999999999999}'])))
 
     data = {"region": region, "nation": nation, "customer": customer,
             "supplier": supplier, "part": part, "orders": orders,
@@ -325,7 +373,8 @@ def _rows_match(sn, dn) -> list:
 
 
 def run_seed(spark, seed: int, workers: int = 8,
-             scale: int = 1, hot: bool = False) -> list[tuple]:
+             scale: int = 1, hot: bool = False, edge: bool = False,
+             embhot: bool = False) -> list[tuple]:
     import duckdb
 
     from imp_etl_spark.queries import REGISTRY
@@ -333,7 +382,8 @@ def run_seed(spark, seed: int, workers: int = 8,
     rng = random.Random(seed)
     d = tempfile.mkdtemp(prefix=f"sf_fuzz_{seed}_")
     try:
-        gen_fixture(spark, rng, d, scale=scale, hot=hot)
+        gen_fixture(spark, rng, d, scale=scale, hot=hot, edge=edge,
+                    embhot=embhot)
         con = duckdb.connect()
         for t in schemas.FIXTURE_TABLES:
             con.execute(
@@ -396,13 +446,26 @@ def main() -> int:
                          "of orders on one customer, and ~70%% of docs "
                          "on one source (skew class for the r8 "
                          "range+carry and rank-prefix machineries)")
+    ap.add_argument("--edge", action="store_true",
+                    help="hot-key concentration PLUS tie-burst order "
+                         "columns: the hot user's event timestamps and "
+                         "the hot customer's order dates draw from a "
+                         "3-instant pool, so range-partition cuts land "
+                         "inside runs of duplicate order values — the "
+                         "seq_lag/asof/group_rank edge-logic class")
+    ap.add_argument("--embhot", action="store_true",
+                    help="~80%% of embedding vectors are one base "
+                         "vector or a 1e-3 perturbation of it — the "
+                         "single-SRP-bucket / single-IVF-cell class "
+                         "for the similarity tier")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
     failed = False
     for seed in args.seeds:
         bad = run_seed(spark, seed, workers=args.workers,
-                       scale=args.scale, hot=args.hotkey)
+                       scale=args.scale, hot=args.hotkey,
+                       edge=args.edge, embhot=args.embhot)
         print(f"seed {seed}: {'CLEAN' if not bad else f'{len(bad)} findings'}")
         for b in bad:
             print("  " + " | ".join(str(x) for x in b))
