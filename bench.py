@@ -139,8 +139,12 @@ def main() -> None:
     cal = None
     for _ in range(2):
         t0 = time.perf_counter()
+        # try_sum, not sum: 2e8 random 64-bit hashes overflow a signed
+        # long almost surely, and ANSI mode (Spark 4 default) would
+        # abort the whole bench for a job whose RESULT is discarded —
+        # only its wall time matters
         spark.range(200_000_000).select(
-            F.sum(F.xxhash64("id")).alias("h")).write.format(
+            F.try_sum(F.xxhash64("id")).alias("h")).write.format(
             "noop").mode("overwrite").save()
         cal = min(cal or 9e9, time.perf_counter() - t0)
     calibration = round(cal, 3)
