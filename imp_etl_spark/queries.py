@@ -1281,8 +1281,13 @@ _DRIVER_WINDOW_FIRST = [
     #    seq_lag machinery took the round-9 payload-dedupe /
     #    multi-offset / direction-aware-collect fixes:
     "customer_order_gaps", "event_type_transitions",
-    "peak_click_concurrency", "scd2_user_state", "top_event_paths",
-    "twap_user_value", "win_lag_lead",
+    "peak_click_concurrency", "regex_funcs_suite", "scd2_user_state",
+    "top_event_paths", "twap_user_value", "win_lag_lead",
+    #    (regex_funcs_suite joined the changed group mid-round-9: fuzz
+    #    seed 2018 found its SIMILAR TO oracle diverging from Java $
+    #    end-anchoring on newline-bearing texts; both sides now use the
+    #    engine-portable \z — it vacates its alphabetical r6-fill slot
+    #    below, so the 50-set is unchanged)
     # -- (2) the 7 remaining r5-era greens (twap/top_event_paths moved
     #    to the changed group above):
     "simhash_docs", "simhash_near_dup", "skew_profile_orders_custkey",
@@ -1304,7 +1309,7 @@ _DRIVER_WINDOW_FIRST = [
     "pack_sequences", "parts_pareto_cumshare", "pii_redact_docs",
     "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "range_clicks_before_purchase",
-    "regex_funcs_suite", "rfm_customer_segments", "salted_skew_agg",
+    "rfm_customer_segments", "salted_skew_agg",
     "snm_part_pairs", "stateful_user_stats",
     # -- position 51+: the r10 backfill queue — the 8 r6-era rows the
     #    50-slot budget displaced, then the r7 tier, then the r8 tier

@@ -58,6 +58,13 @@ ADVERSARIAL_TEXTS = [
     "MiXeD CaSe wEiRd TeXt",
     "email test@example.com phone 555-123-4567 ssn 123-45-6789",
     "\x01low\x02control\x03chars\x04",      # C0 control bytes
+    # fuzz seed 2018 (round 9): sentence punctuation at end-of-text
+    # with an EMBEDDED newline earlier, and punctuation followed by a
+    # trailing newline — the two end-anchor divergence shapes (Java $
+    # matches before a final line terminator, RE2 $ does not; SIMILAR
+    # TO is implicitly anchored so its .* cannot cross a newline)
+    "of and the .. the xy line\nbreak ; data in .",
+    "ends with punct then newline.\n",
 ]
 
 _OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -123,6 +130,51 @@ def test_query_matches_oracle_on_adversarial_text(spark, adv_duck,
         (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_regex_end_anchor_engine_boundary(spark, tmp_path):
+    """Curated regression for fuzz seed 2018 (round 9): 'ends with
+    sentence punctuation' must mean the same thing in Java regex and
+    RE2. Java's ``$`` (no MULTILINE) matches before a FINAL line
+    terminator; RE2's ``$`` matches only at end of text; ``SIMILAR
+    TO`` is implicitly anchored, so a ``.*`` prefix cannot cross an
+    embedded newline — three different answers for texts like
+    ``'line\\nbreak .'`` (old oracle said False, Spark said True) and
+    ``'abc.\\n'`` (Java True, RE2 False). The portable anchor is
+    ``\\z`` — end of text in BOTH engines — which regex_funcs_suite
+    now uses on both sides. Every row here passes the query's
+    ``doc_id % 10 = 0`` gate so the whole class is exercised."""
+    import os as _os
+
+    import duckdb
+
+    texts = [
+        "of and the .. the xy line\nbreak ; data in .",  # the finding
+        "abc.",           # plain end punct — True
+        "abc.\n",         # punct then trailing newline — False (\z)
+        "a\nb?",          # embedded newline, ends with punct — True
+        "!\n!",           # punct both sides of a newline — True
+        "no punct",       # False
+        "\n",             # newline only — False
+        "",               # empty — False
+    ]
+    d = tmp_path / "sf_anchor"
+    rows = [((i + 1) * 10, t, "en", "web", len(t))
+            for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, schemas.FIXTURE_TABLES["documents"]) \
+        .write.mode("overwrite").parquet(
+            _os.path.join(str(d), "documents.parquet"))
+    fn, sql = REGISTRY["regex_funcs_suite"]
+    got_s = {r["doc_id"]: r["ends_sentence"]
+             for r in fn(spark, str(d)).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    got_d = {r[0]: r[6] for r in con.sql(sql).fetchall()}
+    want = {(i + 1) * 10: t.endswith((".", "!", "?"))
+            for i, t in enumerate(texts)}
+    assert got_s == want, got_s
+    assert got_d == want, got_d
 
 
 def test_case_folding_engine_boundary(spark):

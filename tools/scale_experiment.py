@@ -595,7 +595,7 @@ def main_lagdispatch25x() -> None:
             finally:
                 spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
         picked = ("seq" if share >= float(spark.conf.get(
-            "spark.imp_etl.lagDispatch.threshold", "0.5")) else "window")
+            "spark.imp_etl.lagDispatch.threshold", "0.34")) else "window")
         print(f"| {name} | {share:.1%} | {times['window']:.2f} "
               f"| {times['seq']:.2f} | {times['auto']:.2f} | {picked} |")
     shutil.rmtree(big, ignore_errors=True)
