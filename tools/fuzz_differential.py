@@ -458,9 +458,19 @@ def main() -> int:
                          "vector or a 1e-3 perturbation of it — the "
                          "single-SRP-bucket / single-IVF-cell class "
                          "for the similarity tier")
+    ap.add_argument("--lag-mode", choices=("auto", "window", "seq"),
+                    default="auto",
+                    help="force the lag-class dispatch: 'seq' on "
+                         "STANDARD (near-uniform) fixtures drives "
+                         "seq_lag's multi-key carry chain — many short "
+                         "keys straddling each range-partition edge, "
+                         "the opposite degenerate shape from --edge's "
+                         "one hot key (seed namespace 901+)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
+    if args.lag_mode != "auto":
+        spark.conf.set("spark.imp_etl.lagDispatch.mode", args.lag_mode)
     failed = False
     for seed in args.seeds:
         bad = run_seed(spark, seed, workers=args.workers,
