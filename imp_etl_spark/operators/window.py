@@ -19,6 +19,7 @@ the partition key — the normal analytic shape.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
@@ -409,8 +410,35 @@ def group_rank(df: DataFrame, group_cols: Sequence[str],
     )
 
 
+#: Probe memo (round 9): within one driver session several dispatch
+#: consumers probe SEMANTICALLY IDENTICAL frames (twap /
+#: top_event_paths / state_intervals all probe events.user_id under a
+#: ts-not-null filter) — at 100 TB each redundant probe re-reads the
+#: key column of the whole table. Keyed the way Spark's own
+#: CacheManager keys cached plans: the analyzed plan's semanticHash,
+#: confirmed by sameResult (expression ids are normalized there, so
+#: two separate read_table calls over the same path DO hit). Staleness
+#: is benign BY CONSTRUCTION: the memoized value only ever picks the
+#: window-vs-seq plan, and both plans are value-exact — a stale hit
+#: can cost a suboptimal shape for one run, never a wrong answer.
+#: Released with the same between-run hygiene as the dedup artifact
+#: memo (plans/control.py / streaming/etl_stream.py hooks).
+_PROBE_MEMO: dict[tuple[int, float], list] = {}
+_PROBE_MEMO_LOCK = threading.Lock()
+
+
+def release_probe_memo() -> int:
+    """Drop memoized top_key_share decisions (between-run hygiene for
+    long-lived drivers); returns the number of entries released."""
+    with _PROBE_MEMO_LOCK:
+        n = sum(len(v) for v in _PROBE_MEMO.values())
+        _PROBE_MEMO.clear()
+    return n
+
+
 def top_key_share(df: DataFrame, keys: Sequence[str],
-                  support: float = 0.125) -> tuple[float, object]:
+                  support: float = 0.125,
+                  memo: bool = True) -> tuple[float, object]:
     """Cheap exact-verified probe of the hottest key's row share, for
     skew dispatch decisions.
 
@@ -432,22 +460,44 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
 
     Returns ``(share, key_string)`` of the hottest verified candidate,
     or ``(0.0, None)`` when no key exceeds ``support`` / df is empty.
+
+    ``memo=True`` (default) memoizes the result per (analyzed-plan,
+    support) for the life of the session — see ``_PROBE_MEMO`` above:
+    hits are confirmed by Spark's own plan-equality (``semanticHash``
+    + ``sameResult``, expression ids normalized), staleness can only
+    mis-pick a plan (both are value-exact), and ``release_probe_memo``
+    clears it with the rest of the between-run hygiene. The JVM plan
+    introspection is guarded — any failure just means a probe run.
     """
     kc = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in keys])
     keyed = df.select(kc.alias("__k"))
+    jplan = memo_key = None
+    if memo:
+        try:
+            jplan = keyed._jdf.queryExecution().analyzed()
+            memo_key = (int(jplan.semanticHash()), float(support))
+            with _PROBE_MEMO_LOCK:
+                for p, res in _PROBE_MEMO.get(memo_key, []):
+                    if p.sameResult(jplan):
+                        return res
+        except Exception:  # noqa: BLE001 — connect/api drift: probe runs
+            jplan = None
     cand = keyed.stat.freqItems(["__k"], support).collect()[0][0]
-    if not cand:
-        return 0.0, None
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.when(F.col("__k") == F.lit(c), 1).otherwise(0))
-        .alias(f"__c{i}")
-        for i, c in enumerate(cand)]
-    r = keyed.agg(*aggs).collect()[0]
-    if not r["__n"]:
-        return 0.0, None
-    share, top = max(
-        ((r[f"__c{i}"] or 0) / r["__n"], c) for i, c in enumerate(cand))
-    return share, top
+    res = (0.0, None)
+    if cand:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.when(F.col("__k") == F.lit(c), 1).otherwise(0))
+            .alias(f"__c{i}")
+            for i, c in enumerate(cand)]
+        r = keyed.agg(*aggs).collect()[0]
+        if r["__n"]:
+            res = max(
+                ((r[f"__c{i}"] or 0) / r["__n"], c)
+                for i, c in enumerate(cand))
+    if jplan is not None:
+        with _PROBE_MEMO_LOCK:
+            _PROBE_MEMO.setdefault(memo_key, []).append((jplan, res))
+    return res
 
 
 def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],

@@ -40,10 +40,14 @@ def _release_query_caches() -> int:
     queries with scheduled ETL epochs would grow that registry without
     bound; releasing here (after every run_once and every scheduled
     epoch) keeps it empty between runs. Cheap no-op (returns 0) when no
-    dedup query ran since the last release."""
+    dedup query ran since the last release. Also drops the lag-dispatch
+    probe memo (round 9) so the next run re-probes fresh data — memo
+    staleness is benign (plan choice only) but a scheduled driver sees
+    new data every epoch, and the fresh probe is two map-side passes."""
+    from imp_etl_spark.operators.window import release_probe_memo
     from imp_etl_spark.queries_llm import release_dedup_caches
 
-    return release_dedup_caches()
+    return release_dedup_caches() + release_probe_memo()
 
 
 class EtlController:

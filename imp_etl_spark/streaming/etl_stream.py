@@ -49,9 +49,10 @@ def _release_dedup_caches_hook() -> int:
     query ran since the last release. Late import: queries_llm pulls
     in the full query surface, which streaming callers shouldn't pay
     for at import time."""
+    from imp_etl_spark.operators.window import release_probe_memo
     from imp_etl_spark.queries_llm import release_dedup_caches
 
-    return release_dedup_caches()
+    return release_dedup_caches() + release_probe_memo()
 
 
 def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,

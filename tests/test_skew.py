@@ -68,6 +68,52 @@ def test_top_key_share_probe(spark):
     assert top_key_share(empty, ["user"]) == (0.0, None)
 
 
+def test_top_key_share_memo(spark, tmp_path):
+    """The probe memo (round 9): a semantically identical frame read
+    SEPARATELY from the same path must hit (expression ids are
+    normalized by semanticHash/sameResult), different supports must
+    not cross-hit, memo=False must bypass, and release_probe_memo
+    must clear. Proven by poisoning: a sentinel planted under the
+    first probe's memo slot comes back from the second, semantically
+    equal probe — only a real lookup can return it."""
+    from imp_etl_spark.operators.window import (
+        _PROBE_MEMO,
+        release_probe_memo,
+        top_key_share,
+    )
+
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [("hot" if i % 4 else f"u{i}", i) for i in range(400)],
+        "user STRING, x LONG").write.parquet(p)
+    release_probe_memo()
+
+    probe1 = spark.read.parquet(p).select("user")
+    share, key = top_key_share(probe1, ["user"])
+    assert key == "hot" and abs(share - 0.75) < 1e-12
+    assert sum(len(v) for v in _PROBE_MEMO.values()) == 1
+
+    # poison the stored result; a fresh, separately-read but
+    # semantically identical probe must return the sentinel
+    slot = next(iter(_PROBE_MEMO.values()))
+    slot[0] = (slot[0][0], (0.4242, "sentinel"))
+    probe2 = spark.read.parquet(p).select("user")
+    assert top_key_share(probe2, ["user"]) == (0.4242, "sentinel")
+
+    # a different support is a different decision — no cross-hit
+    share3, key3 = top_key_share(probe2, ["user"], support=0.3)
+    assert key3 == "hot" and abs(share3 - 0.75) < 1e-12
+
+    # memo=False bypasses the (still poisoned) slot
+    share4, key4 = top_key_share(probe2, ["user"], memo=False)
+    assert key4 == "hot" and abs(share4 - 0.75) < 1e-12
+
+    # release clears; the next probe recomputes the true value
+    assert release_probe_memo() >= 2
+    assert top_key_share(probe2, ["user"])[1] == "hot"
+    release_probe_memo()
+
+
 def test_lag_dispatch_modes_and_auto(spark):
     """lag_dispatch: the window and seq shapes are value-identical;
     auto picks seq on a hot-key frame and window on a uniform one
