@@ -568,7 +568,9 @@ def lag_dispatch(df: DataFrame, keys: Sequence[str],
     projection) when ``df`` already carries upstream work that the
     probe shouldn't recompute. Build-time jobs: in auto mode the probe
     runs 2 tiny jobs when the plan is BUILT (same eager-measurement
-    rule as seq_lag).
+    rule as seq_lag) — once per distinct probe frame per session:
+    repeat builds over a semantically identical frame hit the probe
+    memo (``_PROBE_MEMO`` above) and run no jobs at all.
     """
     mode = resolve_lag_mode(probe if probe is not None else df, keys,
                             mode=mode, threshold=threshold,

@@ -175,8 +175,13 @@ def test_logs_roundtrip_last100_reversed(server):
     assert out["count"] == 0
 
 
-def _read_sse_events(sock_file, want: int, timeout: float = 10):
-    """Parse up to ``want`` SSE events from a socket file object."""
+def _read_sse_events(sock_file, want: int, timeout: float = 30):
+    """Parse up to ``want`` SSE events from a socket file object.
+
+    Returns as soon as ``want`` events arrive, so the deadline is pure
+    headroom: 30 s matches the socket timeout (a 10 s default flaked
+    once in round 9 when host-level contention — bench calibration
+    7x its baseline — stretched the server's tail-poll past it)."""
     events, event, data = [], None, None
     deadline = time.time() + timeout
     while len(events) < want and time.time() < deadline:
