@@ -720,9 +720,15 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     never does on additional_info MEDIUMTEXT (SURVEY.md §2.5 note)."""
     ev = read_table(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    # accumulate in DECIMAL(38,0), cast the FINAL to long: k is a
+    # user-controlled bigint, and Spark's ANSI long SUM aborts the
+    # job when any PARTIAL crosses int64 (same class as the r9 bench
+    # calibration overflow) while the DuckDB oracle accumulates in
+    # HUGEINT and only casts the final — this matches the oracle
+    # exactly and turns an unbounded-scale abort into plain arithmetic
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(k).alias("sum_k"),
+        F.sum(k.cast("decimal(38,0)")).cast("long").alias("sum_k"),
         F.max(k).alias("max_k"),
     )
 
@@ -1281,13 +1287,19 @@ _DRIVER_WINDOW_FIRST = [
     #    seq_lag machinery took the round-9 payload-dedupe /
     #    multi-offset / direction-aware-collect fixes:
     "customer_order_gaps", "event_type_transitions",
-    "peak_click_concurrency", "regex_funcs_suite", "scd2_user_state",
+    "json_extract_props", "peak_click_concurrency", "regex_funcs_suite",
+    "rfm_customer_segments", "scd2_user_state",
     "top_event_paths", "twap_user_value", "win_lag_lead",
-    #    (regex_funcs_suite joined the changed group mid-round-9: fuzz
-    #    seed 2018 found its SIMILAR TO oracle diverging from Java $
-    #    end-anchoring on newline-bearing texts; both sides now use the
-    #    engine-portable \z — it vacates its alphabetical r6-fill slot
-    #    below, so the 50-set is unchanged)
+    #    (three more entries joined the changed group mid-round-9, each
+    #    vacating its alphabetical r6-fill slot below so the 50-SET is
+    #    unchanged: regex_funcs_suite — fuzz seed 2018 found its
+    #    SIMILAR TO oracle diverging from Java $ end-anchoring on
+    #    newline-bearing texts, both sides now use the engine-portable
+    #    \z; json_extract_props and rfm_customer_segments — their
+    #    long-valued SUMs now accumulate in DECIMAL(38,0) and cast the
+    #    FINAL to long, matching the oracle's HUGEINT-accumulate
+    #    semantics instead of aborting when a bot key's PARTIAL
+    #    crosses int64)
     # -- (2) the 7 remaining r5-era greens (twap/top_event_paths moved
     #    to the changed group above):
     "simhash_docs", "simhash_near_dup", "skew_profile_orders_custkey",
@@ -1303,13 +1315,13 @@ _DRIVER_WINDOW_FIRST = [
     "agg_grouping_sets", "agg_rollup", "bpe_token_count",
     "chunk_documents", "date_funcs_suite", "dq_rule_violations",
     "events_dau_wau", "ewma_user_value", "fuzzy_part_pairs",
-    "hof_array_suite", "j1_lookup_inner", "json_extract_props",
+    "hof_array_suite", "j1_lookup_inner",
     "math_funcs_suite", "mixture_by_source", "multimodal_features",
     "multimodal_frame_sample", "nested_types_suite", "null_cond_suite",
     "pack_sequences", "parts_pareto_cumshare", "pii_redact_docs",
     "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "range_clicks_before_purchase",
-    "rfm_customer_segments", "salted_skew_agg",
+    "salted_skew_agg",
     "snm_part_pairs", "stateful_user_stats",
     # -- position 51+: the r10 backfill queue — the 8 r6-era rows the
     #    50-slot budget displaced, then the r7 tier, then the r8 tier

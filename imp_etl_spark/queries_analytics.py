@@ -1170,7 +1170,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.max(F.to_date("o_orderdate")))
               .alias("recency_days"),
               F.count(F.lit(1)).alias("frequency"),
-              F.sum(cents).alias("monetary_cents"))
+              # DECIMAL(38,0) accumulate, final cast to long — the
+              # oracle SUMs these per-row bigint cents in HUGEINT and
+              # casts only the total; Spark's ANSI long SUM would
+              # instead abort when a 1e11-cent/row bot customer's
+              # PARTIAL crosses int64 (the r9 calibration-overflow
+              # class)
+              F.sum(cents.cast("decimal(38,0)")).cast("long")
+              .alias("monetary_cents"))
          .persist())
     n = c.agg(F.count(F.lit(1)).alias("n"))
 
@@ -1205,7 +1212,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
         .groupBy("r_bin", "f_bin", "m_bin")
         .agg(F.count(F.lit(1)).alias("customers"),
-             F.sum("monetary_cents").alias("segment_cents"))
+             # same wide-accumulate contract as monetary_cents above
+             F.sum(F.col("monetary_cents").cast("decimal(38,0)"))
+             .cast("long").alias("segment_cents"))
     )
 
 

@@ -56,3 +56,31 @@ def test_quantizer_matches_duckdb_randomized(duck):
     vals += [rng.uniform(-1, 1) * 2 ** -7 for _ in range(100)]
     for v in vals:
         assert _quantize_micro([v]) == _duck_micro(duck, v), v
+
+
+def test_wide_accumulate_survives_partial_long_overflow(spark):
+    """The ANSI long-SUM abort class (round 9, found first in the
+    bench calibration job): Spark's SUM over BIGINT raises
+    ARITHMETIC_OVERFLOW the moment any PARTIAL accumulation crosses
+    int64 — even when the true total fits — while the DuckDB oracle
+    accumulates in HUGEINT and only casts the final. The registry's
+    long-valued sums over unbounded user-controlled magnitudes
+    (json_extract_props sum_k, rfm monetary/segment cents) therefore
+    accumulate in DECIMAL(38,0) and cast the FINAL to long. This pins
+    both halves: the naive expression aborts on a partial-overflow
+    layout, the wide-accumulate form returns the exact total."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    five_e18 = 5_000_000_000_000_000_000
+    rows = ([("a", five_e18)] * 3) + ([("b", -five_e18)] * 2)
+    # range partition on the group: partition holding "a" accumulates
+    # 1.5e19 > int64 max, but the true total is 5e18 — in range
+    df = spark.createDataFrame(
+        rows, "p STRING, k LONG").repartitionByRange(2, "p")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.agg(F.sum("k").alias("s")).collect()
+    got = df.agg(
+        F.sum(F.col("k").cast("decimal(38,0)")).cast("long").alias("s")
+    ).collect()[0]["s"]
+    assert got == five_e18
