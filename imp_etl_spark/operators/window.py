@@ -422,9 +422,15 @@ def group_rank(df: DataFrame, group_cols: Sequence[str],
 #: window-vs-seq plan, and both plans are value-exact — a stale hit
 #: can cost a suboptimal shape for one run, never a wrong answer.
 #: Released with the same between-run hygiene as the dedup artifact
-#: memo (plans/control.py / streaming/etl_stream.py hooks).
+#: memo (plans/control.py / streaming/etl_stream.py hooks), and CAPPED
+#: (r10, ADVICE): sessions that never hit those hooks (fuzzer sweeps,
+#: ad-hoc drivers) must not pin unbounded py4j JVM plan references —
+#: beyond ``_PROBE_MEMO_CAP`` distinct (plan-hash, support) slots the
+#: oldest slot is evicted (dict preserves insertion order). An evicted
+#: entry just re-probes on its next build; nothing can go stale-wrong.
 _PROBE_MEMO: dict[tuple[int, float], list] = {}
 _PROBE_MEMO_LOCK = threading.Lock()
+_PROBE_MEMO_CAP = 64
 
 
 def release_probe_memo() -> int:
@@ -438,7 +444,7 @@ def release_probe_memo() -> int:
 
 def top_key_share(df: DataFrame, keys: Sequence[str],
                   support: float = 0.125,
-                  memo: bool = True) -> tuple[float, object]:
+                  memo: bool = False) -> tuple[float, object]:
     """Cheap exact-verified probe of the hottest key's row share, for
     skew dispatch decisions.
 
@@ -461,8 +467,14 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
     Returns ``(share, key_string)`` of the hottest verified candidate,
     or ``(0.0, None)`` when no key exceeds ``support`` / df is empty.
 
-    ``memo=True`` (default) memoizes the result per (analyzed-plan,
-    support) for the life of the session — see ``_PROBE_MEMO`` above:
+    ``memo=True`` memoizes the result per (analyzed-plan, support) for
+    the life of the session — see ``_PROBE_MEMO`` above. The public
+    default is ``memo=False`` (r10, ADVICE): a caller using the share
+    as a MEASUREMENT over data that changed under the same plan within
+    a run must see fresh values; only the dispatch path
+    (:func:`resolve_lag_mode` / :func:`lag_dispatch`), where a stale
+    hit can at worst mis-pick between two value-exact plans, opts in.
+    Memo mechanics:
     hits are confirmed by Spark's own plan-equality (``semanticHash``
     + ``sameResult``, expression ids normalized), staleness can only
     mis-pick a plan (both are value-exact), and ``release_probe_memo``
@@ -497,7 +509,66 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
     if jplan is not None:
         with _PROBE_MEMO_LOCK:
             _PROBE_MEMO.setdefault(memo_key, []).append((jplan, res))
+            while len(_PROBE_MEMO) > _PROBE_MEMO_CAP:
+                _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
     return res
+
+
+#: Analyzed-plan node names through which Parquet footer row counts
+#: remain a sound UPPER bound on the frame's cardinality: every node
+#: here only removes or preserves rows (project/filter/limit/alias
+#: over a file relation). Joins, aggregates, generates, unions etc.
+#: can change cardinality in either direction and are deliberately
+#: absent — any unlisted node disables the metadata bound entirely.
+_SCAN_SAFE_NODES = frozenset({
+    "Project", "Filter", "SubqueryAlias", "View", "Relation",
+    "LogicalRelation", "GlobalLimit", "LocalLimit", "Sort",
+    "Deduplicate", "Distinct", "Sample",
+})
+
+
+def _rows_at_most(df: DataFrame, limit: int,
+                  max_files: int = 512) -> bool:
+    """Driver-side, job-free check: is ``df``'s row count provably
+    <= ``limit``, from Parquet footer metadata alone?
+
+    True only when (a) the analyzed plan is a pure scan pipeline
+    (every node in ``_SCAN_SAFE_NODES``, so file row counts upper-bound
+    the output), (b) every input file is a LOCAL parquet file whose
+    footer pyarrow can read, and (c) the summed footer ``num_rows``
+    stays <= limit (early-exit on crossing — footer read cost is
+    bounded by the answer, not the table). Remote filesystems, scans
+    with > ``max_files`` files, non-scan plans, and any introspection
+    failure all return False: the caller falls back to the probe,
+    which is always correct, just not free. False NEVER means "the
+    frame is large" — only "not provably small from metadata".
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        for line in plan.splitlines():
+            name = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+            if name and name not in _SCAN_SAFE_NODES:
+                return False
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — connect/api drift: probe runs
+        return False
+    if len(files) > max_files:
+        return False
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+    total = 0
+    for f in files:
+        u = urllib.parse.urlparse(f)
+        if u.scheme not in ("file", "") or not f.endswith(".parquet"):
+            return False
+        try:
+            total += pq.ParquetFile(u.path or f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — unreadable footer: probe runs
+            return False
+        if total > limit:
+            return False
+    return True
 
 
 def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
@@ -515,6 +586,20 @@ def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
     assert mode in ("auto", "window", "seq"), mode
     if mode != "auto":
         return mode
+    # Row-count floor (r10, VERDICT item 1): below ``rowFloor`` rows
+    # the window shape wins at EVERY hot-key share (SCALING.md's own
+    # crossover sweep — at <=10M rows even a 100%-share key is a single
+    # task over <=10M rows, a bounded few seconds, while seq_lag's
+    # two-phase tax is unconditional), so when the probed frame is a
+    # bare file-scan pipeline whose Parquet footers prove it small, the
+    # dispatch skips the probe's two jobs entirely. Metadata-only, no
+    # Spark job; 0 disables. Footer counts are an upper bound under
+    # filters, so a True answer is sound; anything unprovable (joins,
+    # remote FS, in-memory frames) just runs the probe as before.
+    floor = int(float(conf.get(
+        "spark.imp_etl.lagDispatch.rowFloor", "10000000")))
+    if floor > 0 and _rows_at_most(probe, floor):
+        return "window"
     threshold = float(
         threshold if threshold is not None
         else conf.get("spark.imp_etl.lagDispatch.threshold", "0.34"))
@@ -522,7 +607,7 @@ def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
         support if support is not None
         else conf.get("spark.imp_etl.lagDispatch.support", "0.125"))
     support = min(support, threshold)
-    share, _ = top_key_share(probe, keys, support)
+    share, _ = top_key_share(probe, keys, support, memo=True)
     return "seq" if share >= threshold else "window"
 
 
@@ -564,6 +649,11 @@ def lag_dispatch(df: DataFrame, keys: Sequence[str],
     - ``spark.imp_etl.lagDispatch.support``: freqItems support
       (default min(0.125, threshold) — must stay <= threshold so the
       no-false-negatives guarantee covers the cutoff)
+    - ``spark.imp_etl.lagDispatch.rowFloor``: metadata row-count floor
+      (default 10M; 0 disables) — when the probe frame is a bare local
+      parquet scan whose footers prove <= rowFloor rows, skip the
+      probe and take the window shape: below that size the window
+      wins at every share and the probe is pure tax (r9 bench)
     ``probe`` substitutes the probed frame (e.g. the raw table
     projection) when ``df`` already carries upstream work that the
     probe shouldn't recompute. Build-time jobs: in auto mode the probe

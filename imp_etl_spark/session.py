@@ -20,6 +20,13 @@ from pyspark.sql import SparkSession
 # cluster scale you'd set it ~2-3x total cores (or rely on AQE's
 # initialPartitionNum).
 _DEFAULT_CONF = {
+    # ANSI mode is Spark 4's default, but the engine's semantics now
+    # DEPEND on it (the DECIMAL(38,0) wide-accumulate path exists
+    # because a naive long SUM must ABORT, not wrap, on partial
+    # overflow — tests/test_quantize.py pins that contract), so pin it
+    # explicitly rather than inherit a default an env override could
+    # silently flip to wrap/null semantics.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

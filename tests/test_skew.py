@@ -72,7 +72,8 @@ def test_top_key_share_memo(spark, tmp_path):
     """The probe memo (round 9): a semantically identical frame read
     SEPARATELY from the same path must hit (expression ids are
     normalized by semanticHash/sameResult), different supports must
-    not cross-hit, memo=False must bypass, and release_probe_memo
+    not cross-hit, the public memo=False default must bypass, and
+    release_probe_memo
     must clear. Proven by poisoning: a sentinel planted under the
     first probe's memo slot comes back from the second, semantically
     equal probe — only a real lookup can return it."""
@@ -89,7 +90,7 @@ def test_top_key_share_memo(spark, tmp_path):
     release_probe_memo()
 
     probe1 = spark.read.parquet(p).select("user")
-    share, key = top_key_share(probe1, ["user"])
+    share, key = top_key_share(probe1, ["user"], memo=True)
     assert key == "hot" and abs(share - 0.75) < 1e-12
     assert sum(len(v) for v in _PROBE_MEMO.values()) == 1
 
@@ -98,19 +99,21 @@ def test_top_key_share_memo(spark, tmp_path):
     slot = next(iter(_PROBE_MEMO.values()))
     slot[0] = (slot[0][0], (0.4242, "sentinel"))
     probe2 = spark.read.parquet(p).select("user")
-    assert top_key_share(probe2, ["user"]) == (0.4242, "sentinel")
+    assert top_key_share(probe2, ["user"],
+                         memo=True) == (0.4242, "sentinel")
 
     # a different support is a different decision — no cross-hit
-    share3, key3 = top_key_share(probe2, ["user"], support=0.3)
+    share3, key3 = top_key_share(probe2, ["user"], support=0.3,
+                                 memo=True)
     assert key3 == "hot" and abs(share3 - 0.75) < 1e-12
 
-    # memo=False bypasses the (still poisoned) slot
-    share4, key4 = top_key_share(probe2, ["user"], memo=False)
+    # memo=False (now the public default) bypasses the poisoned slot
+    share4, key4 = top_key_share(probe2, ["user"])
     assert key4 == "hot" and abs(share4 - 0.75) < 1e-12
 
     # release clears; the next probe recomputes the true value
     assert release_probe_memo() >= 2
-    assert top_key_share(probe2, ["user"])[1] == "hot"
+    assert top_key_share(probe2, ["user"], memo=True)[1] == "hot"
     release_probe_memo()
 
 
@@ -177,3 +180,108 @@ def test_state_intervals_dispatch_shapes_equal(spark):
     got_s = sorted((tuple(r) for r in behavior.state_intervals(
         ev, mode="seq").collect()), key=key)
     assert got_w == got_s and len(got_w) > 0
+
+
+def test_lag_dispatch_row_floor(spark, tmp_path, monkeypatch):
+    """r10 metadata row floor: a bare local parquet scan whose footers
+    prove the frame small resolves to "window" WITHOUT running the
+    probe (proven by poisoning top_key_share to raise); a floor below
+    the row count, floor=0, or a non-scan plan all fall through to the
+    probe; and lag_dispatch stays value-identical floor-on vs -off."""
+    from imp_etl_spark.operators import window as W
+
+    p = str(tmp_path / "hot.parquet")
+    spark.createDataFrame(
+        [("bot" if i % 4 else f"u{i}", i, float(i % 13))
+         for i in range(400)],
+        "user STRING, ts LONG, v DOUBLE").write.parquet(p)
+    scan = spark.read.parquet(p)
+    W.release_probe_memo()
+
+    # floor engaged (default 10M >> 400 rows): probe must NOT run
+    def boom(*a, **k):
+        raise AssertionError("probe ran despite metadata floor")
+    monkeypatch.setattr(W, "top_key_share", boom)
+    assert W.resolve_lag_mode(scan.select("user"), ["user"]) == "window"
+    # filters/limits keep the footer bound sound (only remove rows)
+    assert W.resolve_lag_mode(
+        scan.filter("ts >= 0").select("user"), ["user"]) == "window"
+    monkeypatch.undo()
+
+    # floor below the actual row count -> probe runs -> hot share wins
+    spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", "100")
+    try:
+        assert W.resolve_lag_mode(
+            scan.select("user"), ["user"]) == "seq"
+    finally:
+        spark.conf.unset("spark.imp_etl.lagDispatch.rowFloor")
+    W.release_probe_memo()
+
+    # floor=0 disables entirely
+    spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", "0")
+    try:
+        assert W.resolve_lag_mode(
+            scan.select("user"), ["user"]) == "seq"
+    finally:
+        spark.conf.unset("spark.imp_etl.lagDispatch.rowFloor")
+    W.release_probe_memo()
+
+    # a cardinality-changing plan (union doubles rows) must not use
+    # the footer bound -> probe runs -> seq on the hot key
+    uni = scan.select("user").union(scan.select("user"))
+    assert W.resolve_lag_mode(uni, ["user"]) == "seq"
+    W.release_probe_memo()
+
+    # floor-on vs floor-off value equality in auto mode (fuzz axis)
+    outs = {}
+    for floor in ("10000000", "0"):
+        spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", floor)
+        try:
+            outs[floor] = sorted(
+                (tuple(r) for r in W.lag_dispatch(
+                    scan, ["user"], ["ts"], lags={"v": "pv"},
+                    leads={"ts": "nts"}).collect()),
+                key=lambda t: t[1])
+        finally:
+            spark.conf.unset("spark.imp_etl.lagDispatch.rowFloor")
+        W.release_probe_memo()
+    assert outs["10000000"] == outs["0"]
+
+
+def test_rows_at_most_bounds(spark, tmp_path):
+    """_rows_at_most: sound True only under the limit on pure local
+    scans; False (= unknown) for in-memory frames and crossed limits."""
+    from imp_etl_spark.operators.window import _rows_at_most
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _rows_at_most(scan, 1000) is True
+    assert _rows_at_most(scan, 999) is False
+    assert _rows_at_most(scan.limit(5), 1000) is True
+    # in-memory frame: no files, nodes outside the scan allowlist
+    mem = spark.createDataFrame([(1,)], "x LONG")
+    assert _rows_at_most(mem, 10**9) is False
+    # join can amplify cardinality -> never provable from footers
+    assert _rows_at_most(scan.join(scan, "id"), 10**9) is False
+
+
+def test_probe_memo_cap(spark, tmp_path, monkeypatch):
+    """_PROBE_MEMO stays bounded: beyond the cap the oldest slot is
+    evicted (ADVICE r9 — sessions that never hit the release hooks
+    must not pin unbounded JVM plan references)."""
+    from imp_etl_spark.operators import window as W
+
+    p = str(tmp_path / "m.parquet")
+    spark.createDataFrame(
+        [("k%d" % (i % 3), i) for i in range(64)],
+        "user STRING, x LONG").write.parquet(p)
+    scan = spark.read.parquet(p).select("user")
+    W.release_probe_memo()
+    monkeypatch.setattr(W, "_PROBE_MEMO_CAP", 2)
+    for sup in (0.11, 0.12, 0.13, 0.14):
+        W.top_key_share(scan, ["user"], support=sup, memo=True)
+    assert len(W._PROBE_MEMO) == 2
+    # the survivors are the NEWEST two slots
+    assert sorted(k[1] for k in W._PROBE_MEMO) == [0.13, 0.14]
+    W.release_probe_memo()

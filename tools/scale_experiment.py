@@ -548,11 +548,20 @@ def main_lagdispatch25x() -> None:
     window, forced seq, and auto (probe included — its overhead is
     auto minus the picked shape). The threshold default in
     lag_dispatch is set from this table."""
-    from imp_etl_spark.operators.window import top_key_share
+    from imp_etl_spark.operators.window import (
+        release_probe_memo,
+        top_key_share,
+    )
     from imp_etl_spark.queries import REGISTRY
 
     spark = get_spark("scale-experiment-lagdispatch25x")
     spark.sparkContext.setLogLevel("ERROR")
+    # This sweep calibrates the probe threshold, so BOTH probe
+    # bypasses must be off: the metadata row floor (25x sf0.1 events
+    # sits under the 10M default and would skip the probe entirely)
+    # and the probe memo (released before every timed auto run below —
+    # a memo hit would report probe overhead as ~0; ADVICE r9).
+    spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", "0")
     copies = int(os.environ.get("SCALE_COPIES", "25"))
     big = tempfile.mkdtemp(prefix="scale_lagdisp_")
     base = read_table(spark, SF_DIR, "events")
@@ -584,10 +593,15 @@ def main_lagdispatch25x() -> None:
     print("|---|---|---|---|---|---|")
     for name, d in fixtures:
         ev = read_table(spark, d, "events").where(F.col("ts").isNotNull())
-        share, _k = top_key_share(ev.select("user_id"), ["user_id"])
+        # memo=False (the public default): this share is a REPORTED
+        # MEASUREMENT and must never seed the dispatch memo — the
+        # timed auto run below has to pay its own probe jobs
+        share, _k = top_key_share(ev.select("user_id"), ["user_id"],
+                                  memo=False)
         times = {}
         for mode in ("window", "seq", "auto"):
             spark.conf.set("spark.imp_etl.lagDispatch.mode", mode)
+            release_probe_memo()
             try:
                 # eager: both the probe (auto) and seq_lag run jobs at
                 # build time — lazy timing would exclude them
