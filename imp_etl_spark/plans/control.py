@@ -65,6 +65,7 @@ class EtlController:
         self.spark = spark
         self._guard = threading.Lock()
         self._query = None
+        self._cron = None
         self._schedule: str | None = None
         self._started_at: float | None = None
         self._last_summary: dict[str, Any] | None = None
@@ -94,9 +95,26 @@ class EtlController:
     def schedule(self, queue_stream: DataFrame, voucher: DataFrame,
                  transaction: DataFrame, voucher_path: str, txn_path: str,
                  checkpoint_dir: str, every: str = "1 minute",
+                 clock=None, tick: float = 1.0,
                  **kwargs) -> None:
-        """Start the recurring micro-batch query (the cron analog —
-        ``every`` plays the cron pattern, ST1)."""
+        """Start the recurring schedule (start-etl, ST1). ``every`` is
+        either a Spark interval / fixed-interval cron shape (mapped to
+        a processing-time trigger, the round-3 behavior) or ANY other
+        valid node-cron pattern — incl. calendar shapes like
+        ``0 9 * * 1-5`` the reference accepts via cron.validate /
+        cron.schedule (index.js:30-37, 75-86). Calendar shapes run on
+        a driver-side wall-clock scheduler (plans/cron.py, Asia/Manila
+        like the reference): each fire executes ONE AvailableNow epoch
+        of the same streaming pipeline against the SAME checkpoint, so
+        idempotence/watermark semantics match the interval path and
+        fires serialize (a long epoch absorbs missed matches — the
+        overlap the reference's isEtlRunning hole allowed, ST6).
+        ``clock``/``tick`` inject a test clock into the cron thread."""
+        from imp_etl_spark.plans.cron import CronScheduler, classify_schedule
+
+        kind = classify_schedule(every)
+        if kind is None:
+            raise ValueError(f"invalid schedule pattern: {every!r}")
         with self._guard:
             if self.is_running:
                 raise RuntimeError("ETL is already scheduled")
@@ -105,12 +123,25 @@ class EtlController:
             self._started_at = time.time()
         try:
             self.epoch_summaries.clear()
-            self._query = run_etl_stream(
-                self.spark, queue_stream, voucher, transaction,
-                voucher_path, txn_path, checkpoint_dir,
-                available_now=False, processing_time=every,
-                epoch_summaries=self.epoch_summaries,
-                on_epoch_end=_release_query_caches, **kwargs)
+            if kind[0] == "interval":
+                self._query = run_etl_stream(
+                    self.spark, queue_stream, voucher, transaction,
+                    voucher_path, txn_path, checkpoint_dir,
+                    available_now=False, processing_time=kind[1],
+                    epoch_summaries=self.epoch_summaries,
+                    on_epoch_end=_release_query_caches, **kwargs)
+            else:
+                def _fire() -> None:
+                    q = run_etl_stream(
+                        self.spark, queue_stream, voucher, transaction,
+                        voucher_path, txn_path, checkpoint_dir,
+                        available_now=True,
+                        epoch_summaries=self.epoch_summaries,
+                        on_epoch_end=_release_query_caches, **kwargs)
+                    q.awaitTermination()
+
+                self._cron = CronScheduler(
+                    kind[1], _fire, now_fn=clock, tick=tick).start()
         except BaseException:
             self._started_at = None
             raise
@@ -130,6 +161,11 @@ class EtlController:
         """
         with self._guard:
             q = self._query
+            cr = self._cron
+        if cr is not None:
+            # wall-clock cron: halt future fires; an in-flight fire's
+            # epoch completes first (the join inside CronScheduler.stop)
+            cr.stop()
         if q is not None:
             # stop BEFORE releasing the handle: if q.stop() raises (a
             # dying stream's py4j error), _query stays set and a retry
@@ -138,10 +174,12 @@ class EtlController:
             q.stop()
             q.awaitTermination(60)
         out = self.status()  # uptime snapshot before the claim clears
-        if q is not None:
+        if q is not None or cr is not None:
             with self._guard:
                 if self._query is q:
                     self._query = None
+                if self._cron is cr:
+                    self._cron = None
                 self._schedule = None
                 self._started_at = None
         return out
@@ -151,6 +189,8 @@ class EtlController:
     def is_running(self) -> bool:
         if self._query is not None:
             return self._query.isActive
+        if self._cron is not None:
+            return self._cron.is_alive
         return self._started_at is not None
 
     def status(self) -> dict[str, Any]:

@@ -18,14 +18,17 @@ Design notes:
 - The server is control-plane only: one driver-side thread pool taking
   JSON verbs; all data movement stays inside Spark jobs. Nothing here
   is on the 100 TB data path.
-- Schedules: the reference validates node-cron patterns but its uniform
-  use is fixed-interval fires. ``parse_schedule`` accepts either a
-  Spark processing-time interval ("30 seconds") or the fixed-interval
+- Schedules: the reference validates ANY node-cron pattern
+  (index.js:30-37) and schedules it in Asia/Manila (index.js:75-86).
+  Spark processing-time intervals ("30 seconds") and the fixed-interval
   cron shapes ("* * * * *", "*/5 * * * *", hourly "M * * * *", daily
-  "M H * * *"), mapping them onto the processing-time trigger — the
-  same fire cadence without a wall-clock phase (documented, not hidden).
-  Irregular calendar patterns (weekday fields, lists) are rejected with
-  the reference's 400 response shape.
+  "M H * * *") map onto the processing-time trigger — the same fire
+  cadence without a wall-clock phase (documented in the response note).
+  Every OTHER valid cron pattern (weekday/day-of-month fields, lists,
+  ranges, seconds — e.g. "0 9 * * 1-5") runs on the driver-side
+  wall-clock scheduler (plans/cron.py, r10): real Manila-clock fires,
+  one AvailableNow epoch per match against the same checkpoint. Only
+  genuinely invalid patterns get the reference's 400 shape.
 - SSE tail: each connection polls the log file by offset (the ``tail``
   package's fs.watch, minus the dependency); truncation is detected by
   shrinkage and surfaces as the same ``event: clear`` the reference
@@ -43,11 +46,9 @@ from pathlib import Path
 from typing import Any, Callable
 
 from imp_etl_spark.plans.control import EtlController
+from imp_etl_spark.plans.cron import classify_schedule
 
 _TS_RE = re.compile(r"^\[(.*?)\]")
-_INTERVAL_RE = re.compile(
-    r"^\d+ (millisecond|second|minute|hour|day)s?$")
-_CRON_RE = re.compile(r"^\S+ \S+ \S+ \S+ \S+$")
 
 
 def format_uptime(seconds: float) -> str:
@@ -59,36 +60,15 @@ def format_uptime(seconds: float) -> str:
 def parse_schedule(pattern: str) -> str | None:
     """Map a schedule request onto a processing-time trigger interval.
 
-    Returns the interval string, or None when the pattern is invalid /
-    not a fixed-interval schedule. Accepted: Spark intervals
-    ("45 seconds"), every-minute ("* * * * *"), every-N-minutes
-    ("*/N * * * *"), hourly ("M * * * *"), daily ("M H * * *").
-    """
-    pattern = pattern.strip()
-    if _INTERVAL_RE.match(pattern):
-        # a zero-valued interval would compile to a continuous trigger —
-        # reject it like any other invalid pattern
-        if int(pattern.split()[0]) == 0:
-            return None
-        return pattern
-    if not _CRON_RE.match(pattern):
-        return None
-    minute, hour, dom, month, dow = pattern.split()
-    if (dom, month, dow) != ("*", "*", "*"):
-        return None
-    if hour == "*":
-        if minute == "*":
-            return "1 minute"
-        m = re.fullmatch(r"\*/(\d+)", minute)
-        if m and 0 < int(m.group(1)) < 60:
-            return f"{m.group(1)} minutes"
-        if minute.isdigit() and int(minute) < 60:
-            return "1 hour"
-        return None
-    if minute.isdigit() and hour.isdigit() \
-            and int(minute) < 60 and int(hour) < 24:
-        return "1 day"
-    return None
+    Returns the interval string (Spark intervals pass through;
+    every-minute / ``*/N`` / hourly / daily cron shapes map onto the
+    equivalent cadence), or None when the pattern is NOT a
+    fixed-interval shape — which since round 10 no longer implies
+    invalid: calendar cron patterns are valid and run on the
+    wall-clock scheduler instead (``plans/cron.py`` —
+    ``classify_schedule`` is the full three-way classifier)."""
+    kind = classify_schedule(pattern)
+    return kind[1] if kind is not None and kind[0] == "interval" else None
 
 
 def parse_log_line(line: str) -> dict[str, str]:
@@ -321,37 +301,50 @@ class EtlHttpServer:
                 })
                 return
             pattern = h._body().get("schedule") or "* * * * *"
-            every = parse_schedule(str(pattern))
-            if every is None:
+            kind = classify_schedule(str(pattern))
+            if kind is None:
                 h._json(400, {
                     "message": "Invalid cron schedule pattern",
                     "validExample": "* * * * * (every minute)",
                 })
                 return
+            mode, every = kind
             w = self.workload()
             self.controller.schedule(
                 w["queue_stream"], w["voucher"], w["transaction"],
                 w["voucher_path"], w["txn_path"], w["checkpoint_dir"],
-                every=every)
+                every=(every if mode == "interval" else str(pattern)))
+            trigger = (every if mode == "interval"
+                       else "wall-clock cron (Asia/Manila)")
             self._schedule_pattern = str(pattern)
             self._started_at = time.time()
             self.log(f"ETL scheduler started (schedule: {pattern}, "
-                     f"trigger: {every})")
+                     f"trigger: {trigger})")
             resp = {
                 "message": "ETL scheduler started successfully",
                 "schedule": str(pattern),
-                "trigger": every,
+                "trigger": trigger,
                 "startTime": self._now_iso(),
             }
-            if str(pattern).strip() != every:
-                # cron shapes map onto phase-less processing-time
-                # triggers: same cadence, first fire at start rather
-                # than at the cron's wall-clock minute. Say so instead
-                # of silently shifting the client's expected fire times.
+            if mode == "interval" and str(pattern).strip() != every:
+                # fixed-interval cron shapes map onto phase-less
+                # processing-time triggers: same cadence, first fire at
+                # start rather than at the cron's wall-clock minute.
+                # Say so instead of silently shifting the client's
+                # expected fire times.
                 resp["note"] = (
                     f"cron pattern mapped to a fixed '{every}' trigger; "
                     "fires start immediately, wall-clock phase is not "
                     "preserved")
+            elif mode == "cron":
+                # calendar shapes (r10): real wall-clock fires in the
+                # reference's timezone via a driver-side scheduler;
+                # each fire runs one AvailableNow epoch of the same
+                # checkpointed pipeline (plans/cron.py)
+                resp["note"] = (
+                    "calendar cron: fires at wall-clock matches "
+                    "(Asia/Manila); each fire runs one incremental "
+                    "epoch")
             h._json(200, resp)
 
     def _start_etl_force(self, h: _Handler) -> None:

@@ -372,3 +372,25 @@ def test_sse_idle_heartbeat_reaches_client(server):
             saw_ping = True
     assert saw_ping
     sock.close()
+
+
+def test_calendar_cron_start_accepted(server):
+    """r10: calendar patterns the reference accepts via cron.validate
+    (index.js:30-37) — e.g. weekdays-at-9 — no longer 400: they start
+    the driver-side wall-clock scheduler (plans/cron.py) and stop
+    cleanly."""
+    code, out = _call(server.address, "POST", "/api/start-etl",
+                      {"schedule": "0 9 * * 1-5"})
+    assert code == 200 and out["schedule"] == "0 9 * * 1-5"
+    assert out["trigger"].startswith("wall-clock cron")
+    assert "calendar" in out.get("note", "")
+    code, st = _call(server.address, "GET", "/api/etl-status")
+    assert code == 200 and st["isRunning"] is True
+    # second start while the calendar schedule holds the slot: 400
+    code, out2 = _call(server.address, "POST", "/api/start-etl",
+                       {"schedule": "2 seconds"})
+    assert code == 400 and "already running" in out2["message"]
+    code, _ = _call(server.address, "POST", "/api/stop-etl", {})
+    assert code == 200
+    code, st = _call(server.address, "GET", "/api/etl-status")
+    assert st["isRunning"] is False
