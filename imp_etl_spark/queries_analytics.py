@@ -808,6 +808,66 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ewma_unbounded_user", """
+WITH e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x, ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT user_id, list(x ORDER BY ts, event_id) AS xs
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       len(xs) AS n_events,
+       ROUND(list_reduce(xs, (acc, x) -> 0.125 * x + 0.875 * acc), 3)
+         AS ewma_final
+FROM l
+""")
+def ewma_unbounded_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final UNBOUNDED recursive EWMA per user (s_1 = x_1; s_i =
+    0.125*x_i + 0.875*s_{i-1} over the full event history) — the
+    production consumer of the round-9 rescaled-scan machinery
+    (operators/recurrence.py ewma_scan: bounded chunk windows + a
+    C-compressed carry chain; VERDICT r9 item 4). The oracle replays
+    the recursion as DuckDB's sequential ``list_reduce`` fold (the
+    first list element seeds the accumulator, matching s_1 = x_1).
+
+    Float-comparison contract: a PARALLEL scan necessarily
+    reassociates the recursion, so bit-exact equality with the
+    sequential fold is impossible for any distributed EWMA — the
+    engine pins ~1e-12 relative agreement (tests/test_recurrence.py).
+    The compared surface therefore rounds the final state to a 1e-3
+    grid (~9 orders of magnitude of margin over the pinned error on
+    these O(100) values; grid-boundary distances checked at the driver
+    SFs) and anchors the rest EXACTLY: n_events is exact integer
+    arithmetic on both sides.
+
+    Scale shape: ewma_scan's per-row work is one <=64-row bounded
+    window per (user, chunk) — a 10^8-row bot key becomes 10^8/64
+    independent groups, never one task — and the finalization is a
+    single map-side-combinable max_by((ts,event_id)) aggregation; no
+    per-key full-history window anywhere. chunk_size=64 is pinned so
+    the carry chain (the machinery's sequential residue) is exercised
+    at EVERY driver SF, not just at 100 TB; bit-equality across the
+    window/seq rank modes and the mode dispatch itself are pinned in
+    tests/test_recurrence.py and the SCALING.md skew point.
+    """
+    from imp_etl_spark.operators.recurrence import ewma_scan
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.col("value").cast("double").alias("x")))
+    s = ewma_scan(ev, ["user_id"], ["ts", "event_id"], "x", 0.125,
+                  chunk_size=64)
+    return (s.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("max_by(ewma, struct(ts, event_id))")
+                 .alias("__f"))
+            .select("user_id", "n_events",
+                    F.round("__f", 3).alias("ewma_final")))
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: partial aggs of a base snapshot and
 # a delta batch merged WITHOUT touching base rows again; the oracle is
