@@ -138,6 +138,15 @@ def lag_lead(w: WindowSpec, col: str, n: int = 1) -> tuple[Column, Column]:
     return F.lag(col, n).over(w), F.lead(col, n).over(w)
 
 
+def _interval_us(spark, window: str) -> int:
+    """Constant-fold a Spark INTERVAL string to microseconds via one
+    literal row (a tiny driver-local job, no table scan)."""
+    span_us = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {window}"))
+    return spark.range(1).select(span_us.alias("s")).collect()[0]["s"]
+
+
 def rolling_time(df: DataFrame, key: Sequence[str] | str, ts_col: str,
                  window: str, aggs: dict[str, Column]) -> DataFrame:
     """Per-key rolling aggregates over a trailing TIME window (``ts -
@@ -152,11 +161,7 @@ def rolling_time(df: DataFrame, key: Sequence[str] | str, ts_col: str,
     name -> aggregate Column over the frame's rows.
     """
     key = [key] if isinstance(key, str) else list(key)
-    span_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"INTERVAL {window}"))
-    # constant-fold the interval to microseconds via one literal row
-    span = df.sparkSession.range(1).select(span_us.alias("s")).collect()[0]["s"]
+    span = _interval_us(df.sparkSession, window)
     w = (Window.partitionBy(*key)
          .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
          .rangeBetween(-span, 0))
@@ -676,3 +681,206 @@ def lag_dispatch(df: DataFrame, keys: Sequence[str],
     outs = ([F.lag(s, kk).over(w).alias(d) for s, d, kk in lag_specs]
             + [F.lead(s, kk).over(w).alias(d) for s, d, kk in lead_specs])
     return df.select("*", *outs)
+
+
+def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
+                       ts_col: str, window: str,
+                       sums: dict[str, str] | None = None,
+                       count_col: str | None = None,
+                       mode: str | None = None,
+                       threshold: float | None = None,
+                       num_partitions: int | None = None,
+                       release: list[DataFrame] | None = None,
+                       probe: DataFrame | None = None) -> DataFrame:
+    """Per-key trailing TIME-window count/sums with a skew dispatch —
+    the trailing-RANGE sibling of :func:`lag_dispatch` (VERDICT r10
+    item 5). Semantics are exactly :func:`rolling_time`'s
+    ``RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT ROW`` frame
+    (inclusive both ends, same-``ts`` rows are mutual peers, all
+    null-``ts`` rows of a key are one peer group), restricted to the
+    INVERTIBLE aggregates — ``count(*)`` and sums of EXACT-additive
+    columns (integral / decimal; doubles are rejected because float
+    sums reassociate and the two shapes would stop being bit-equal —
+    quantize first, the package-wide convention).
+
+    Shapes:
+    - ``"window"``: the plain one-shuffle per-key RANGE frame
+      (:func:`rolling_time`). A hot key funnels its entire history
+      through ONE task — linear, but unbounded in the key's absolute
+      size, the same straggler class the lag sweep measured.
+    - ``"seq"``: hot-key-immune prefix-difference. Rows aggregate per
+      (key, ts) instant (map-side combine — a same-instant burst
+      count-collapses), instants get per-key running totals via the
+      range-partitioned :func:`prefix_sum` machinery (global cumsum +
+      per-key base correction broadcast, exact DECIMAL(38,s)
+      accumulation — the ANSI wide-accumulate contract), the trailing
+      boundary ``csum(ts - window - 1us)`` comes from a hot-key-safe
+      :func:`~imp_etl_spark.operators.temporal.asof_join` of the
+      instant frame against itself, and the answer is the difference —
+      joined back on (key, ts) so a hot key spreads over its instants.
+      Exact by construction: integer/decimal arithmetic end-to-end, so
+      both shapes are bit-equal (pinned in tests/test_skew.py).
+
+    Dispatch: ``mode=None`` probes the hottest key share
+    (:func:`resolve_lag_mode` — same probe, memo, row-count floor and
+    forced-mode confs as the lag class) against
+    ``spark.imp_etl.trailingAgg.threshold`` (default 0.5, from the r10
+    measured crossover in SCALING.md: the seq shape's fixed tax is
+    ~2.5-3x the window shape on uniform keys, but the window shape's
+    hot-key penalty grows without bound in the key's absolute size).
+    Keys may be NULL (real groups — struct-folded so every internal
+    join is null-safe).
+    """
+    from pyspark.sql import types as T
+
+    key = [key] if isinstance(key, str) else list(key)
+    sums = dict(sums or {})
+    assert sums or count_col, "need at least one of sums/count_col"
+    for out, src in sums.items():
+        dt = df.schema[src].dataType
+        assert isinstance(dt, (T.DecimalType, T.LongType, T.IntegerType,
+                               T.ShortType, T.ByteType)), (
+            f"trailing_time_sums needs exact-additive types; {src} is "
+            f"{dt.simpleString()} — quantize to decimal first")
+    conf = df.sparkSession.conf
+    thr = float(threshold if threshold is not None else conf.get(
+        "spark.imp_etl.trailingAgg.threshold", "0.5"))
+    mode = resolve_lag_mode(probe if probe is not None else
+                            df.select(*key), key, mode=mode,
+                            threshold=thr)
+    if mode == "window":
+        aggs: dict[str, Column] = {}
+        if count_col:
+            aggs[count_col] = F.count(F.lit(1))
+        for out, src in sums.items():
+            aggs[out] = F.sum(F.col(src))
+        out_cols = [*df.columns, *aggs]
+        return rolling_time(df, key, ts_col, window, aggs).select(*out_cols)
+
+    # ---- seq shape ----
+    spark = df.sparkSession
+    span = _interval_us(spark, window)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    # the window shape's output types: count(*) -> long; sum over
+    # decimal(p,s) -> decimal(min(38,p+10),s); sum over integral -> long
+    out_t: dict[str, str] = {}
+    for out, src in sums.items():
+        dt = df.schema[src].dataType
+        if isinstance(dt, T.DecimalType):
+            out_t[out] = f"decimal({min(38, dt.precision + 10)},{dt.scale})"
+        else:
+            out_t[out] = "bigint"
+    wide_t = {out: (f"decimal(38,{df.schema[src].dataType.scale})"
+                    if isinstance(df.schema[src].dataType, T.DecimalType)
+                    else "decimal(38,0)")
+              for out, src in sums.items()}
+
+    d = df.withColumn("__k", F.struct(*[F.col(c) for c in key])) \
+          .withColumn("__ep",
+                      F.unix_micros(F.col(ts_col).cast("timestamp")))
+    timed = d.where(F.col("__ep").isNotNull())
+    untimed = d.where(F.col("__ep").isNull())
+
+    # (1) per-(key, instant) partials — map-side combine collapses
+    # same-instant bursts before anything shuffles
+    s_cols = list(sums)
+    g = timed.groupBy("__k", "__ep").agg(
+        F.count(F.lit(1)).alias("__c"),
+        *[F.sum(F.col(sums[out]).cast(wide_t[out])).alias(f"__s_{out}")
+          for out in s_cols])
+    val_cols = ["__c", *[f"__s_{out}" for out in s_cols]]
+
+    # (2) global running totals over the (key, instant) range order:
+    # per-partition cumsum + driver-chained partition offsets (the
+    # prefix_sum shape, generalized to several exact columns)
+    cols = [F.col("__k").asc(), F.col("__ep").asc()]
+    from pyspark.storagelevel import StorageLevel
+    p = (g.repartitionByRange(n, *cols)
+         .withColumn("__pid", F.spark_partition_id())
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    if release is not None:
+        release.append(p)
+    totals = (p.groupBy("__pid")
+              .agg(*[F.sum(c).alias(c) for c in val_cols]).collect())
+    acc = {c: 0 for c in val_cols}
+    offs: dict[int, dict] = {}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs[r["__pid"]] = dict(acc)
+        for c in val_cols:
+            acc[c] = acc[c] + (r[c] or 0)
+    off_exprs = {}
+    for c in val_cols:
+        t = "bigint" if c == "__c" else wide_t[c.removeprefix("__s_")]
+        if offs:
+            off_exprs[c] = F.element_at(
+                F.create_map(*[x for pid in sorted(offs) for x in
+                               (F.lit(pid),
+                                F.lit(offs[pid][c]).cast(t))]),
+                F.col("__pid"))
+        else:
+            off_exprs[c] = F.lit(0).cast(t)
+    w = (Window.partitionBy("__pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = p.select(
+        "__k", "__ep", *val_cols,
+        *[(F.sum(c).over(w) + off_exprs[c]).alias(f"__g{c}")
+          for c in val_cols])
+
+    # (3) per-key base = running total just BEFORE the key's first
+    # instant (min_by, NOT min — sums can be negative); one broadcast
+    # row per key, null-safe by the struct fold
+    per_k = cum.groupBy("__k").agg(
+        *[F.min_by(F.col(f"__g{c}") - F.col(c), F.col("__ep"))
+          .alias(f"__b{c}") for c in val_cols])
+    kc = cum.join(F.broadcast(
+        per_k.select(F.col("__k").alias("__bk"),
+                     *[f"__b{c}" for c in val_cols])),
+        on=F.col("__k") == F.col("__bk")).select(
+        "__k", "__ep",
+        *[(F.col(f"__g{c}") - F.col(f"__b{c}")).alias(f"__kc{c}")
+          for c in val_cols])
+
+    # (4) trailing boundary: latest instant <= ts - window - 1us gives
+    # the csum to subtract (frame [t-span, t] excludes ts' < t-span,
+    # i.e. integer-microsecond ts' <= t-span-1)
+    from imp_etl_spark.operators.temporal import asof_join
+    build = kc.select(F.col("__k"), F.col("__ep").alias("__bts"),
+                      *[F.col(f"__kc{c}").alias(f"__bb{c}")
+                        for c in val_cols])
+    probe_f = kc.withColumn("__bnd", F.col("__ep") - F.lit(span + 1))
+    res = asof_join(
+        probe_f, build, on="__k", probe_ts="__bnd", build_ts="__bts",
+        build_cols={f"__bb{c}": f"__pb{c}" for c in val_cols},
+        num_partitions=num_partitions, release=release)
+
+    roll = res.select(
+        "__k", "__ep",
+        *([] if not count_col else
+          [(F.col("__kc__c") - F.coalesce(F.col("__pb__c"), F.lit(0)))
+           .alias(count_col)]),
+        *[(F.col(f"__kc__s_{out}")
+           - F.coalesce(F.col(f"__pb__s_{out}"),
+                        F.lit(0).cast(wide_t[out])))
+          .cast(out_t[out]).alias(out) for out in s_cols])
+
+    out_names = ([count_col] if count_col else []) + s_cols
+    timed_out = timed.join(
+        roll.select(F.col("__k").alias("__jk"),
+                    F.col("__ep").alias("__jep"), *out_names),
+        on=(F.col("__k") == F.col("__jk"))
+        & (F.col("__ep") == F.col("__jep")))
+
+    # (5) null-ts rows: all of a key's untimed rows are mutual peers —
+    # one per-key aggregate, broadcast back (same engine semantics as
+    # the RANGE frame's null-ordering peer group)
+    u_agg = untimed.groupBy(F.col("__k").alias("__jk")).agg(
+        *([] if not count_col else
+          [F.count(F.lit(1)).alias(count_col)]),
+        *[F.sum(F.col(sums[out])).cast(out_t[out]).alias(out)
+          for out in s_cols])
+    untimed_out = untimed.join(F.broadcast(u_agg),
+                               on=F.col("__k") == F.col("__jk"))
+
+    final_cols = [*df.columns, *out_names]
+    return (timed_out.select(*final_cols)
+            .unionByName(untimed_out.select(*final_cols)))

@@ -301,16 +301,20 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """)
 def rolling_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each event's trailing-24h per-user event count and decimal-exact
-    value sum — a RANGE frame on the microsecond epoch, one shuffle."""
-    from imp_etl_spark.operators.window import rolling_time
+    value sum, through the trailing-RANGE skew dispatch (r10,
+    operators/window.py trailing_time_sums): below the probed hot-key
+    threshold this is the plain one-shuffle RANGE frame on the
+    microsecond epoch; at a genuinely hot key it switches to the
+    bit-equal prefix-difference machinery whose per-task work stays
+    bounded in the key's absolute size."""
+    from imp_etl_spark.operators.window import trailing_time_sums
 
-    ev = read_table(spark, sf_dir, "events")
-    out = rolling_time(
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__v6", F.col("value").cast("decimal(18,6)"))
+    out = trailing_time_sums(
         ev, key="user_id", ts_col="ts", window="'24' hours",
-        aggs={
-            "roll_cnt": F.count(F.lit(1)),
-            "roll_sum": F.sum(F.col("value").cast("decimal(18,6)")),
-        })
+        sums={"roll_sum": "__v6"}, count_col="roll_cnt",
+        probe=read_table(spark, sf_dir, "events").select("user_id"))
     return out.select(
         "event_id", "user_id", "ts", "roll_cnt",
         F.col("roll_sum").cast("double").alias("roll_sum"))

@@ -207,3 +207,66 @@ def test_controller_calendar_schedule_runs_epochs(spark, tmp_path):
         ctl.schedule(stream, voucher, txn, "x", "y", "z",
                      every="*/0 * * * *")
     assert ctl.status()["isRunning"] is False
+
+
+def test_cron_next_fire_fuzz_vs_brute_force():
+    """Seeded randomized differential for the next-fire search (the r10
+    fuzz class for calendar-cron parsing): random patterns from the
+    grammar vs an INDEPENDENT brute-force minute scan. Pins (a)
+    strictly-after, (b) self-consistency (matches(next_fire)), and (c)
+    no earlier match exists — the field-skipping search must never skip
+    OVER a fire."""
+    import random
+
+    rng = random.Random(2026)
+
+    def rand_field(lo, hi, names=None):
+        kind = rng.randrange(6)
+        if kind == 0:
+            return "*"
+        if kind == 1:
+            return f"*/{rng.randint(1, hi)}"
+        if kind == 2:
+            a = rng.randint(lo, hi - 1)
+            return f"{a}-{rng.randint(a, hi)}"
+        if kind == 3:
+            return ",".join(str(rng.randint(lo, hi))
+                            for _ in range(rng.randint(1, 4)))
+        if kind == 4 and names:
+            return rng.choice(list(names))
+        return str(rng.randint(lo, hi))
+
+    months = ("jan feb mar apr may jun jul aug sep oct nov dec "
+              "january february march").split()
+    dows = "sun mon tue wed thu fri sat sunday monday friday".split()
+
+    checked = 0
+    for _ in range(300):
+        # bias dom/month toward '*' so most draws fire within the
+        # brute-scan horizon (sparse calendar shapes still drawn)
+        pattern = " ".join([
+            rand_field(0, 59), rand_field(0, 23),
+            "*" if rng.random() < 0.6 else rand_field(1, 31),
+            "*" if rng.random() < 0.7 else rand_field(1, 12, months),
+            rand_field(0, 7, dows)])
+        pat = CronPattern.parse(pattern)
+        after = _dt(2026, rng.randint(1, 12), rng.randint(1, 28),
+                    rng.randint(0, 23), rng.randint(0, 59),
+                    rng.randint(0, 59))
+        try:
+            nxt = pat.next_fire(after)
+        except ValueError:
+            continue  # unreachable pattern (e.g. dom 31 in 30-day months)
+        assert nxt > after, (pattern, after, nxt)
+        assert pat.matches(nxt), (pattern, nxt)
+        # brute scan: no earlier matching minute within the horizon
+        cur = (after + timedelta(minutes=1)).replace(second=0,
+                                                     microsecond=0)
+        steps = 0
+        while cur < nxt.replace(second=0) and steps < 20000:
+            assert not pat._minute_ok(cur), (pattern, after, cur, nxt)
+            cur += timedelta(minutes=1)
+            steps += 1
+        if steps < 20000:
+            checked += 1
+    assert checked >= 150  # the brute scan actually verified most draws

@@ -3,6 +3,7 @@ invisible: same answer as the unsalted plan, skew or not."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from imp_etl_spark.operators.skew import salted_agg, salted_join
@@ -284,4 +285,82 @@ def test_probe_memo_cap(spark, tmp_path, monkeypatch):
     assert len(W._PROBE_MEMO) == 2
     # the survivors are the NEWEST two slots
     assert sorted(k[1] for k in W._PROBE_MEMO) == [0.13, 0.14]
+    W.release_probe_memo()
+
+
+def test_trailing_time_sums_modes_bitequal(spark):
+    """trailing_time_sums (r10): the window RANGE frame and the
+    prefix-difference seq machinery are bit-equal on adversarial data —
+    hot key, NULL keys, NULL ts (peer group), same-instant tie bursts,
+    negative decimals — and reject non-exact (double) sum columns."""
+    import random
+    from decimal import Decimal
+
+    from imp_etl_spark.operators.window import trailing_time_sums
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    rows = []
+    for i in range(2000):
+        user = None if i % 97 == 0 else ("bot" if i % 3 else f"u{i % 40}")
+        ts = None if i % 53 == 0 else base + rng.randint(0, 5 * 86400)
+        if i % 7 == 0 and ts:
+            ts = base + 1234  # same-instant burst
+        v = Decimal(rng.randint(-10**6, 10**6)) / 1000
+        rows.append((user, ts, v, i))
+    df = (spark.createDataFrame(
+        rows, "user STRING, ep LONG, v DECIMAL(18,3), rid LONG")
+        .withColumn("ts", F.timestamp_seconds("ep")).drop("ep"))
+
+    outs = {}
+    for mode in ("window", "seq"):
+        r = trailing_time_sums(
+            df, "user", "ts", "'24' hours",
+            sums={"rsum": "v"}, count_col="rcnt", mode=mode)
+        assert r.schema["rsum"].dataType.simpleString() == "decimal(28,3)"
+        ridx = r.columns.index("rid")
+        outs[mode] = sorted((tuple(x) for x in r.collect()),
+                            key=lambda t: t[ridx])
+    assert outs["window"] == outs["seq"] and len(outs["window"]) == 2000
+
+    # empty input, both shapes
+    for mode in ("window", "seq"):
+        assert trailing_time_sums(
+            df.limit(0), "user", "ts", "'24' hours",
+            sums={"rsum": "v"}, mode=mode).count() == 0
+
+    # float sums reassociate across the shapes -> rejected up front
+    dd = df.withColumn("f", F.col("v").cast("double"))
+    with pytest.raises(AssertionError, match="exact-additive"):
+        trailing_time_sums(dd, "user", "ts", "'1' hour",
+                           sums={"fs": "f"}, mode="seq")
+
+
+def test_trailing_time_sums_auto_dispatch(spark):
+    """auto mode picks seq on a hot in-memory frame and window on a
+    uniform one (same probe/threshold plumbing as the lag class)."""
+    from imp_etl_spark.operators import window as W
+
+    base = 1_700_000_000
+    hot = spark.createDataFrame(
+        [("bot" if i % 10 else f"u{i}", base + i, i) for i in range(800)],
+        "user STRING, ep LONG, rid LONG").withColumn(
+        "ts", F.timestamp_seconds("ep")).withColumn(
+        "one", F.lit(1).cast("long"))
+    uni = spark.createDataFrame(
+        [(f"u{i % 50}", base + i, i) for i in range(800)],
+        "user STRING, ep LONG, rid LONG").withColumn(
+        "ts", F.timestamp_seconds("ep")).withColumn(
+        "one", F.lit(1).cast("long"))
+    W.release_probe_memo()
+    # hot share 0.9 >= trailingAgg threshold 0.5 -> seq plan (no
+    # per-key RANGE Window node); uniform -> window plan (has one)
+    plan_hot = trailing_plan = W.trailing_time_sums(
+        hot, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RangeFrame" not in plan_hot
+    plan_uni = W.trailing_time_sums(
+        uni, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RangeFrame" in plan_uni
     W.release_probe_memo()

@@ -466,11 +466,22 @@ def main() -> int:
                          "keys straddling each range-partition edge, "
                          "the opposite degenerate shape from --edge's "
                          "one hot key (seed namespace 901+)")
+    ap.add_argument("--row-floor", default=None,
+                    help="override spark.imp_etl.lagDispatch.rowFloor: "
+                         "'0' disables the r10 metadata row-count floor "
+                         "so auto-mode dispatch PROBES even tiny fuzz "
+                         "fixtures (floor-off) instead of taking the "
+                         "window fast path (floor-on, the default) — "
+                         "the two runs must be value-identical vs the "
+                         "oracle (seed namespace 1101+)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
     if args.lag_mode != "auto":
         spark.conf.set("spark.imp_etl.lagDispatch.mode", args.lag_mode)
+    if args.row_floor is not None:
+        spark.conf.set("spark.imp_etl.lagDispatch.rowFloor",
+                       args.row_floor)
     failed = False
     for seed in args.seeds:
         bad = run_seed(spark, seed, workers=args.workers,

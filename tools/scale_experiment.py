@@ -677,8 +677,89 @@ def main_ewmascan25x() -> None:
     shutil.rmtree(big, ignore_errors=True)
 
 
+def main_rollingtime25x() -> None:
+    """Round-10 crossover sweep for the trailing-RANGE class
+    (operators/window.py trailing_time_sums — VERDICT r9 item 5: the
+    last per-key sequential shape without a measured hot-key point).
+    Same fixture recipe as the lag sweep: 25x events with m of the
+    copies remapped to one user (share ~= m/25), timing the
+    rolling_24h consumer under forced window, forced seq, and auto.
+    The window shape's hot key runs its whole history in ONE task
+    (sort + sliding frame); seq is the prefix-difference machinery.
+    The trailingAgg.threshold default is set from this table."""
+    from imp_etl_spark.operators.window import (
+        release_probe_memo,
+        top_key_share,
+        trailing_time_sums,
+    )
+
+    spark = get_spark("scale-experiment-rollingtime25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", "0")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_rolltime_")
+    base = read_table(spark, SF_DIR, "events")
+    hot_env = os.environ.get("SCALE_HOTMS")
+    hot_ms = ([int(x) for x in hot_env.split(",")] if hot_env
+              else [0, copies // 2, (3 * copies) // 5,
+                    (4 * copies) // 5, copies - 1])
+    fixtures = []
+    for m in dict.fromkeys(hot_ms):
+        name = f"hot{m}"
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if i <= m:
+                shifted = shifted.withColumn("user_id", F.lit(424242))
+            parts.append(shifted)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{big}/{name}/events.parquet")
+        fixtures.append((name, f"{big}/{name}"))
+
+    def fn(spark, sf_dir):
+        ev = read_table(spark, sf_dir, "events").withColumn(
+            "__v6", F.col("value").cast("decimal(18,6)"))
+        return trailing_time_sums(
+            ev, key="user_id", ts_col="ts", window="'24' hours",
+            sums={"roll_sum": "__v6"}, count_col="roll_cnt",
+            probe=read_table(spark, sf_dir, "events").select("user_id"))
+
+    spark.conf.set("spark.imp_etl.lagDispatch.mode", "window")
+    fn(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()  # warm codegen
+    spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
+    print(f"| fixture ({copies}x) | top share | window (s) | seq (s) "
+          "| auto (s) | auto picked |")
+    print("|---|---|---|---|---|---|")
+    for name, d in fixtures:
+        ev = read_table(spark, d, "events")
+        share, _k = top_key_share(ev.select("user_id"), ["user_id"],
+                                  memo=False)
+        times = {}
+        for mode in ("window", "seq", "auto"):
+            spark.conf.set("spark.imp_etl.lagDispatch.mode", mode)
+            release_probe_memo()
+            try:
+                # eager: the seq shape's prefix/asof machinery runs
+                # jobs at build time
+                times[mode] = time_query(fn, spark, d, eager=True)
+            finally:
+                spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
+        picked = ("seq" if share >= float(spark.conf.get(
+            "spark.imp_etl.trailingAgg.threshold", "0.5"))
+            else "window")
+        print(f"| {name} | {share:.1%} | {times['window']:.2f} "
+              f"| {times['seq']:.2f} | {times['auto']:.2f} | {picked} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("SCALE_EWMASCAN25"):
+    if os.environ.get("SCALE_ROLLINGTIME25"):
+        main_rollingtime25x()
+    elif os.environ.get("SCALE_EWMASCAN25"):
         main_ewmascan25x()
     elif os.environ.get("SCALE_LAGDISPATCH25"):
         main_lagdispatch25x()
