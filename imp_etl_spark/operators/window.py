@@ -450,8 +450,21 @@ def release_probe_memo() -> int:
 def top_key_share(df: DataFrame, keys: Sequence[str],
                   support: float = 0.125,
                   memo: bool = False) -> tuple[float, object]:
-    """Cheap exact-verified probe of the hottest key's row share, for
-    skew dispatch decisions.
+    """Hottest key's (share, key) — thin wrapper over
+    :func:`top_key_stats`, kept as the share-based probe surface the
+    lag class dispatches on."""
+    share, _cnt, key = top_key_stats(df, keys, support, memo=memo)
+    return share, key
+
+
+def top_key_stats(df: DataFrame, keys: Sequence[str],
+                  support: float = 0.125,
+                  memo: bool = False) -> tuple[float, int, object]:
+    """Cheap exact-verified probe of the hottest key's row share AND
+    absolute row count — ``(share, count, key)`` — for skew dispatch
+    decisions. The count matters for the trailing-RANGE class (r10),
+    whose one-task window cost is QUADRATIC in the hot key's in-frame
+    rows, so the decision must key on absolute size, not share.
 
     Two passes over the key column(s) only (a column-pruned parquet
     scan when ``df`` is a bare ``read_table`` projection): (1)
@@ -469,8 +482,13 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
     ever OVERSTATES the hot share: the conservative direction for a
     dispatch that picks the skew-immune shape on high shares).
 
-    Returns ``(share, key_string)`` of the hottest verified candidate,
-    or ``(0.0, None)`` when no key exceeds ``support`` / df is empty.
+    Returns ``(share, count, key_string)`` of the hottest verified
+    candidate, or ``(0.0, 0, None)`` when no key exceeds ``support`` /
+    df is empty. The guarantee is share-relative: any key with share >
+    ``support`` is found (count exact); a key whose share is below
+    ``support`` is invisible no matter its absolute size — callers
+    dispatching on absolute count at extreme totals should lower
+    ``support`` (cost: ceil(1/support) map-side counters).
 
     ``memo=True`` memoizes the result per (analyzed-plan, support) for
     the life of the session — see ``_PROBE_MEMO`` above. The public
@@ -500,7 +518,7 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
         except Exception:  # noqa: BLE001 — connect/api drift: probe runs
             jplan = None
     cand = keyed.stat.freqItems(["__k"], support).collect()[0][0]
-    res = (0.0, None)
+    res = (0.0, 0, None)
     if cand:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(F.when(F.col("__k") == F.lit(c), 1).otherwise(0))
@@ -508,9 +526,10 @@ def top_key_share(df: DataFrame, keys: Sequence[str],
             for i, c in enumerate(cand)]
         r = keyed.agg(*aggs).collect()[0]
         if r["__n"]:
-            res = max(
-                ((r[f"__c{i}"] or 0) / r["__n"], c)
+            share, cnt, key = max(
+                ((r[f"__c{i}"] or 0) / r["__n"], r[f"__c{i}"] or 0, c)
                 for i, c in enumerate(cand))
+            res = (share, int(cnt), key)
     if jplan is not None:
         with _PROBE_MEMO_LOCK:
             _PROBE_MEMO.setdefault(memo_key, []).append((jplan, res))
@@ -616,6 +635,54 @@ def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
     return "seq" if share >= threshold else "window"
 
 
+def resolve_trailing_mode(probe: DataFrame, keys: Sequence[str],
+                          mode: str | None = None,
+                          hot_rows: int | None = None,
+                          support: float | None = None) -> str:
+    """Dispatch decision for the trailing-RANGE class
+    (:func:`trailing_time_sums`) — by the hottest key's ABSOLUTE row
+    count, not share: Spark's sliding-frame WindowExec re-evaluates
+    the aggregate buffer per row (no retraction), so the one-task cost
+    of a hot key is ~ hot_rows x in-frame rows — QUADRATIC at full
+    occupancy (measured: 1.7 s at a 10k-row key, 5.5 s at 20k, 22.2 s
+    at 40k at 20% occupancy, single task, local[32]; SCALING.md r10)
+    while the seq shape stays flat. Decision order:
+
+    1. forced mode (``spark.imp_etl.lagDispatch.mode`` or ``mode=``);
+    2. metadata floor: a pure local-scan probe provably <= hot_rows
+       TOTAL rows cannot contain a hot key above it -> ``"window"``
+       (the same footer bound as the lag class, with the cap at
+       hot_rows rather than the 10M lag floor — a sub-10M table can
+       still hide a quadratically fatal trailing key);
+    3. probe: ``"seq"`` iff the hottest key's exact count >= hot_rows.
+
+    ``spark.imp_etl.trailingAgg.hotRows`` (default 50000) is the
+    regret-minimizing point of the measured curve: at LOW frame
+    occupancy a 50k-key window costs about the seq machinery's fixed
+    tax (false seq ~= free), while at high occupancy it is already an
+    order of magnitude past it and growing quadratically.
+    ``spark.imp_etl.trailingAgg.support`` (default 0.01, 100 map-side
+    counters) bounds detection: keys under 1% share are invisible —
+    lower it when totals are so large that a sub-1% key could still
+    exceed hot_rows.
+    """
+    conf = probe.sparkSession.conf
+    mode = mode or conf.get("spark.imp_etl.lagDispatch.mode", "auto")
+    assert mode in ("auto", "window", "seq"), mode
+    if mode != "auto":
+        return mode
+    hot_rows = int(float(
+        hot_rows if hot_rows is not None
+        else conf.get("spark.imp_etl.trailingAgg.hotRows", "50000")))
+    support = float(
+        support if support is not None
+        else conf.get("spark.imp_etl.trailingAgg.support", "0.01"))
+    if hot_rows > 0 and _rows_at_most(probe, hot_rows):
+        return "window"
+    _share, cnt, _key = top_key_stats(probe, keys, support, memo=True)
+    return "seq" if cnt >= hot_rows else "window"
+
+
 def lag_dispatch(df: DataFrame, keys: Sequence[str],
                  order_cols: Sequence[str],
                  lags: LagSpec = None, leads: LagSpec = None, k: int = 1,
@@ -688,7 +755,7 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
                        sums: dict[str, str] | None = None,
                        count_col: str | None = None,
                        mode: str | None = None,
-                       threshold: float | None = None,
+                       hot_rows: int | None = None,
                        num_partitions: int | None = None,
                        release: list[DataFrame] | None = None,
                        probe: DataFrame | None = None) -> DataFrame:
@@ -706,8 +773,11 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
     Shapes:
     - ``"window"``: the plain one-shuffle per-key RANGE frame
       (:func:`rolling_time`). A hot key funnels its entire history
-      through ONE task — linear, but unbounded in the key's absolute
-      size, the same straggler class the lag sweep measured.
+      through ONE task — and worse than the lag class's linear
+      straggler: Spark's sliding frame re-evaluates the aggregate
+      buffer per row (no retraction), so the task is ~ hot_rows x
+      in-frame rows — QUADRATIC at full occupancy (measured 4x cost
+      per key-size doubling, SCALING.md r10).
     - ``"seq"``: hot-key-immune prefix-difference. Rows aggregate per
       (key, ts) instant (map-side combine — a same-instant burst
       count-collapses), instants get per-key running totals via the
@@ -721,13 +791,11 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
       Exact by construction: integer/decimal arithmetic end-to-end, so
       both shapes are bit-equal (pinned in tests/test_skew.py).
 
-    Dispatch: ``mode=None`` probes the hottest key share
-    (:func:`resolve_lag_mode` — same probe, memo, row-count floor and
-    forced-mode confs as the lag class) against
-    ``spark.imp_etl.trailingAgg.threshold`` (default 0.5, from the r10
-    measured crossover in SCALING.md: the seq shape's fixed tax is
-    ~2.5-3x the window shape on uniform keys, but the window shape's
-    hot-key penalty grows without bound in the key's absolute size).
+    Dispatch: ``mode=None`` resolves via :func:`resolve_trailing_mode`
+    — forced-mode conf, then the metadata row bound at ``hot_rows``,
+    then the exact hottest-key COUNT probe against
+    ``spark.imp_etl.trailingAgg.hotRows`` (default 50000; rationale
+    and the measured quadratic curve on the resolver's docstring).
     Keys may be NULL (real groups — struct-folded so every internal
     join is null-safe).
     """
@@ -742,12 +810,9 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
                                T.ShortType, T.ByteType)), (
             f"trailing_time_sums needs exact-additive types; {src} is "
             f"{dt.simpleString()} — quantize to decimal first")
-    conf = df.sparkSession.conf
-    thr = float(threshold if threshold is not None else conf.get(
-        "spark.imp_etl.trailingAgg.threshold", "0.5"))
-    mode = resolve_lag_mode(probe if probe is not None else
-                            df.select(*key), key, mode=mode,
-                            threshold=thr)
+    mode = resolve_trailing_mode(probe if probe is not None else
+                                 df.select(*key), key, mode=mode,
+                                 hot_rows=hot_rows)
     if mode == "window":
         aggs: dict[str, Column] = {}
         if count_col:

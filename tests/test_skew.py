@@ -98,7 +98,7 @@ def test_top_key_share_memo(spark, tmp_path):
     # poison the stored result; a fresh, separately-read but
     # semantically identical probe must return the sentinel
     slot = next(iter(_PROBE_MEMO.values()))
-    slot[0] = (slot[0][0], (0.4242, "sentinel"))
+    slot[0] = (slot[0][0], (0.4242, 7, "sentinel"))
     probe2 = spark.read.parquet(p).select("user")
     assert top_key_share(probe2, ["user"],
                          memo=True) == (0.4242, "sentinel")
@@ -337,8 +337,9 @@ def test_trailing_time_sums_modes_bitequal(spark):
 
 
 def test_trailing_time_sums_auto_dispatch(spark):
-    """auto mode picks seq on a hot in-memory frame and window on a
-    uniform one (same probe/threshold plumbing as the lag class)."""
+    """auto mode picks seq when the hottest key's absolute count
+    crosses trailingAgg.hotRows and window otherwise (count-based —
+    the quadratic sliding-frame cost depends on size, not share)."""
     from imp_etl_spark.operators import window as W
 
     base = 1_700_000_000
@@ -353,14 +354,26 @@ def test_trailing_time_sums_auto_dispatch(spark):
         "ts", F.timestamp_seconds("ep")).withColumn(
         "one", F.lit(1).cast("long"))
     W.release_probe_memo()
-    # hot share 0.9 >= trailingAgg threshold 0.5 -> seq plan (no
-    # per-key RANGE Window node); uniform -> window plan (has one)
-    plan_hot = trailing_plan = W.trailing_time_sums(
+    # the dispatch keys on the hottest key's ABSOLUTE count (the
+    # window shape's one-task cost is quadratic in it): with the cap
+    # lowered to 100, the 720-row hot key -> seq plan (no per-key
+    # RANGE Window node) while the uniform frame (16 rows/key) ->
+    # window plan (has one)
+    spark.conf.set("spark.imp_etl.trailingAgg.hotRows", "100")
+    try:
+        plan_hot = W.trailing_time_sums(
+            hot, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
+            .queryExecution().optimizedPlan().toString()
+        assert "specifiedwindowframe(RangeFrame" not in plan_hot
+        plan_uni = W.trailing_time_sums(
+            uni, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
+            .queryExecution().optimizedPlan().toString()
+        assert "specifiedwindowframe(RangeFrame" in plan_uni
+    finally:
+        spark.conf.unset("spark.imp_etl.trailingAgg.hotRows")
+    # default cap (50k): both tiny frames stay on the window shape
+    plan_hot2 = W.trailing_time_sums(
         hot, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
         .queryExecution().optimizedPlan().toString()
-    assert "specifiedwindowframe(RangeFrame" not in plan_hot
-    plan_uni = W.trailing_time_sums(
-        uni, "user", "ts", "'1' hour", sums={"s": "one"})._jdf \
-        .queryExecution().optimizedPlan().toString()
-    assert "specifiedwindowframe(RangeFrame" in plan_uni
+    assert "specifiedwindowframe(RangeFrame" in plan_hot2
     W.release_probe_memo()

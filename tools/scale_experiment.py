@@ -684,25 +684,29 @@ def main_rollingtime25x() -> None:
     Same fixture recipe as the lag sweep: 25x events with m of the
     copies remapped to one user (share ~= m/25), timing the
     rolling_24h consumer under forced window, forced seq, and auto.
-    The window shape's hot key runs its whole history in ONE task
-    (sort + sliding frame); seq is the prefix-difference machinery.
-    The trailingAgg.threshold default is set from this table."""
+    The window shape's hot key runs its whole history in ONE task —
+    QUADRATICALLY (Spark's sliding frame re-evaluates the aggregate
+    buffer per row, no retraction), which is why the default hot-m
+    sweep stops at m=3: at sf0.1 events (100k rows/copy, 30-day span,
+    ~3% frame occupancy) m=1/2/3 are 100k/200k/300k-row hot keys ~=
+    3e8/1.3e9/3e9 single-task products; larger m is hours. seq is the
+    prefix-difference machinery (flat). The trailingAgg.hotRows
+    default is set from this table plus the single-key occupancy
+    ladder in SCALING.md."""
     from imp_etl_spark.operators.window import (
         release_probe_memo,
-        top_key_share,
+        top_key_stats,
         trailing_time_sums,
     )
 
     spark = get_spark("scale-experiment-rollingtime25x")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.imp_etl.lagDispatch.rowFloor", "0")
     copies = int(os.environ.get("SCALE_COPIES", "25"))
     big = tempfile.mkdtemp(prefix="scale_rolltime_")
     base = read_table(spark, SF_DIR, "events")
     hot_env = os.environ.get("SCALE_HOTMS")
     hot_ms = ([int(x) for x in hot_env.split(",")] if hot_env
-              else [0, copies // 2, (3 * copies) // 5,
-                    (4 * copies) // 5, copies - 1])
+              else [0, 1, 2, 3])
     fixtures = []
     for m in dict.fromkeys(hot_ms):
         name = f"hot{m}"
@@ -731,13 +735,14 @@ def main_rollingtime25x() -> None:
     fn(spark, SF_DIR).limit(1).write.format("noop").mode(
         "overwrite").save()  # warm codegen
     spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
-    print(f"| fixture ({copies}x) | top share | window (s) | seq (s) "
-          "| auto (s) | auto picked |")
-    print("|---|---|---|---|---|---|")
+    print(f"| fixture ({copies}x) | top share | top rows | window (s) "
+          "| seq (s) | auto (s) | auto picked |")
+    print("|---|---|---|---|---|---|---|")
     for name, d in fixtures:
         ev = read_table(spark, d, "events")
-        share, _k = top_key_share(ev.select("user_id"), ["user_id"],
-                                  memo=False)
+        share, cnt, _k = top_key_stats(ev.select("user_id"),
+                                       ["user_id"], support=0.01,
+                                       memo=False)
         times = {}
         for mode in ("window", "seq", "auto"):
             spark.conf.set("spark.imp_etl.lagDispatch.mode", mode)
@@ -748,10 +753,10 @@ def main_rollingtime25x() -> None:
                 times[mode] = time_query(fn, spark, d, eager=True)
             finally:
                 spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
-        picked = ("seq" if share >= float(spark.conf.get(
-            "spark.imp_etl.trailingAgg.threshold", "0.5"))
+        picked = ("seq" if cnt >= int(spark.conf.get(
+            "spark.imp_etl.trailingAgg.hotRows", "50000"))
             else "window")
-        print(f"| {name} | {share:.1%} | {times['window']:.2f} "
+        print(f"| {name} | {share:.1%} | {cnt} | {times['window']:.2f} "
               f"| {times['seq']:.2f} | {times['auto']:.2f} | {picked} |")
     shutil.rmtree(big, ignore_errors=True)
 
