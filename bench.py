@@ -70,6 +70,8 @@ HEADLINE = [
     "ngram_novelty",
     "bpe_pair_counts",
     "ewma_user_value",
+    # r10: the unbounded-EWMA rescaled-scan consumer (VERDICT r9 item 4)
+    "ewma_unbounded_user",
     "incremental_agg_merge",
     "zorder_events_layout",
     "q12_priority_class",
@@ -92,7 +94,11 @@ EAGER_BUILD = {"dedup_cluster_assign", "shard_documents_balanced",
                # probe (and, when it picks seq, seq_lag's range
                # exchange + boundary collect) at BUILD time
                "twap_user_value", "top_event_paths", "scd2_user_state",
-               "win_lag_lead", "customer_order_gaps"}
+               "win_lag_lead", "customer_order_gaps",
+               # r10: dispatch-at-build consumers — at bench scale the
+               # metadata row floor answers from parquet footers (no
+               # jobs), but timing from build keeps that claim honest
+               "ewma_unbounded_user", "rolling_24h_user_value"}
 
 
 def main() -> None:
