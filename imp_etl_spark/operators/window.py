@@ -847,13 +847,23 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
     untimed = d.where(F.col("__ep").isNull())
 
     # (1) per-(key, instant) partials — map-side combine collapses
-    # same-instant bursts before anything shuffles
+    # same-instant bursts before anything shuffles. Two per-sum
+    # accumulators (fuzz seeds 919-924): the coalesced-to-zero sum
+    # (NULL partials would poison the running totals — SUM over a
+    # window returns NULL until the first non-null) and the NON-NULL
+    # VALUE COUNT, because a prefix DIFFERENCE cannot distinguish "no
+    # values in frame" (the window shape's NULL) from "values summing
+    # to zero" — presence has to ride along as its own prefix.
     s_cols = list(sums)
     g = timed.groupBy("__k", "__ep").agg(
         F.count(F.lit(1)).alias("__c"),
-        *[F.sum(F.col(sums[out]).cast(wide_t[out])).alias(f"__s_{out}")
+        *[F.coalesce(F.sum(F.col(sums[out]).cast(wide_t[out])),
+                     F.lit(0).cast(wide_t[out])).alias(f"__s_{out}")
+          for out in s_cols],
+        *[F.count(F.col(sums[out])).alias(f"__m_{out}")
           for out in s_cols])
-    val_cols = ["__c", *[f"__s_{out}" for out in s_cols]]
+    val_cols = ["__c", *[f"__s_{out}" for out in s_cols],
+                *[f"__m_{out}" for out in s_cols]]
 
     # (2) global running totals over the (key, instant) range order:
     # per-partition cumsum + driver-chained partition offsets (the
@@ -875,7 +885,8 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
             acc[c] = acc[c] + (r[c] or 0)
     off_exprs = {}
     for c in val_cols:
-        t = "bigint" if c == "__c" else wide_t[c.removeprefix("__s_")]
+        t = (wide_t[c.removeprefix("__s_")] if c.startswith("__s_")
+             else "bigint")
         if offs:
             off_exprs[c] = F.element_at(
                 F.create_map(*[x for pid in sorted(offs) for x in
@@ -918,15 +929,21 @@ def trailing_time_sums(df: DataFrame, key: Sequence[str] | str,
         build_cols={f"__bb{c}": f"__pb{c}" for c in val_cols},
         num_partitions=num_partitions, release=release)
 
+    # frame sum = csum difference, but NULL when the frame holds zero
+    # NON-NULL values (the window shape's SUM-of-empty semantics — the
+    # non-null-count prefix difference carries presence)
     roll = res.select(
         "__k", "__ep",
         *([] if not count_col else
           [(F.col("__kc__c") - F.coalesce(F.col("__pb__c"), F.lit(0)))
            .alias(count_col)]),
-        *[(F.col(f"__kc__s_{out}")
-           - F.coalesce(F.col(f"__pb__s_{out}"),
-                        F.lit(0).cast(wide_t[out])))
-          .cast(out_t[out]).alias(out) for out in s_cols])
+        *[F.when(
+            (F.col(f"__kc__m_{out}")
+             - F.coalesce(F.col(f"__pb__m_{out}"), F.lit(0))) > 0,
+            (F.col(f"__kc__s_{out}")
+             - F.coalesce(F.col(f"__pb__s_{out}"),
+                          F.lit(0).cast(wide_t[out])))
+            .cast(out_t[out])).alias(out) for out in s_cols])
 
     out_names = ([count_col] if count_col else []) + s_cols
     timed_out = timed.join(

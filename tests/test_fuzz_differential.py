@@ -34,7 +34,7 @@ import pytest
 sys.path.insert(0, "tools")
 
 
-@pytest.mark.parametrize("seed", [30, 36, 88, 224, 501])
+@pytest.mark.parametrize("seed", [30, 36, 88, 224, 501, 713])
 def test_randomized_differential_seed_is_clean(spark, seed):
     # seeds 30, 36 and 88 are the round-6 finding-bearers (pareto
     # null-rank ordering; grouping-sets global row on empty input;
@@ -43,7 +43,11 @@ def test_randomized_differential_seed_is_clean(spark, seed):
     # an EXACT 6dp rounding tie, 0.5051625, where Spark's BigDecimal
     # half-up and DuckDB's scaled-double round diverge — the score now
     # quantizes via IEEE floor(x*1e6+0.5), identical on both engines)
-    # — pinned so the fixes regress loudly.
+    # — pinned so the fixes regress loudly. Seed 713 is the round-10
+    # finding-bearer (ewma_unbounded_user's 1e-3 absolute rounding
+    # grid straddled by scan error at fuzzer magnitudes — the oracle
+    # is now bit-exact via the chunk_size=1 fold; curated regression
+    # in test_recurrence.py).
     # Round 8 consolidation (VERDICT r7 item 7 — profile & consolidate
     # before adding): the two never-finding placeholder seeds 1 and 3
     # (~80 s/run combined) are dropped; they were the same differential
@@ -61,3 +65,21 @@ def test_randomized_differential_seed_is_clean(spark, seed):
     # suite budget
     bad = run_seed(spark, seed, workers=16)
     assert not bad, f"seed {seed}: {bad[:5]}"
+
+
+def test_randomized_differential_seed919_forced_seq_is_clean(spark):
+    """Round-10 finding-bearer, forced-seq class: seeds 919-924 all
+    caught rolling_24h_user_value's seq shape mishandling NULL values
+    (a prefix DIFFERENCE cannot distinguish "no values in frame" from
+    "values summing to zero", and NULL partials poisoned the running
+    totals). Fixed by carrying the non-null count as its own prefix
+    and coalescing sum partials; curated regression (all-NULL key) in
+    test_skew.py. Pinned under the same forced mode that surfaced it."""
+    from fuzz_differential import run_seed
+
+    spark.conf.set("spark.imp_etl.lagDispatch.mode", "seq")
+    try:
+        bad = run_seed(spark, 919, workers=16)
+    finally:
+        spark.conf.set("spark.imp_etl.lagDispatch.mode", "auto")
+    assert not bad, f"seed 919 (forced seq): {bad[:5]}"

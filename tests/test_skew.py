@@ -291,7 +291,9 @@ def test_probe_memo_cap(spark, tmp_path, monkeypatch):
 def test_trailing_time_sums_modes_bitequal(spark):
     """trailing_time_sums (r10): the window RANGE frame and the
     prefix-difference seq machinery are bit-equal on adversarial data —
-    hot key, NULL keys, NULL ts (peer group), same-instant tie bursts,
+    hot key, NULL keys, NULL ts (peer group), NULL values (a frame of
+    only-NULL values must sum to NULL, not 0 — the fuzz-919 class:
+    presence rides as its own prefix), same-instant tie bursts,
     negative decimals — and reject non-exact (double) sum columns."""
     import random
     from decimal import Decimal
@@ -306,8 +308,12 @@ def test_trailing_time_sums_modes_bitequal(spark):
         ts = None if i % 53 == 0 else base + rng.randint(0, 5 * 86400)
         if i % 7 == 0 and ts:
             ts = base + 1234  # same-instant burst
-        v = Decimal(rng.randint(-10**6, 10**6)) / 1000
+        v = (None if i % 11 == 0
+             else Decimal(rng.randint(-10**6, 10**6)) / 1000)
         rows.append((user, ts, v, i))
+    # a key whose values are ALL NULL: every frame must sum to NULL
+    for j in range(20):
+        rows.append(("nuller", base + j * 3600, None, 2000 + j))
     df = (spark.createDataFrame(
         rows, "user STRING, ep LONG, v DECIMAL(18,3), rid LONG")
         .withColumn("ts", F.timestamp_seconds("ep")).drop("ep"))
@@ -321,7 +327,9 @@ def test_trailing_time_sums_modes_bitequal(spark):
         ridx = r.columns.index("rid")
         outs[mode] = sorted((tuple(x) for x in r.collect()),
                             key=lambda t: t[ridx])
-    assert outs["window"] == outs["seq"] and len(outs["window"]) == 2000
+    assert outs["window"] == outs["seq"] and len(outs["window"]) == 2020
+    nul = [t for t in outs["seq"] if t[0] == "nuller"]
+    assert nul and all(t[r.columns.index("rsum")] is None for t in nul)
 
     # empty input, both shapes
     for mode in ("window", "seq"):
