@@ -174,7 +174,6 @@ def ewma_scan(df: DataFrame, keys: Sequence[str],
     cj = carries.select(
         *[F.col(c).alias(f"__j_{c}") for c in keys], "__chunk",
         "__carry")
-    cond = F.col("__chunk").eqNullSafe(F.col("__chunk"))
     cond = None
     for g in keys:
         c = F.col(g).eqNullSafe(F.col(f"__j_{g}"))
