@@ -430,10 +430,10 @@ def group_rank(df: DataFrame, group_cols: Sequence[str],
 #: memo (plans/control.py / streaming/etl_stream.py hooks), and CAPPED
 #: (r10, ADVICE): sessions that never hit those hooks (fuzzer sweeps,
 #: ad-hoc drivers) must not pin unbounded py4j JVM plan references —
-#: beyond ``_PROBE_MEMO_CAP`` distinct (plan-hash, support) slots the
+#: beyond ``_PROBE_MEMO_CAP`` distinct plan-hash slots the
 #: oldest slot is evicted (dict preserves insertion order). An evicted
 #: entry just re-probes on its next build; nothing can go stale-wrong.
-_PROBE_MEMO: dict[tuple[int, float], list] = {}
+_PROBE_MEMO: dict[int, list] = {}
 _PROBE_MEMO_LOCK = threading.Lock()
 _PROBE_MEMO_CAP = 64
 
@@ -490,7 +490,7 @@ def top_key_stats(df: DataFrame, keys: Sequence[str],
     dispatching on absolute count at extreme totals should lower
     ``support`` (cost: ceil(1/support) map-side counters).
 
-    ``memo=True`` memoizes the result per (analyzed-plan, support) for
+    ``memo=True`` memoizes the result per analyzed plan for
     the life of the session — see ``_PROBE_MEMO`` above. The public
     default is ``memo=False`` (r10, ADVICE): a caller using the share
     as a MEASUREMENT over data that changed under the same plan within
@@ -510,16 +510,38 @@ def top_key_stats(df: DataFrame, keys: Sequence[str],
     if memo:
         try:
             jplan = keyed._jdf.queryExecution().analyzed()
-            memo_key = (int(jplan.semanticHash()), float(support))
+            memo_key = int(jplan.semanticHash())
             with _PROBE_MEMO_LOCK:
-                for p, res in _PROBE_MEMO.get(memo_key, []):
-                    if p.sameResult(jplan):
+                for p, s, res in _PROBE_MEMO.get(memo_key, []):
+                    # a LOWER-support probe searched a superset of the
+                    # candidates this support would — its hottest-key
+                    # answer serves any request at support >= s (r11,
+                    # VERDICT item 6: the trailing class's fine probe
+                    # feeds the lag class's coarse one within an epoch)
+                    if s <= support and p.sameResult(jplan):
                         return res
         except Exception:  # noqa: BLE001 — connect/api drift: probe runs
             jplan = None
     cand = keyed.stat.freqItems(["__k"], support).collect()[0][0]
     res = (0.0, 0, None)
-    if cand:
+    if cand and len(cand) > 64:
+        # derived-support probes (resolve_trailing_mode) can return
+        # thousands of candidates — a per-candidate when-sum agg would
+        # codegen one expression each, so count them through a tiny
+        # hash aggregation instead (candidates collapse map-side to
+        # <= len(cand)+1 partial rows per partition; __k is never NULL
+        # — concat_ws folds all-null keys to '' — so the NULL group is
+        # exactly the non-candidate remainder)
+        rows = (keyed.groupBy(
+            F.when(F.col("__k").isin(*[F.lit(c) for c in cand]),
+                   F.col("__k")).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__n")).collect())
+        total = sum(r["__n"] for r in rows)
+        top = max((r for r in rows if r["__k"] is not None),
+                  key=lambda r: r["__n"], default=None)
+        if total and top is not None:
+            res = (top["__n"] / total, int(top["__n"]), top["__k"])
+    elif cand:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(F.when(F.col("__k") == F.lit(c), 1).otherwise(0))
             .alias(f"__c{i}")
@@ -532,7 +554,8 @@ def top_key_stats(df: DataFrame, keys: Sequence[str],
             res = (share, int(cnt), key)
     if jplan is not None:
         with _PROBE_MEMO_LOCK:
-            _PROBE_MEMO.setdefault(memo_key, []).append((jplan, res))
+            _PROBE_MEMO.setdefault(memo_key, []).append(
+                (jplan, float(support), res))
             while len(_PROBE_MEMO) > _PROBE_MEMO_CAP:
                 _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
     return res
@@ -547,37 +570,43 @@ def top_key_stats(df: DataFrame, keys: Sequence[str],
 _SCAN_SAFE_NODES = frozenset({
     "Project", "Filter", "SubqueryAlias", "View", "Relation",
     "LogicalRelation", "GlobalLimit", "LocalLimit", "Sort",
-    "Deduplicate", "Distinct", "Sample",
+    "Deduplicate", "Distinct",
+    # NOT "Sample" (r11, ADVICE): sample(withReplacement=True,
+    # fraction>1) can emit MORE rows than the input, so footer counts
+    # stop being an upper bound — sampled plans fall back to the probe.
 })
 
 
-def _rows_at_most(df: DataFrame, limit: int,
-                  max_files: int = 512) -> bool:
-    """Driver-side, job-free check: is ``df``'s row count provably
-    <= ``limit``, from Parquet footer metadata alone?
+def _footer_row_bound(df: DataFrame, limit: int | None = None,
+                      max_files: int = 512) -> int | None:
+    """Driver-side, job-free UPPER bound on ``df``'s row count from
+    Parquet footer metadata — or None when no bound is provable.
 
-    True only when (a) the analyzed plan is a pure scan pipeline
-    (every node in ``_SCAN_SAFE_NODES``, so file row counts upper-bound
-    the output), (b) every input file is a LOCAL parquet file whose
-    footer pyarrow can read, and (c) the summed footer ``num_rows``
-    stays <= limit (early-exit on crossing — footer read cost is
-    bounded by the answer, not the table). Remote filesystems, scans
-    with > ``max_files`` files, non-scan plans, and any introspection
-    failure all return False: the caller falls back to the probe,
-    which is always correct, just not free. False NEVER means "the
-    frame is large" — only "not provably small from metadata".
+    A bound exists only when (a) the analyzed plan is a pure scan
+    pipeline (every node in ``_SCAN_SAFE_NODES``, so file row counts
+    upper-bound the output) and (b) every input file is a LOCAL
+    parquet file whose footer pyarrow can read. Remote filesystems,
+    scans with > ``max_files`` files, non-scan plans, and any
+    introspection failure all return None: the caller falls back to
+    the probe, which is always correct, just not free. None NEVER
+    means "the frame is large" — only "not provable from metadata".
+
+    ``limit`` early-exits the footer sweep once the sum crosses it
+    (returning that partial sum, still a valid "> limit" witness) so
+    a threshold check's footer cost is bounded by the answer, not the
+    table size.
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
         for line in plan.splitlines():
             name = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
             if name and name not in _SCAN_SAFE_NODES:
-                return False
+                return None
         files = df.inputFiles()
     except Exception:  # noqa: BLE001 — connect/api drift: probe runs
-        return False
+        return None
     if len(files) > max_files:
-        return False
+        return None
     import urllib.parse
 
     import pyarrow.parquet as pq
@@ -585,14 +614,23 @@ def _rows_at_most(df: DataFrame, limit: int,
     for f in files:
         u = urllib.parse.urlparse(f)
         if u.scheme not in ("file", "") or not f.endswith(".parquet"):
-            return False
+            return None
         try:
             total += pq.ParquetFile(u.path or f).metadata.num_rows
         except Exception:  # noqa: BLE001 — unreadable footer: probe runs
-            return False
-        if total > limit:
-            return False
-    return True
+            return None
+        if limit is not None and total > limit:
+            return total
+    return total
+
+
+def _rows_at_most(df: DataFrame, limit: int,
+                  max_files: int = 512) -> bool:
+    """Is ``df``'s row count provably <= ``limit`` from Parquet footer
+    metadata alone? False never means "large" — only "not provably
+    small" (see :func:`_footer_row_bound`)."""
+    bound = _footer_row_bound(df, limit=limit, max_files=max_files)
+    return bound is not None and bound <= limit
 
 
 def resolve_lag_mode(probe: DataFrame, keys: Sequence[str],
@@ -649,11 +687,12 @@ def resolve_trailing_mode(probe: DataFrame, keys: Sequence[str],
     while the seq shape stays flat. Decision order:
 
     1. forced mode (``spark.imp_etl.lagDispatch.mode`` or ``mode=``);
-    2. metadata floor: a pure local-scan probe provably <= hot_rows
-       TOTAL rows cannot contain a hot key above it -> ``"window"``
-       (the same footer bound as the lag class, with the cap at
-       hot_rows rather than the 10M lag floor — a sub-10M table can
-       still hide a quadratically fatal trailing key);
+    2. metadata floor: a pure local-scan probe provably < hot_rows
+       TOTAL rows cannot contain a key reaching the seq trigger ->
+       ``"window"`` (the same footer bound as the lag class, with the
+       cap at hot_rows rather than the 10M lag floor — a sub-10M table
+       can still hide a quadratically fatal trailing key; strictly
+       below, because the probe rule fires AT hot_rows — r11, ADVICE);
     3. probe: ``"seq"`` iff the hottest key's exact count >= hot_rows.
 
     ``spark.imp_etl.trailingAgg.hotRows`` (default 50000) is the
@@ -661,10 +700,24 @@ def resolve_trailing_mode(probe: DataFrame, keys: Sequence[str],
     occupancy a 50k-key window costs about the seq machinery's fixed
     tax (false seq ~= free), while at high occupancy it is already an
     order of magnitude past it and growing quadratically.
-    ``spark.imp_etl.trailingAgg.support`` (default 0.01, 100 map-side
-    counters) bounds detection: keys under 1% share are invisible —
-    lower it when totals are so large that a sub-1% key could still
-    exceed hot_rows.
+
+    Probe support — AUTO-DERIVED from the footer bound (r11, VERDICT
+    item 3): ``top_key_stats`` only guarantees detection of keys whose
+    SHARE exceeds its support, so a fixed support is a blind spot at
+    extreme totals (at 0.01, a sub-1%-share key above hot_rows is
+    invisible). When the probe plan's Parquet footers yield a row
+    upper bound ``ub``, any key with >= hot_rows rows has share >=
+    hot_rows/ub, so support = 0.5*hot_rows/ub (the 0.5 is 2x detection
+    margin) is sufficient AND necessary-scaled: it LOWERS support on
+    big tables (closing the blind spot) and RAISES it on small ones
+    (fewer heavy-hitter counters; capped at 0.5). The derived value is
+    floored at ``spark.imp_etl.trailingAgg.minSupport`` (default
+    1/4096) — the probe-cost bound: below it the counter map and the
+    verification pass grow past the point where probing is cheap, and
+    a key that small a share of a table that large is the documented
+    residual blind spot. An explicit ``support=`` argument or a SET
+    ``spark.imp_etl.trailingAgg.support`` conf overrides derivation;
+    the 0.01 default applies only when no footer bound exists.
     """
     conf = probe.sparkSession.conf
     mode = mode or conf.get("spark.imp_etl.lagDispatch.mode", "auto")
@@ -674,11 +727,16 @@ def resolve_trailing_mode(probe: DataFrame, keys: Sequence[str],
     hot_rows = int(float(
         hot_rows if hot_rows is not None
         else conf.get("spark.imp_etl.trailingAgg.hotRows", "50000")))
-    support = float(
-        support if support is not None
-        else conf.get("spark.imp_etl.trailingAgg.support", "0.01"))
-    if hot_rows > 0 and _rows_at_most(probe, hot_rows):
+    ub = _footer_row_bound(probe) if hot_rows > 0 else None
+    if ub is not None and ub < hot_rows:
         return "window"
+    if support is None:
+        support = conf.get("spark.imp_etl.trailingAgg.support", None)
+    if support is None and ub:
+        min_support = float(conf.get(
+            "spark.imp_etl.trailingAgg.minSupport", str(1.0 / 4096)))
+        support = min(max(0.5 * hot_rows / ub, min_support), 0.5)
+    support = float(support if support is not None else 0.01)
     _share, cnt, _key = top_key_stats(probe, keys, support, memo=True)
     return "seq" if cnt >= hot_rows else "window"
 

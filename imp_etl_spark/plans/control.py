@@ -98,11 +98,11 @@ class EtlController:
                  clock=None, tick: float = 1.0,
                  **kwargs) -> None:
         """Start the recurring schedule (start-etl, ST1). ``every`` is
-        either a Spark interval / fixed-interval cron shape (mapped to
-        a processing-time trigger, the round-3 behavior) or ANY other
+        either a Spark interval string / ``* * * * *`` (mapped to a
+        processing-time trigger — pure cadence, no phase) or ANY other
         valid node-cron pattern — incl. calendar shapes like
         ``0 9 * * 1-5`` the reference accepts via cron.validate /
-        cron.schedule (index.js:30-37, 75-86). Calendar shapes run on
+        cron.schedule (index.js:30-37, 75-86). Cron shapes run on
         a driver-side wall-clock scheduler (plans/cron.py, Asia/Manila
         like the reference): each fire executes ONE AvailableNow epoch
         of the same streaming pipeline against the SAME checkpoint, so
@@ -138,7 +138,18 @@ class EtlController:
                         available_now=True,
                         epoch_summaries=self.epoch_summaries,
                         on_epoch_end=_release_query_caches, **kwargs)
-                    q.awaitTermination()
+                    # register the fire's query on the controller while
+                    # the epoch runs (r11, ADVICE): stop() can then
+                    # q.stop() an epoch that outlasts the scheduler
+                    # thread's join instead of abandoning it handleless
+                    with self._guard:
+                        self._query = q
+                    try:
+                        q.awaitTermination()
+                    finally:
+                        with self._guard:
+                            if self._query is q:
+                                self._query = None
 
                 self._cron = CronScheduler(
                     kind[1], _fire, now_fn=clock, tick=tick).start()
@@ -163,9 +174,16 @@ class EtlController:
             q = self._query
             cr = self._cron
         if cr is not None:
-            # wall-clock cron: halt future fires; an in-flight fire's
-            # epoch completes first (the join inside CronScheduler.stop)
-            cr.stop()
+            # wall-clock cron: halt FUTURE fires first (non-blocking),
+            # then pick up an in-flight fire's registered query so the
+            # q.stop() below ends its epoch instead of this thread
+            # blocking the full join timeout behind it (r11, ADVICE —
+            # an epoch outlasting the join used to keep running with
+            # no handle left to stop it)
+            cr.signal_stop()
+            if q is None:
+                with self._guard:
+                    q = self._query
         if q is not None:
             # stop BEFORE releasing the handle: if q.stop() raises (a
             # dying stream's py4j error), _query stays set and a retry
@@ -173,6 +191,17 @@ class EtlController:
             # controller with is_running=True and no recovery path
             q.stop()
             q.awaitTermination(60)
+        if cr is not None:
+            # the scheduler thread exits promptly now that the epoch is
+            # stopped; join it, then sweep for a fire that registered
+            # its query BETWEEN the signal and the join (it ran — the
+            # signal only stops future fires) and stop that one too
+            cr.stop()
+            with self._guard:
+                q2 = self._query if self._query is not q else None
+            if q2 is not None:
+                q2.stop()
+                q2.awaitTermination(60)
         out = self.status()  # uptime snapshot before the claim clears
         if q is not None or cr is not None:
             with self._guard:

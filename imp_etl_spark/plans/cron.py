@@ -20,10 +20,10 @@ it:
   interval path runs, so checkpoint/idempotence/watermark semantics are
   identical (plans/control.py).
 - :func:`classify_schedule` is the single classifier the HTTP layer and
-  the controller share: Spark interval strings and the fixed-interval
-  cron shapes keep mapping onto processing-time triggers (cadence
-  without wall-clock phase, exactly as before); every other valid cron
-  pattern becomes a calendar schedule; anything else is invalid.
+  the controller share: Spark interval strings and ``* * * * *`` map
+  onto processing-time triggers (pure cadence, no phase to honor);
+  every other valid cron pattern becomes a calendar schedule firing at
+  node-cron's exact wall-clock matches; anything else is invalid.
 
 Field-matching semantics follow node-cron, the reference's library: every
 field must match independently (a logical AND), INCLUDING day-of-month vs
@@ -196,13 +196,21 @@ def classify_schedule(
     """The one schedule classifier (HTTP layer + controller).
 
     Returns ``("interval", "<n> <unit>")`` for Spark interval strings
-    and for the fixed-interval cron shapes that round-3 already mapped
-    onto processing-time triggers (every-minute, ``*/N`` minutes,
-    hourly ``M * * * *``, daily ``M H * * *`` — same cadence, no
-    wall-clock phase, exactly the prior behavior); ``("cron", pat)``
-    for every OTHER valid node-cron pattern (calendar shapes — weekday
-    fields, lists, ranges, seconds); ``None`` for anything invalid
-    (the reference's cron.validate failure -> 400)."""
+    and for ``* * * * *`` (every minute — the one cron shape with no
+    wall-clock phase to honor, where a processing-time trigger is an
+    exact cadence match); ``("cron", pat)`` for EVERY other valid
+    node-cron pattern; ``None`` for anything invalid (the reference's
+    cron.validate failure -> 400).
+
+    History (r11, ADVICE): through round 10 the fixed-interval cron
+    shapes (``*/N``, hourly ``M * * * *``, daily ``M H * * *``) also
+    mapped onto processing-time triggers — same cadence, but the
+    minute/hour PHASE was discarded: the reference (node-cron,
+    index.js:75-86) fires ``30 2 * * *`` at 02:30 Asia/Manila, the
+    trigger mapping fired it every 24 h from start time, and adding a
+    dow field silently switched to exact wall-clock semantics. All of
+    those now route through :class:`CronScheduler` so every cron
+    pattern fires at node-cron's exact wall-clock matches."""
     pattern = pattern.strip()
     if _INTERVAL_RE.match(pattern):
         return None if int(pattern.split()[0]) == 0 else (
@@ -211,20 +219,8 @@ def classify_schedule(
         pat = CronPattern.parse(pattern)
     except ValueError:
         return None
-    fields = pattern.split()
-    if len(fields) == 5:
-        minute, hour, dom, month, dow = fields
-        if (dom, month, dow) == ("*", "*", "*"):
-            if hour == "*":
-                if minute == "*":
-                    return ("interval", "1 minute")
-                m = re.fullmatch(r"\*/(\d+)", minute)
-                if m and 0 < int(m.group(1)) < 60:
-                    return ("interval", f"{int(m.group(1))} minutes")
-                if minute.isdigit():
-                    return ("interval", "1 hour")
-            elif minute.isdigit() and hour.isdigit():
-                return ("interval", "1 day")
+    if len(pattern.split()) == 5 and pattern.split() == ["*"] * 5:
+        return ("interval", "1 minute")
     return ("cron", pat)
 
 
@@ -273,11 +269,19 @@ class CronScheduler:
     def is_alive(self) -> bool:
         return self._thread.is_alive()
 
+    def signal_stop(self) -> None:
+        """Halt FUTURE fires WITHOUT waiting for an in-flight one —
+        the non-blocking half of :meth:`stop`, for callers that must
+        first stop the in-flight fire's work themselves (the
+        controller stops the fire's streaming query before joining
+        this thread, plans/control.py — r11, ADVICE)."""
+        self._stop.set()
+
     def stop(self, timeout: float = 120.0) -> None:
         """Halt FUTURE fires; an in-flight fire completes first (the
         reference's task.stop() semantics, ST5) — the join waits for
         it up to ``timeout``."""
-        self._stop.set()
+        self.signal_stop()
         if self._thread.is_alive():
             self._thread.join(timeout)
 

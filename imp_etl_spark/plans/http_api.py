@@ -20,14 +20,14 @@ Design notes:
   is on the 100 TB data path.
 - Schedules: the reference validates ANY node-cron pattern
   (index.js:30-37) and schedules it in Asia/Manila (index.js:75-86).
-  Spark processing-time intervals ("30 seconds") and the fixed-interval
-  cron shapes ("* * * * *", "*/5 * * * *", hourly "M * * * *", daily
-  "M H * * *") map onto the processing-time trigger — the same fire
-  cadence without a wall-clock phase (documented in the response note).
-  Every OTHER valid cron pattern (weekday/day-of-month fields, lists,
-  ranges, seconds — e.g. "0 9 * * 1-5") runs on the driver-side
-  wall-clock scheduler (plans/cron.py, r10): real Manila-clock fires,
-  one AvailableNow epoch per match against the same checkpoint. Only
+  Spark processing-time intervals ("30 seconds") and "* * * * *" (the
+  one phase-less cron shape) map onto the processing-time trigger.
+  Every OTHER valid cron pattern ("*/5 * * * *", hourly "M * * * *",
+  daily "M H * * *", weekday/day-of-month fields, lists, ranges,
+  seconds — e.g. "0 9 * * 1-5") runs on the driver-side wall-clock
+  scheduler (plans/cron.py; r10, phase-exact for every shape since
+  r11): real Manila-clock fires at node-cron's exact matches, one
+  AvailableNow epoch per match against the same checkpoint. Only
   genuinely invalid patterns get the reference's 400 shape.
 - SSE tail: each connection polls the log file by offset (the ``tail``
   package's fs.watch, minus the dependency); truncation is detected by
@@ -326,23 +326,14 @@ class EtlHttpServer:
                 "trigger": trigger,
                 "startTime": self._now_iso(),
             }
-            if mode == "interval" and str(pattern).strip() != every:
-                # fixed-interval cron shapes map onto phase-less
-                # processing-time triggers: same cadence, first fire at
-                # start rather than at the cron's wall-clock minute.
-                # Say so instead of silently shifting the client's
-                # expected fire times.
+            if mode == "cron":
+                # cron shapes (r10, phase-exact for ALL shapes since
+                # r11): real wall-clock fires in the reference's
+                # timezone via a driver-side scheduler; each fire runs
+                # one AvailableNow epoch of the same checkpointed
+                # pipeline (plans/cron.py)
                 resp["note"] = (
-                    f"cron pattern mapped to a fixed '{every}' trigger; "
-                    "fires start immediately, wall-clock phase is not "
-                    "preserved")
-            elif mode == "cron":
-                # calendar shapes (r10): real wall-clock fires in the
-                # reference's timezone via a driver-side scheduler;
-                # each fire runs one AvailableNow epoch of the same
-                # checkpointed pipeline (plans/cron.py)
-                resp["note"] = (
-                    "calendar cron: fires at wall-clock matches "
+                    "cron schedule: fires at wall-clock matches "
                     "(Asia/Manila); each fire runs one incremental "
                     "epoch")
             h._json(200, resp)

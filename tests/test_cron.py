@@ -108,10 +108,12 @@ def test_invalid_and_never_firing_patterns():
 def test_classify_schedule_three_way():
     assert classify_schedule("30 seconds") == ("interval", "30 seconds")
     assert classify_schedule("* * * * *") == ("interval", "1 minute")
-    assert classify_schedule("*/5 * * * *") == ("interval", "5 minutes")
-    assert classify_schedule("15 * * * *") == ("interval", "1 hour")
-    assert classify_schedule("30 2 * * *") == ("interval", "1 day")
-    for cal in ("0 9 * * 1-5", "0 0 1 * *", "0,30 9-17 * * *",
+    # r11 (ADVICE): every cron shape WITH a wall-clock phase routes
+    # through the scheduler — node-cron fires '30 2 * * *' at 02:30
+    # Manila and '*/5' at minutes 0,5,10...; the processing-time
+    # trigger mapping discarded that phase
+    for cal in ("*/5 * * * *", "15 * * * *", "30 2 * * *",
+                "0 9 * * 1-5", "0 0 1 * *", "0,30 9-17 * * *",
                 "*/20 * * * * *", "0 0 13 * fri"):
         kind = classify_schedule(cal)
         assert kind is not None and kind[0] == "cron", cal
@@ -207,6 +209,65 @@ def test_controller_calendar_schedule_runs_epochs(spark, tmp_path):
         ctl.schedule(stream, voucher, txn, "x", "y", "z",
                      every="*/0 * * * *")
     assert ctl.status()["isRunning"] is False
+
+
+def test_stop_reaches_inflight_fire_epoch(spark, monkeypatch):
+    """r11 (ADVICE): a calendar fire's AvailableNow query is registered
+    on the controller while the epoch runs, so stop() can q.stop() an
+    epoch that outlasts the scheduler join instead of reporting stopped
+    while the query keeps running handleless. Uses a fake stream whose
+    epoch blocks until stopped — with only the thread-join path, this
+    test would hang for the full 120 s join timeout."""
+    import threading
+
+    from imp_etl_spark.plans import control as control_mod
+    from imp_etl_spark.plans.control import EtlController
+
+    class FakeQuery:
+        def __init__(self):
+            self._done = threading.Event()
+            self.stop_calls = 0
+
+        @property
+        def isActive(self):
+            return not self._done.is_set()
+
+        def stop(self):
+            self.stop_calls += 1
+            self._done.set()
+
+        def awaitTermination(self, timeout=None):
+            self._done.wait(timeout)
+            return self._done.is_set()
+
+    fired = threading.Event()
+    queries: list[FakeQuery] = []
+
+    def fake_stream(*args, **kwargs):
+        q = FakeQuery()
+        queries.append(q)
+        fired.set()
+        return q
+
+    monkeypatch.setattr(control_mod, "run_etl_stream", fake_stream)
+    clock = FakeClock(_dt(2026, 8, 12, 8, 59, 59), step=0.5)
+    ctl = EtlController(spark)
+    ctl.schedule(None, None, None, "v", "t", "ckpt",
+                 every="0 9 * * 1-5", clock=clock, tick=0.005)
+    assert fired.wait(30), "fire never started"
+    deadline = time.time() + 30
+    while ctl._query is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert ctl._query is queries[0]  # registered while epoch in flight
+    assert ctl.status()["isRunning"] is True
+    t0 = time.time()
+    st = ctl.stop()
+    took = time.time() - t0
+    assert queries[0].stop_calls >= 1  # stop reached the epoch's query
+    assert took < 60, f"stop blocked {took:.0f}s behind the epoch"
+    assert st is not None
+    assert ctl.status()["isRunning"] is False
+    assert ctl._query is None and ctl._cron is None
 
 
 def test_cron_next_fire_fuzz_vs_brute_force():

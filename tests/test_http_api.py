@@ -77,9 +77,10 @@ def server(spark, tmp_path):
 
 def test_parse_schedule_shapes():
     assert parse_schedule("* * * * *") == "1 minute"
-    assert parse_schedule("*/5 * * * *") == "5 minutes"
-    assert parse_schedule("15 * * * *") == "1 hour"
-    assert parse_schedule("30 2 * * *") == "1 day"
+    # r11 (ADVICE): phase-carrying cron shapes are calendar schedules
+    # now (wall-clock scheduler), not interval triggers
+    for cal in ("*/5 * * * *", "15 * * * *", "30 2 * * *"):
+        assert parse_schedule(cal) is None, cal
     assert parse_schedule("45 seconds") == "45 seconds"
     assert parse_schedule("2 seconds") == "2 seconds"
     for bad in ("nope", "61 * * * *", "* * * * 1", "*/0 * * * *",
@@ -279,11 +280,15 @@ def test_status_timestamps_iso_or_null(server):
     assert code == 200 and re.fullmatch(iso, out["lastRun"])
 
 
-def test_cron_shape_start_notes_phase_loss(server):
+def test_cron_shape_start_routes_wall_clock(server):
+    """r11 (ADVICE): phase-carrying cron shapes no longer map onto
+    phase-less triggers — they schedule on the wall-clock path and
+    the response says so."""
     code, out = _call(server.address, "POST", "/api/start-etl",
                       {"schedule": "*/5 * * * *"})
-    assert code == 200 and out["trigger"] == "5 minutes"
-    assert "phase" in out.get("note", "")
+    assert code == 200
+    assert out["trigger"] == "wall-clock cron (Asia/Manila)"
+    assert "wall-clock" in out.get("note", "")
     code, out2 = _call(server.address, "POST", "/api/stop-etl", {})
     assert code == 200
     # a literal interval needs no note
@@ -383,7 +388,7 @@ def test_calendar_cron_start_accepted(server):
                       {"schedule": "0 9 * * 1-5"})
     assert code == 200 and out["schedule"] == "0 9 * * 1-5"
     assert out["trigger"].startswith("wall-clock cron")
-    assert "calendar" in out.get("note", "")
+    assert "wall-clock" in out.get("note", "")
     code, st = _call(server.address, "GET", "/api/etl-status")
     assert code == 200 and st["isRunning"] is True
     # second start while the calendar schedule holds the slot: 400

@@ -98,13 +98,18 @@ def test_top_key_share_memo(spark, tmp_path):
     # poison the stored result; a fresh, separately-read but
     # semantically identical probe must return the sentinel
     slot = next(iter(_PROBE_MEMO.values()))
-    slot[0] = (slot[0][0], (0.4242, 7, "sentinel"))
+    slot[0] = (slot[0][0], slot[0][1], (0.4242, 7, "sentinel"))
     probe2 = spark.read.parquet(p).select("user")
     assert top_key_share(probe2, ["user"],
                          memo=True) == (0.4242, "sentinel")
 
-    # a different support is a different decision — no cross-hit
-    share3, key3 = top_key_share(probe2, ["user"], support=0.3,
+    # r11 (VERDICT item 6): a COARSER support request is served by the
+    # finer stored probe (its candidate search was a superset)...
+    assert top_key_share(probe2, ["user"], support=0.3,
+                         memo=True) == (0.4242, "sentinel")
+    # ...but a FINER request must re-probe (the stored probe could
+    # have missed keys between the two supports)
+    share3, key3 = top_key_share(probe2, ["user"], support=0.05,
                                  memo=True)
     assert key3 == "hot" and abs(share3 - 0.75) < 1e-12
 
@@ -265,6 +270,82 @@ def test_rows_at_most_bounds(spark, tmp_path):
     assert _rows_at_most(mem, 10**9) is False
     # join can amplify cardinality -> never provable from footers
     assert _rows_at_most(scan.join(scan, "id"), 10**9) is False
+    # sample(withReplacement=True, fraction>1) can EMIT more rows than
+    # the input — footer counts are not an upper bound under any Sample
+    # node (r11, ADVICE), so sampled plans fall back to the probe
+    assert _rows_at_most(scan.sample(True, 2.0, seed=1), 10**9) is False
+    assert _rows_at_most(scan.sample(False, 0.5, seed=1), 1000) is False
+
+
+def test_footer_row_bound(spark, tmp_path):
+    """_footer_row_bound: the exact footer sum on pure local scans,
+    None when unprovable, early-exit witness when over the limit."""
+    from imp_etl_spark.operators.window import _footer_row_bound
+
+    p = str(tmp_path / "b.parquet")
+    spark.range(1000).repartition(4).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert _footer_row_bound(scan) == 1000
+    assert _footer_row_bound(scan.where("id > 990")) == 1000  # bound
+    over = _footer_row_bound(scan, limit=10)
+    assert over is not None and over > 10  # early-exit witness
+    assert _footer_row_bound(scan.join(scan, "id")) is None
+
+
+def test_trailing_dispatch_boundary_and_derived_support(spark, tmp_path):
+    """r11: (a) ADVICE off-by-one — at total == hot_rows with one
+    dominant key the metadata path and the probe must agree (seq);
+    (b) VERDICT item 3 — the probe support auto-derives from the
+    footer row bound, so a sub-1%-share key above hot_rows routes to
+    seq where the fixed 0.01 default was blind."""
+    from imp_etl_spark.operators import window as W
+
+    # (a) 1000 rows, ONE key, hot_rows=1000: probe rule fires AT the
+    # threshold, so the footer path must not claim 'window'
+    pa = str(tmp_path / "edge.parquet")
+    spark.createDataFrame([("k", i) for i in range(1000)],
+                          "user STRING, x LONG").write.parquet(pa)
+    W.release_probe_memo()
+    probe = spark.read.parquet(pa).select("user")
+    assert W.resolve_trailing_mode(probe, ["user"],
+                                   hot_rows=1000) == "seq"
+
+    # (b) 100k rows, hot key 600 rows = 0.6% share, hot_rows=400:
+    # fixed support 0.01 cannot see it (freqItems only guarantees
+    # keys above support) -> window; the footer-derived support
+    # (0.5*400/100000 = 0.002) finds and exactly counts it -> seq
+    pb = str(tmp_path / "sub1pct.parquet")
+    spark.range(100_000).select(
+        F.when(F.col("id") < 600, "hot")
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("user")) \
+        .write.parquet(pb)
+    probe_b = spark.read.parquet(pb).select("user")
+    # the support that actually reaches the probe: explicit conf wins;
+    # otherwise footer-derived (asserting 'window' under the 0.01
+    # default would be flaky — freqItems returns a SUPERSET, so a
+    # below-support key CAN get lucky; the guarantee is one-sided)
+    seen: list[float] = []
+    real_stats = W.top_key_stats
+
+    def spying_stats(df, keys, support=0.125, memo=False):
+        seen.append(support)
+        return real_stats(df, keys, support, memo=memo)
+
+    W.release_probe_memo()
+    try:
+        W.top_key_stats = spying_stats
+        spark.conf.set("spark.imp_etl.trailingAgg.support", "0.01")
+        try:
+            W.resolve_trailing_mode(probe_b, ["user"], hot_rows=400)
+        finally:
+            spark.conf.unset("spark.imp_etl.trailingAgg.support")
+        W.release_probe_memo()
+        assert W.resolve_trailing_mode(probe_b, ["user"],
+                                       hot_rows=400) == "seq"
+    finally:
+        W.top_key_stats = real_stats
+    assert seen == [0.01, 0.5 * 400 / 100_000]
+    W.release_probe_memo()
 
 
 def test_probe_memo_cap(spark, tmp_path, monkeypatch):
@@ -277,14 +358,18 @@ def test_probe_memo_cap(spark, tmp_path, monkeypatch):
     spark.createDataFrame(
         [("k%d" % (i % 3), i) for i in range(64)],
         "user STRING, x LONG").write.parquet(p)
-    scan = spark.read.parquet(p).select("user")
+    scan = spark.read.parquet(p)
     W.release_probe_memo()
     monkeypatch.setattr(W, "_PROBE_MEMO_CAP", 2)
-    for sup in (0.11, 0.12, 0.13, 0.14):
-        W.top_key_share(scan, ["user"], support=sup, memo=True)
+    # distinct FRAMES (the memo keys by plan hash since r11 — probes
+    # over one plan at several supports share a slot by design)
+    for i, sup in enumerate((0.11, 0.12, 0.13, 0.14)):
+        W.top_key_share(scan.where(F.col("x") >= i).select("user"),
+                        ["user"], support=sup, memo=True)
     assert len(W._PROBE_MEMO) == 2
-    # the survivors are the NEWEST two slots
-    assert sorted(k[1] for k in W._PROBE_MEMO) == [0.13, 0.14]
+    # the survivors are the NEWEST two slots (their stored supports)
+    assert sorted(e[1] for v in W._PROBE_MEMO.values()
+                  for e in v) == [0.13, 0.14]
     W.release_probe_memo()
 
 
