@@ -881,6 +881,92 @@ def ewma_unbounded_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("__f").alias("ewma_final")))
 
 
+@register("ewma_unbounded_scale", None)
+def ewma_unbounded_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final unbounded EWMA per user at the machinery's DEFAULT (scale)
+    chunking — the configuration a 100x deployment runs (VERDICT r10
+    item 1: the driver/bench-exposed entry must be the plan users
+    would run at scale, not the chunk=1 oracle pin). At default
+    chunking (C = 2595 for alpha = 0.125) a 10^8-row key is 10^8/C
+    independent bounded window groups plus a C-compressed Arrow carry
+    chain — no O(key-history) single task anywhere.
+
+    Registered ROWS-ONLY, with the float justification on record: any
+    reassociated parallel scan differs from the sequential fold in
+    final ulps, and fuzz seed 713 proved every rounding grid unsound
+    (a value eventually lands within scan-error of a grid boundary),
+    so the ewma_final column has no DuckDB-exact oracle. Its value
+    correctness is pinned two ways instead: tests/test_recurrence.py
+    (<= 1e-11 of the one-chunk form across chunk sizes and partition
+    counts; rank modes bit-equal) and the oracle-backed sibling
+    `ewma_scale_vs_exact`, whose ROW COUNT enforces per-user 1e-9
+    relative agreement of THIS configuration against the bit-exact
+    chunk=1 form the driver hash-checks via `ewma_unbounded_user`.
+
+    Plan shape: final-state consumers go through
+    :func:`~imp_etl_spark.operators.recurrence.ewma_final` — the
+    terminal chain carry IS s_N, so the whole answer falls out of the
+    chunk summaries in ONE pass (no per-row join-back, no full-frame
+    final aggregation).
+    """
+    from imp_etl_spark.operators.recurrence import ewma_final
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.col("value").cast("double").alias("x")))
+    return ewma_final(ev, ["user_id"], ["ts", "event_id"], "x", 0.125)
+
+
+@register("ewma_scale_vs_exact", """
+WITH e AS (
+  SELECT user_id FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id
+""")
+def ewma_scale_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance anchor for the scale configuration (VERDICT r10 item
+    1): runs ewma_scan BOTH at default chunking (the scale plan of
+    `ewma_unbounded_scale`) and at chunk_size=1 (the bit-exact fold
+    the driver hash-checks via `ewma_unbounded_user`), and emits a
+    user's row ONLY when the two finals agree to 1e-9 relative
+    (|a-b| <= 1e-9 * max(1, |exact|); exact equality and NaN==NaN
+    also pass). The oracle is the plain per-user event count — so the
+    driver's ROW-COUNT comparison is the tolerance gate (any
+    out-of-tolerance user drops a row and the entry goes red), and
+    the value hash pins the per-user counts exactly. This is how a
+    float-reassociating configuration gets a hard driver row without
+    an unsound rounding grid (fuzz seed 713).
+
+    NULL user_id is a real group (null-safe join) — the fuzz-501
+    class.
+    """
+    from imp_etl_spark.operators.recurrence import ewma_final
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id", "ts", "event_id",
+                  F.col("value").cast("double").alias("x")))
+
+    fs = ewma_final(ev, ["user_id"], ["ts", "event_id"], "x",
+                    0.125).select(
+        F.col("user_id").alias("__u1"), "n_events",
+        F.col("ewma_final").alias("__f1"))
+    fe = ewma_final(ev, ["user_id"], ["ts", "event_id"], "x",
+                    0.125, chunk_size=1).select(
+        F.col("user_id").alias("__u2"),
+        F.col("ewma_final").alias("__f2"))
+    j = fs.join(fe, F.col("__u1").eqNullSafe(F.col("__u2")))
+    ok = (F.col("__f1").eqNullSafe(F.col("__f2"))
+          | (F.abs(F.col("__f1") - F.col("__f2"))
+             <= F.lit(1e-9) * F.greatest(F.lit(1.0),
+                                         F.abs(F.col("__f2"))))
+          | (F.isnan(F.col("__f1")) & F.isnan(F.col("__f2"))))
+    return j.where(ok).select(F.col("__u1").alias("user_id"),
+                              "n_events")
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: partial aggs of a base snapshot and
 # a delta batch merged WITHOUT touching base rows again; the oracle is

@@ -134,3 +134,90 @@ def test_ewma_chunk1_bitexact_vs_sequential_fold(spark):
               FROM t GROUP BY user_id)""").fetchall())
     con.close()
     assert got == want  # BIT-exact: == on raw doubles, no tolerance
+
+def test_ewma_final_matches_scan_and_fold(spark):
+    """ewma_final (r11, VERDICT item 1): the terminal chain carry IS
+    s_N — per key it must (a) bit-match the sequential fold at
+    chunk_size=1, (b) agree with aggregating ewma_scan's last row at
+    default chunking to float tolerance, (c) count n_events exactly,
+    (d) keep NULL keys as real groups, and (e) be identical between
+    the driver chain and the distributed Arrow chain (cap toggled)."""
+    rows = _mixed_rows(n=900, seed=11)
+    df = spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, v DOUBLE")
+    from imp_etl_spark.operators.recurrence import ewma_final
+
+    alpha = 0.125
+    ref = _naive(rows, alpha)
+    # last eid / count per key from the raw rows
+    last, cnt = {}, {}
+    for k, ts, eid, v in sorted(
+            rows, key=lambda r: ((r[0] is not None, r[0] or ""),
+                                 r[1], r[2])):
+        last[k] = eid
+        cnt[k] = cnt.get(k, 0) + 1
+
+    # (a) chunk=1: bit-exact vs the naive sequential fold
+    got1 = {r["user"]: (r["n_events"], r["ewma_final"])
+            for r in ewma_final(df, ["user"], ["ts", "eid"], "v",
+                                alpha, chunk_size=1).collect()}
+    assert set(got1) == set(cnt)  # incl. the None key
+    for k in cnt:
+        assert got1[k][0] == cnt[k]
+        assert got1[k] == (cnt[k], ref[last[k]])  # == raw doubles
+
+    # (b)+(e) default chunking: driver chain == distributed chain
+    # bit-for-bit, and both at float tolerance of ewma_scan+max_by
+    got_drv = {r["user"]: (r["n_events"], r["ewma_final"])
+               for r in ewma_final(df, ["user"], ["ts", "eid"], "v",
+                                   alpha).collect()}
+    spark.conf.set("spark.imp_etl.ewmaScan.driverChainRows", "0")
+    try:
+        got_dist = {r["user"]: (r["n_events"], r["ewma_final"])
+                    for r in ewma_final(df, ["user"], ["ts", "eid"],
+                                        "v", alpha).collect()}
+    finally:
+        spark.conf.unset("spark.imp_etl.ewmaScan.driverChainRows")
+    assert got_drv == got_dist  # raw-double equality
+    s = ewma_scan(df, ["user"], ["ts", "eid"], "v", alpha)
+    via_scan = {r["user"]: (r["n"], r["f"]) for r in
+                s.groupBy("user").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("max_by(ewma, struct(ts, eid))").alias("f"))
+                .collect()}
+    assert set(via_scan) == set(got_drv)
+    for k in got_drv:
+        assert via_scan[k][0] == got_drv[k][0] == cnt[k]
+        assert got_drv[k][1] == pytest.approx(via_scan[k][1],
+                                              rel=1e-11, abs=1e-11)
+        assert got_drv[k][1] == pytest.approx(ref[last[k]],
+                                              rel=1e-11, abs=1e-11)
+
+
+def test_ewma_scan_driver_chain_bitequal_pandas_chain(spark, tmp_path):
+    """r11: ewma_scan's carry chain runs on the driver when a LIMIT
+    probe proves the summary frame small (and the footer bound allows
+    the persist) — the driver chain must be bit-equal to the
+    distributed pandas chain on the same data (identical op
+    sequence), parquet-backed so the persist path engages too."""
+    rows = _mixed_rows(n=700, seed=13)
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        rows, "user STRING, ts LONG, eid LONG, v DOUBLE"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    alpha = 0.125  # default chunk 2595 -> c_size >= 64 gate open
+
+    def run(chunk):
+        return {r["eid"]: r["ewma"] for r in ewma_scan(
+            df, ["user"], ["ts", "eid"], "v", alpha,
+            chunk_size=chunk).collect()}
+
+    for chunk in (64, None):
+        a = run(chunk)
+        spark.conf.set("spark.imp_etl.ewmaScan.driverChainRows", "0")
+        try:
+            b = run(chunk)
+        finally:
+            spark.conf.unset("spark.imp_etl.ewmaScan.driverChainRows")
+        assert a == b, chunk  # raw-double equality, every row
