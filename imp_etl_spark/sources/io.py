@@ -20,7 +20,11 @@ Scale notes:
   own slice (the set-based equivalent of the reference's LIMIT/OFFSET
   pagination, EtlLogger.js:13);
 - JDBC writes batch ``batchsize`` rows per round trip, the reference's
-  multi-row INSERT (etlService.js:40-52) done by the connector.
+  multi-row INSERT (etlService.js:40-52) done by the connector;
+- JDBC UPSERT (``upsert_jdbc``, r11) is staging-table + one set-based
+  keyed statement inside the database (MySQL ON DUPLICATE KEY UPDATE /
+  Postgres ON CONFLICT / ANSI MERGE) — parallel transfer, single
+  transactional merge, the reference's etlService.js:36-53 shape.
 """
 
 from __future__ import annotations
@@ -183,3 +187,149 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+#: identifier quoting per JDBC dialect (column names only — Spark's own
+#: JDBC writer creates columns case-exact quoted, so the upsert SQL must
+#: reference them the same way; table names pass through as the caller
+#: wrote them, schema qualifiers included)
+_QUOTE = {"mysql": "`", "default": '"'}
+
+
+def _dialect_from_url(url: str) -> str:
+    scheme = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
+    if scheme in ("mysql", "mariadb"):
+        return "mysql"
+    if scheme == "postgresql":
+        return "postgresql"
+    return "merge"
+
+
+def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
+                staging_table: str | None = None,
+                dialect: str | None = None,
+                batchsize: int = 10_000,
+                num_partitions: int | None = None,
+                keep_staging: bool = False,
+                **options) -> int:
+    """JDBC UPSERT sink — the reference's actual MySQL write
+    (``INSERT ... ON DUPLICATE KEY UPDATE``, services/etlService.js:
+    36-53, 177-194), done the way a Spark deployment must: the rows
+    travel to the database in PARALLEL through the plain batched JDBC
+    writer into a staging table, then ONE set-based upsert statement
+    runs inside the database (where the keyed merge has to happen —
+    per-row upserts from executors would serialize on row locks and
+    need a Python-side JDBC client). VERDICT r10 item 2: closes the
+    MySQL->MySQL deployment shape where ``write_jdbc`` could append
+    but not upsert.
+
+    Statement by dialect (auto-detected from the URL; override with
+    ``dialect=``):
+
+    - ``"mysql"`` / mariadb — the reference's own statement, set-based:
+      ``INSERT INTO t (...) SELECT ... FROM staging ON DUPLICATE KEY
+      UPDATE c = VALUES(c), ...`` (relies on the table's PRIMARY/UNIQUE
+      key covering ``keys``, exactly like the reference).
+    - ``"postgresql"`` — ``INSERT ... SELECT ... ON CONFLICT (keys) DO
+      UPDATE SET c = EXCLUDED.c`` (needs a unique index on ``keys``).
+    - ``"merge"`` (ANSI: Derby, Oracle, MSSQL, DB2, PG>=15) —
+      ``MERGE INTO t USING staging ON <keys> WHEN MATCHED THEN UPDATE
+      ... WHEN NOT MATCHED THEN INSERT ...``; no index requirement,
+      but ``keys`` must be unique WITHIN ``df`` (standard MERGE raises
+      on duplicate matches — dedupe upstream, e.g. latest_per_key,
+      same contract as the manifest MERGE sink plans/upsert.py).
+
+    The upsert statement runs in one transaction on the driver's JDBC
+    connection (py4j ``java.sql.DriverManager``): commit on success,
+    rollback + raise on failure; the staging table is dropped either
+    way unless ``keep_staging``. Returns the statement's affected-row
+    count (note MySQL counts an updated row as 2, its documented
+    convention). The target table must exist (create it once with
+    ``write_jdbc(mode=...)`` or DDL — an upsert into a missing table
+    is a deployment error, not something to paper over).
+
+    Single-writer per (table, staging) like every sink here; the
+    staging name defaults to ``<table>_stage_<8 hex>`` so concurrent
+    upserts to DIFFERENT targets never collide.
+    """
+    import uuid
+
+    assert keys, "upsert_jdbc needs at least one key column"
+    missing = [k for k in keys if k not in df.columns]
+    assert not missing, f"key columns not in df: {missing}"
+    dialect = (dialect or _dialect_from_url(url)).lower()
+    if dialect not in ("mysql", "postgresql", "merge"):
+        raise ValueError(f"unknown upsert dialect {dialect!r}")
+    q = _QUOTE["mysql" if dialect == "mysql" else "default"]
+
+    def qi(c: str) -> str:
+        return f"{q}{c}{q}"
+
+    stage = staging_table or f"{table}_stage_{uuid.uuid4().hex[:8]}"
+    cols = list(df.columns)
+    non_keys = [c for c in cols if c not in keys]
+    col_list = ", ".join(qi(c) for c in cols)
+
+    if dialect == "mysql":
+        set_clause = ", ".join(
+            f"{qi(c)} = VALUES({qi(c)})" for c in (non_keys or keys))
+        sql = (f"INSERT INTO {table} ({col_list}) "
+               f"SELECT {col_list} FROM {stage} "
+               f"ON DUPLICATE KEY UPDATE {set_clause}")
+    elif dialect == "postgresql":
+        conflict = ", ".join(qi(k) for k in keys)
+        if non_keys:
+            set_clause = ", ".join(
+                f"{qi(c)} = EXCLUDED.{qi(c)}" for c in non_keys)
+            action = f"DO UPDATE SET {set_clause}"
+        else:
+            action = "DO NOTHING"
+        sql = (f"INSERT INTO {table} ({col_list}) "
+               f"SELECT {col_list} FROM {stage} "
+               f"ON CONFLICT ({conflict}) {action}")
+    else:  # ANSI MERGE
+        on = " AND ".join(f"t.{qi(k)} = s.{qi(k)}" for k in keys)
+        ins_vals = ", ".join(f"s.{qi(c)}" for c in cols)
+        matched = ""
+        if non_keys:
+            set_clause = ", ".join(
+                f"{qi(c)} = s.{qi(c)}" for c in non_keys)
+            matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        sql = (f"MERGE INTO {table} t USING {stage} s ON {on} "
+               f"{matched}"
+               f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
+               f"VALUES ({ins_vals})")
+
+    # 1) parallel batched transfer into the staging table
+    write_jdbc(df, url, stage, mode="overwrite", batchsize=batchsize,
+               num_partitions=num_partitions, **options)
+
+    # 2) one set-based upsert inside the database, transactional
+    jvm = df.sparkSession._jvm
+    drv = options.get("driver")
+    if drv:
+        jvm.java.lang.Class.forName(drv)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            n = st.executeUpdate(sql)
+            conn.commit()
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:  # noqa: BLE001 — surface the upsert error
+                pass
+            raise
+        finally:
+            if not keep_staging:
+                try:
+                    st.executeUpdate(f"DROP TABLE {stage}")
+                    conn.commit()
+                except Exception:  # noqa: BLE001 — staging GC best-effort
+                    pass
+            st.close()
+    finally:
+        conn.close()
+    return int(n)

@@ -206,3 +206,94 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         '(SELECT "log_id" FROM work_queue WHERE "log_id" < 10) t',
         driver=driver)
     assert sub.count() == 10
+
+
+def test_jdbc_upsert_embedded_derby(spark, tmp_path):
+    """upsert_jdbc (r11, VERDICT item 2 — the reference's MySQL
+    ``INSERT ... ON DUPLICATE KEY UPDATE`` deployment shape,
+    etlService.js:36-53): live staging-table + ANSI MERGE round trip
+    against embedded Derby. Covers insert+update semantics on a
+    COMPOSITE key, staging cleanup, transactional failure (bad
+    statement rolls back, target untouched), and row-contract parity
+    with the manifest sink's merge_preview."""
+    import py4j
+    import pytest as _pytest
+
+    from imp_etl_spark.plans.upsert import merge_preview
+    from imp_etl_spark.sources.io import read_jdbc, upsert_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except py4j.protocol.Py4JError:
+        _pytest.skip("embedded Derby driver not on the classpath")
+
+    # target: composite PK (ref_no, detail_id), one value column.
+    # createTableColumnTypes: Spark's JDBC writer maps StringType to
+    # CLOB on Derby, and CLOBs are not comparable in a MERGE ON clause
+    # — the staging write below inherits the same option through
+    # upsert_jdbc's **options passthrough
+    coltypes = "ref_no VARCHAR(64), payload VARCHAR(128)"
+    target = spark.createDataFrame(
+        [("r1", 1, "old-a"), ("r1", 2, "old-b"), ("r2", 1, "old-c")],
+        "ref_no STRING, detail_id INT, payload STRING")
+    write_jdbc(target, url, "txn", mode="overwrite", driver=driver,
+               createTableColumnTypes=coltypes)
+
+    # batch: updates (r1,1) and (r2,1), inserts (r3,9)
+    batch = spark.createDataFrame(
+        [("r1", 1, "new-a"), ("r2", 1, "new-c"), ("r3", 9, "ins-d")],
+        "ref_no STRING, detail_id INT, payload STRING")
+    n = upsert_jdbc(batch, url, "txn", keys=["ref_no", "detail_id"],
+                    driver=driver, createTableColumnTypes=coltypes)
+    assert n >= 3  # 2 updates + 1 insert touched
+
+    back = read_jdbc(spark, url, "txn", driver=driver)
+    got = {(r["ref_no"], r["detail_id"]): r["payload"]
+           for r in back.collect()}
+    assert got == {("r1", 1): "new-a", ("r1", 2): "old-b",
+                   ("r2", 1): "new-c", ("r3", 9): "ins-d"}
+
+    # parity with the manifest sink's row contract: the same batch
+    # through merge_preview yields the same final rows
+    want = {(r["ref_no"], r["detail_id"]): r["payload"]
+            for r in merge_preview(
+                batch.withColumn("__seq", F.lit(1)), target,
+                ["ref_no", "detail_id"], "__seq").collect()}
+    assert got == want
+
+    # staging table dropped: nothing but txn (and Derby's own) remains
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    rs = conn.getMetaData().getTables(None, "APP", None, None)
+    tables = set()
+    while rs.next():
+        tables.add(rs.getString("TABLE_NAME"))
+    assert not [t for t in tables if "STAGE" in t.upper()], tables
+
+    # transactional failure: a duplicate-key batch makes ANSI MERGE
+    # raise (two matches for one target row) -> rollback, target
+    # untouched, staging still cleaned up
+    dup = spark.createDataFrame(
+        [("r1", 1, "x"), ("r1", 1, "y")],
+        "ref_no STRING, detail_id INT, payload STRING")
+    with _pytest.raises(Exception):
+        upsert_jdbc(dup, url, "txn", keys=["ref_no", "detail_id"],
+                    driver=driver, createTableColumnTypes=coltypes)
+    back2 = {(r["ref_no"], r["detail_id"]): r["payload"]
+             for r in read_jdbc(spark, url, "txn",
+                                driver=driver).collect()}
+    assert back2 == got  # unchanged
+    rs2 = conn.getMetaData().getTables(None, "APP", None, None)
+    tables2 = set()
+    while rs2.next():
+        tables2.add(rs2.getString("TABLE_NAME"))
+    conn.close()
+    assert not [t for t in tables2 if "STAGE" in t.upper()], tables2
+
+    # explicit dialect strings build without a live server: the SQL
+    # text is the reference's own statement family
+    with _pytest.raises(ValueError, match="unknown upsert dialect"):
+        upsert_jdbc(batch, url, "txn", keys=["ref_no"],
+                    dialect="sqlite", driver=driver)
