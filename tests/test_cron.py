@@ -331,3 +331,115 @@ def test_cron_next_fire_fuzz_vs_brute_force():
         if steps < 20000:
             checked += 1
     assert checked >= 150  # the brute scan actually verified most draws
+
+
+def test_scheduler_execution_fuzz_fake_clock():
+    """r11 (VERDICT item 5): randomized SCHEDULER-EXECUTION differential
+    with an injectable clock — beyond the next-fire parsing fuzz, this
+    drives CronScheduler itself: every fire must land at-or-promptly-
+    after a genuine pattern match (sandwich bound modulo clock reads),
+    fires stay ordered, month/year-boundary starts are drawn
+    explicitly, and 6-field seconds patterns run through the live
+    loop."""
+    import random
+
+    rng = random.Random(1147)
+    draws = 0
+    while draws < 14:
+        kind = rng.randrange(4)
+        if kind == 0:  # minute-level, hour phase
+            pattern = f"{rng.randint(0, 59)} * * * *"
+        elif kind == 1:  # seconds field (6-field)
+            pattern = f"*/{rng.randint(10, 30)} * * * * *"
+        elif kind == 2:  # daily wall-clock phase
+            pattern = f"{rng.randint(0, 59)} {rng.randint(0, 23)} * * *"
+        else:  # weekday shape
+            pattern = (f"{rng.randint(0, 59)} {rng.randint(0, 23)} "
+                       f"* * {rng.randint(0, 6)}")
+        pat = CronPattern.parse(pattern)
+        if rng.random() < 0.4:
+            # month/year boundary starts: last minutes of a month
+            y, mo = 2026, rng.randint(1, 12)
+            last_dom = {1: 31, 2: 28, 3: 31, 4: 30, 5: 31, 6: 30, 7: 31,
+                        8: 31, 9: 30, 10: 31, 11: 30, 12: 31}[mo]
+            start = _dt(y, mo, last_dom, 23, rng.randint(57, 59),
+                        rng.randint(0, 59))
+        else:
+            start = _dt(2026, rng.randint(1, 12), rng.randint(1, 28),
+                        rng.randint(0, 23), rng.randint(0, 59),
+                        rng.randint(0, 59))
+        e1 = pat.next_fire(start)
+        e2 = pat.next_fire(e1)
+        gap1 = (e1 - start).total_seconds()
+        gap2 = (e2 - e1).total_seconds()
+        step = max(0.5, max(gap1, gap2) / 250.0)
+        if gap2 <= step * 20:  # dense vs step: sandwich would be vacuous
+            continue
+        draws += 1
+
+        clock = FakeClock(start, step=step)
+        fires: list[datetime] = []
+        sch = CronScheduler(pat, lambda: fires.append(clock.now),
+                            now_fn=clock, tick=0.001).start()
+        deadline = time.time() + 60
+        while len(fires) < 2 and time.time() < deadline:
+            time.sleep(0.005)
+        sch.stop()
+        assert len(fires) >= 2, (pattern, start, step)
+        assert fires == sorted(fires), (pattern, fires)
+        slack = timedelta(seconds=step * 8)
+        prev = start
+        for t in fires[:2]:
+            lo = pat.next_fire(prev)
+            hi = pat.next_fire(prev + slack) + slack
+            assert lo <= t <= hi, (pattern, prev, lo, t, hi, step)
+            prev = t
+
+
+def test_scheduler_stop_during_sleep_fires_nothing():
+    """Stop while the scheduler sleeps toward a far-away match: no
+    fire, thread exits promptly, zero errors (r11, VERDICT item 5)."""
+    clock = FakeClock(_dt(2026, 8, 12, 9, 1, 0), step=0.25)
+    fires: list = []
+    # next fire ~24h of simulated time away
+    sch = CronScheduler("0 9 * * *", lambda: fires.append(1),
+                        now_fn=clock, tick=0.001).start()
+    time.sleep(0.05)  # scheduler is mid-sleep toward tomorrow 09:00
+    t0 = time.time()
+    sch.stop()
+    assert time.time() - t0 < 30
+    assert fires == [] and sch.fired == 0 and sch.errors == []
+    assert not sch.is_alive
+
+
+def test_cron_dst_gap_and_fold_pins():
+    """Pin the documented DST simplification on a real DST zone
+    (America/New_York, spring-forward 2026-03-08 02:00->03:00 and
+    fall-back 2026-11-01 02:00->01:00):
+
+    - GAP: next_fire returns the skipped wall time (02:30 exists as a
+      Python wall datetime); as a UTC instant it lands 30 real minutes
+      after the clock jump — i.e. the fire is NOT lost, it happens at
+      the phantom time's post-gap instant (03:30 EDT).
+    - FOLD: the repeated wall hour matches ONCE (first fold); the next
+      fire after it is the following day, not the second 01:30.
+    """
+    ny = ZoneInfo("America/New_York")
+    pat = CronPattern.parse("30 2 * * *")
+    before_gap = datetime(2026, 3, 8, 1, 59, tzinfo=ny)
+    nxt = pat.next_fire(before_gap)
+    assert (nxt.year, nxt.month, nxt.day, nxt.hour, nxt.minute) == \
+        (2026, 3, 8, 2, 30)
+    # the phantom wall time maps to 03:30 EDT = 07:30 UTC — 31 real
+    # minutes after 01:59 EST (06:59 UTC): the fire survives the gap
+    from datetime import timezone
+    assert nxt.astimezone(timezone.utc) - before_gap.astimezone(
+        timezone.utc) == timedelta(minutes=31)
+
+    pat2 = CronPattern.parse("30 1 * * *")
+    before_fold = datetime(2026, 11, 1, 0, 59, tzinfo=ny)
+    first = pat2.next_fire(before_fold)
+    assert (first.day, first.hour, first.minute, first.fold) == \
+        (1, 1, 30, 0)  # the FIRST 01:30 (EDT)
+    after = pat2.next_fire(first)
+    assert (after.day, after.hour, after.minute) == (2, 1, 30)  # next day
