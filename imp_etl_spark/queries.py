@@ -1272,27 +1272,63 @@ from imp_etl_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 # to the back, so that across rounds every query earns a hard row.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_FIRST = [
-    # round-10 window (VERDICT.md r9, next-round items 1-4): the
-    # 50-slot budget is (a) the 8 entries whose implementation closure
-    # changed this round (tools/staleness_audit.py vs b136c8e — the
-    # lag-dispatch row-floor rewires its six probe consumers;
-    # rolling_24h_user_value is rewired through the new trailing-RANGE
-    # dispatch; ewma_unbounded_user is the NEW ewma_scan consumer,
-    # never driver-rowed), (b) the verdict's rotation order — the 8
-    # remaining r6-era greens, then (c) oldest-first r7 backfill,
-    # alphabetical, until the window fills (34 of 46). After this
-    # rotation the latest-green floor moves to r7.
-    # -- (1) changed in round 10 / never rowed:
-    "customer_order_gaps", "ewma_unbounded_user", "peak_click_concurrency",
+    # round-11 window: (a) the 10 entries whose implementation closure
+    # changed this round (tools/staleness_audit.py vs cea47a5 — the
+    # probe-memo/footer-bound rework rewires the 8 lag/trailing
+    # dispatch consumers; ewma_unbounded_scale and ewma_scale_vs_exact
+    # are NEW, never driver-rowed), then (b) the verdict's rotation
+    # order — the 12 remaining r7-era greens (VERDICT r10 item 4),
+    # then (c) oldest-first r8 backfill, alphabetical, until the
+    # 50-slot window fills (28 of 45). After this rotation the
+    # latest-green floor moves to r8.
+    # -- (1) changed in round 11 / never rowed:
+    "customer_order_gaps", "ewma_scale_vs_exact", "ewma_unbounded_scale",
+    "ewma_unbounded_user", "peak_click_concurrency",
     "rolling_24h_user_value", "scd2_user_state", "top_event_paths",
     "twap_user_value", "win_lag_lead",
-    # -- (2) the 8 remaining r6-era greens (VERDICT r9 item 3):
-    "stratified_sample_langs", "string_funcs_suite", "t_time_format_suite",
-    "text_quality_gopher", "unpivot_measures", "win_percentile_position",
-    "win_rank_dense", "win_running_sum",
-    # -- (3) r7-era fill, alphabetical (34 slots):
-    "a2_processed_skipped", "basket_part_pairs_lift", "bpe_pair_counts",
-    "cap_docs_per_source", "cohort_retention_daily", "contamination_overlap",
+    # -- (2) the 12 remaining r7-era greens (VERDICT r10 item 4):
+    "q3_shipping_priority", "q5_local_supplier_volume", "q9_product_profit",
+    "s1_workqueue_count", "setops_suite", "split_hash_counts",
+    "stream_dedup_events", "stream_interval_join", "t_cleanse_suite",
+    "topk_orders", "win_topn_per_group", "word_counts_top50",
+    # -- (3) r8-era fill, alphabetical (28 slots):
+    "agg_percentiles_disc", "agg_stats_moments", "ann_cosine_topk",
+    "asof_click_before_purchase", "attribution_last_touch",
+    "corpus_curation_funnel", "doc_length_quartile_bins", "doc_token_rarity",
+    "dup_rate_by_source", "embedding_near_dup", "events_inactivity_churn",
+    "events_session_10m", "events_sliding_1h_30m", "events_tumbling_1h",
+    "events_value_histogram", "events_wow_growth", "funnel_signup_purchase",
+    "incremental_agg_merge", "ivf_cosine_topk", "ivf_indexed_topk",
+    "j4_merge_preview", "jaccard_sampled_pairs", "lang_confusion_matrix",
+    "nation_supplier_hhi", "ngram_novelty", "oov_rate_docs",
+    "orders_backlog_aging", "outlier_events_mad",
+    # -- position 51+: the r11 backfill queue — the two permanently
+    #    rows-only entries (no DuckDB oracle; last rowed r9), then the
+    #    r8 remainder, then the r9 tier, then the r10-green tier:
+    "agg_approx_stats", "math_transcendental",
+    "outlier_events_zscore", "passage_dedup_docs", "per_group_trend",
+    "pivot_status_counts", "profile_orders", "q12_priority_class",
+    "q20_bolt_suppliers", "q2_min_cost_supplier",
+    "quality_percentile_filter", "resample_ffill_hourly",
+    "s2_paginated_scan", "seasonal_anomaly_events",
+    "shard_documents_balanced", "split_train_counts", "tfidf_top_term",
+    "user_activity_streaks", "weighted_sample_docs", "agg_cube",
+    "agg_distinct_customers", "agg_exact_median", "agg_grouping_sets",
+    "agg_rollup", "bpe_token_count", "chunk_documents", "date_funcs_suite",
+    "dq_rule_violations", "event_type_transitions", "events_dau_wau",
+    "ewma_user_value", "fuzzy_part_pairs", "hof_array_suite",
+    "j1_lookup_inner", "json_extract_props", "math_funcs_suite",
+    "mixture_by_source", "multimodal_features", "multimodal_frame_sample",
+    "nested_types_suite", "null_cond_suite", "pack_sequences",
+    "parts_pareto_cumshare", "pii_redact_docs", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "range_clicks_before_purchase", "regex_funcs_suite",
+    "rfm_customer_segments", "salted_skew_agg", "simhash_docs",
+    "simhash_near_dup", "skew_profile_orders_custkey", "snm_part_pairs",
+    "srp_bucket_topk", "stateful_user_stats", "stream_incremental_view",
+    "text_stats", "zorder_events_layout", "a2_processed_skipped",
+    "basket_part_pairs_lift", "bpe_pair_counts", "cap_docs_per_source",
+    "cohort_retention_daily", "contamination_overlap",
     "cross_corpus_survivors", "dedup_cluster_assign", "dedup_exact_content",
     "dedup_exact_group", "dedup_latest_per_key", "dedup_pipeline_survivors",
     "doc_quality", "events_rollup_hour_day", "explode_tokens",
@@ -1302,45 +1338,9 @@ _DRIVER_WINDOW_FIRST = [
     "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_variety", "q17_small_quantity", "q18_large_volume",
     "q19_disjunctive_bands", "q1_pricing_summary", "q21_sole_late_supplier",
-    "q22_dormant_customers",
-    # -- position 51+: the r10 backfill queue — the r7 remainder, then
-    #    the r8 tier, then the r9-green tier (relative order preserved
-    #    from the r9 list):
-    "event_type_transitions", "json_extract_props", "regex_funcs_suite",
-    "rfm_customer_segments", "simhash_docs", "simhash_near_dup",
-    "skew_profile_orders_custkey", "srp_bucket_topk",
-    "stream_incremental_view", "text_stats", "zorder_events_layout",
-    "agg_approx_stats", "math_transcendental", "agg_cube",
-    "agg_distinct_customers", "agg_exact_median", "agg_grouping_sets",
-    "agg_rollup", "bpe_token_count", "chunk_documents", "date_funcs_suite",
-    "dq_rule_violations", "events_dau_wau", "ewma_user_value",
-    "fuzzy_part_pairs", "hof_array_suite", "j1_lookup_inner",
-    "math_funcs_suite", "mixture_by_source", "multimodal_features",
-    "multimodal_frame_sample", "nested_types_suite", "null_cond_suite",
-    "pack_sequences", "parts_pareto_cumshare", "pii_redact_docs",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "range_clicks_before_purchase", "salted_skew_agg",
-    "snm_part_pairs", "stateful_user_stats", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q9_product_profit", "s1_workqueue_count",
-    "setops_suite", "split_hash_counts", "stream_dedup_events",
-    "stream_interval_join", "t_cleanse_suite", "topk_orders",
-    "win_topn_per_group", "word_counts_top50", "agg_percentiles_disc",
-    "agg_stats_moments", "ann_cosine_topk", "asof_click_before_purchase",
-    "attribution_last_touch", "corpus_curation_funnel",
-    "doc_length_quartile_bins", "doc_token_rarity", "dup_rate_by_source",
-    "embedding_near_dup", "events_inactivity_churn", "events_session_10m",
-    "events_sliding_1h_30m", "events_tumbling_1h", "events_value_histogram",
-    "events_wow_growth", "funnel_signup_purchase", "incremental_agg_merge",
-    "ivf_cosine_topk", "ivf_indexed_topk", "jaccard_sampled_pairs",
-    "j4_merge_preview", "lang_confusion_matrix", "nation_supplier_hhi",
-    "ngram_novelty", "oov_rate_docs", "orders_backlog_aging",
-    "outlier_events_mad", "outlier_events_zscore", "passage_dedup_docs",
-    "per_group_trend", "pivot_status_counts", "profile_orders",
-    "q12_priority_class", "q20_bolt_suppliers", "q2_min_cost_supplier",
-    "quality_percentile_filter", "resample_ffill_hourly", "s2_paginated_scan",
-    "seasonal_anomaly_events", "shard_documents_balanced",
-    "split_train_counts", "tfidf_top_term", "user_activity_streaks",
-    "weighted_sample_docs",
+    "q22_dormant_customers", "stratified_sample_langs", "string_funcs_suite",
+    "t_time_format_suite", "text_quality_gopher", "unpivot_measures",
+    "win_percentile_position", "win_rank_dense", "win_running_sum",
 ]
 
 

@@ -761,8 +761,152 @@ def main_rollingtime25x() -> None:
     shutil.rmtree(big, ignore_errors=True)
 
 
+
+
+def main_ewmadefault25x() -> None:
+    """Round-11 hot-key point for the unbounded-EWMA SCALE
+    configuration (VERDICT r10 item 1's done-criterion): same 25x
+    fixture recipe as the ewmascan25x sweep (~96% of rows on one
+    user), timing the three final-EWMA plans a consumer can run —
+    the chunk=1 oracle pin (per-key sequential Arrow fold; the shape
+    the r10 bench row exposed), ewma_scan at DEFAULT chunking + a
+    max_by final aggregation, and ewma_final at default chunking (the
+    registered/benched r11 entry: terminal chain carry, no per-row
+    join-back). Eager timing throughout (probes/persists/driver
+    chains run at build)."""
+    from imp_etl_spark.operators.recurrence import ewma_final, ewma_scan
+    from imp_etl_spark.operators.window import release_probe_memo
+
+    spark = get_spark("scale-experiment-ewmadefault25x")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "25"))
+    big = tempfile.mkdtemp(prefix="scale_ewmadef_")
+    base = read_table(spark, SF_DIR, "events")
+    for flavor, skew in (("uniform", False), ("skewed", True)):
+        parts = [base]
+        for i in range(1, copies):
+            shifted = base.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * OFFSET))
+            if skew:
+                shifted = shifted.withColumn("user_id", F.lit(424242))
+            parts.append(shifted)
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        df.write.mode("overwrite").parquet(
+            f"{big}/{flavor}/events.parquet")
+
+    def ev_of(sf_dir):
+        return (read_table(spark, sf_dir, "events")
+                .where(F.col("value").isNotNull()
+                       & F.col("ts").isNotNull())
+                .select("user_id", "ts", "event_id",
+                        F.col("value").cast("double").alias("x")))
+
+    def scan_cfg(chunk):
+        def fn(spark, sf_dir):
+            s_ = ewma_scan(ev_of(sf_dir), ["user_id"],
+                           ["ts", "event_id"], "x", 0.125,
+                           chunk_size=chunk)
+            return (s_.groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         F.expr("max_by(ewma, struct(ts, event_id))")
+                         .alias("ewma_final")))
+        return fn
+
+    def final_cfg(spark, sf_dir):
+        return ewma_final(ev_of(sf_dir), ["user_id"],
+                          ["ts", "event_id"], "x", 0.125)
+
+    final_cfg(spark, SF_DIR).limit(1).write.format("noop").mode(
+        "overwrite").save()  # warm codegen
+    print(f"| fixture ({copies}x) | scan chunk=1 + max_by (s) "
+          "| scan default + max_by (s) | ewma_final default (s) |")
+    print("|---|---|---|---|")
+    for label, d in (("1x", SF_DIR), (f"{copies}x uniform",
+                                      f"{big}/uniform"),
+                     (f"{copies}x skewed (~96% one user)",
+                      f"{big}/skewed")):
+        release_probe_memo()
+        t1 = time_query(scan_cfg(1), spark, d, eager=True)
+        release_probe_memo()
+        td = time_query(scan_cfg(None), spark, d, eager=True)
+        release_probe_memo()
+        tf = time_query(final_cfg, spark, d, eager=True)
+        print(f"| {label} | {t1:.2f} | {td:.2f} | {tf:.2f} |")
+    shutil.rmtree(big, ignore_errors=True)
+
+
+def main_trailsupport() -> None:
+    """Round-11 detection point for the footer-DERIVED trailing-probe
+    support (VERDICT r10 item 3's done-criterion): a 100x events
+    fixture (10M rows) with one user holding ~0.6% of rows but >
+    trailingAgg.hotRows (60k rows) — below the legacy fixed support
+    (0.01), so the old probe was BLIND to it by contract (freqItems
+    guarantees detection only above support); the derived support
+    (0.5 * hotRows / footer_bound = 0.0025) must find it, count it
+    exactly, and route the trailing dispatch to seq."""
+    from imp_etl_spark.operators.window import (
+        release_probe_memo,
+        resolve_trailing_mode,
+        top_key_stats,
+    )
+
+    spark = get_spark("scale-experiment-trailsupport")
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = int(os.environ.get("SCALE_COPIES", "100"))
+    big = tempfile.mkdtemp(prefix="scale_trailsup_")
+    base = read_table(spark, SF_DIR, "events")
+    parts = [base]
+    for i in range(1, copies):
+        shifted = base.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * OFFSET))
+        if i == 1:  # 60% of one copy -> ~60k-row key at ~0.6% share
+            shifted = shifted.withColumn(
+                "user_id", F.when(F.col("event_id") % 10 < 6,
+                                  F.lit(424242))
+                .otherwise(F.col("user_id")))
+        parts.append(shifted)
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    df.write.mode("overwrite").parquet(f"{big}/events.parquet")
+
+    probe = read_table(spark, big, "events").select("user_id")
+    n = read_table(spark, big, "events").count()
+    hot = read_table(spark, big, "events").filter(
+        F.col("user_id") == 424242).count()
+    print(f"fixture: {n} rows, hot key {hot} rows = {hot / n:.2%} share; "
+          f"hotRows threshold {spark.conf.get('spark.imp_etl.trailingAgg.hotRows', '50000')}")
+
+    release_probe_memo()
+    t0 = time.perf_counter()
+    fixed = resolve_trailing_mode(probe, ["user_id"], support=0.01)
+    t_fixed = time.perf_counter() - t0
+    release_probe_memo()
+    t0 = time.perf_counter()
+    share, cnt, key = top_key_stats(probe, ["user_id"],
+                                    support=0.5 * 50000 / n, memo=False)
+    t0 = time.perf_counter()
+    release_probe_memo()
+    auto = resolve_trailing_mode(probe, ["user_id"])
+    t_auto = time.perf_counter() - t0
+    print(f"| probe support | routed | probe wall (s) | hot count seen |")
+    print(f"|---|---|---|---|")
+    print(f"| fixed 0.01 (legacy) | {fixed} | {t_fixed:.2f} | "
+          "(not guaranteed) |")
+    print(f"| derived {0.5 * 50000 / n:.4f} | {auto} | {t_auto:.2f} | "
+          f"{cnt} exact ({share:.2%}) |")
+    assert auto == "seq", "derived support must route the 60k key to seq"
+    shutil.rmtree(big, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("SCALE_ROLLINGTIME25"):
+    if os.environ.get("SCALE_EWMADEFAULT25"):
+        main_ewmadefault25x()
+    elif os.environ.get("SCALE_TRAILSUPPORT"):
+        main_trailsupport()
+    elif os.environ.get("SCALE_ROLLINGTIME25"):
         main_rollingtime25x()
     elif os.environ.get("SCALE_EWMASCAN25"):
         main_ewmascan25x()
