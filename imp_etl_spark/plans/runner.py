@@ -69,9 +69,24 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             compat: bool = True,
             retry_limit: int = RETRY_LIMIT,
             retry_delay_s: float = RETRY_DELAY_S,
+            sink: str = "manifest",
+            jdbc_url: str | None = None,
+            jdbc_options: dict[str, Any] | None = None,
             _sleep: Callable[[float], None] = time.sleep) -> dict[str, Any]:
     """Run one ETL epoch; returns the reference-shaped run summary
-    (etlService.js:576-583) plus the new high-watermark."""
+    (etlService.js:576-583) plus the new high-watermark.
+
+    ``sink`` picks the write target (r11): ``"manifest"`` (default) is
+    the engine's transactional bucketed-MERGE table at
+    ``voucher_path``/``txn_path``; ``"jdbc"`` honors the reference's
+    actual MySQL->MySQL deployment end-to-end — the two paths are then
+    TABLE names and each branch upserts through
+    :func:`~imp_etl_spark.sources.io.upsert_jdbc` (staging table + the
+    database's own set-based keyed statement) against ``jdbc_url``
+    with ``jdbc_options`` (driver, createTableColumnTypes, ...). Retry,
+    counters, warnings and watermark semantics are identical in both
+    modes.
+    """
     started = time.time()
     if watermark is not None:
         queue = queue.filter(F.col("log_id") > F.lit(watermark))
@@ -107,21 +122,40 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
                 F.col("reference_no"))))
     )
     retry_warnings: list[str] = []
+    v_keys = voucher_key or ["voucher_id", "reference_no"]
+    t_keys = transaction_key or ["voucher_details_id", "reference_no"]
+    if sink == "jdbc":
+        assert jdbc_url, "sink='jdbc' needs jdbc_url"
+        from imp_etl_spark.sources.io import upsert_jdbc
+
+        jopts = dict(jdbc_options or {})
+
+        def v_write():
+            return upsert_jdbc(result.voucher.valid, jdbc_url,
+                               voucher_path, keys=v_keys, **jopts)
+
+        def t_write():
+            return upsert_jdbc(result.transaction.valid, jdbc_url,
+                               txn_path, keys=t_keys, **jopts)
+    elif sink == "manifest":
+        def v_write():
+            return merge_upsert(
+                spark, voucher_path, result.voucher.valid, v_keys,
+                order_col, batch_is_unique=True)
+
+        def t_write():
+            return merge_upsert(
+                spark, txn_path, result.transaction.valid, t_keys,
+                order_col, batch_is_unique=True)
+    else:
+        raise ValueError(f"unknown sink {sink!r}")
     with ThreadPoolExecutor(max_workers=4) as pool:
         fv = pool.submit(
-            retry_with_delay,
-            lambda: merge_upsert(
-                spark, voucher_path, result.voucher.valid,
-                voucher_key or ["voucher_id", "reference_no"], order_col,
-                batch_is_unique=True),
+            retry_with_delay, v_write,
             "voucher records", retry_warnings,
             limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
         ft = pool.submit(
-            retry_with_delay,
-            lambda: merge_upsert(
-                spark, txn_path, result.transaction.valid,
-                transaction_key or ["voucher_details_id", "reference_no"],
-                order_col, batch_is_unique=True),
+            retry_with_delay, t_write,
             "transaction records", retry_warnings,
             limit=retry_limit, delay_s=retry_delay_s, sleep=_sleep)
         # sample 5, as the reference logs slice(0,5) (etlService.js:499-510)

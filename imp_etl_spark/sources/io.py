@@ -202,6 +202,8 @@ def _dialect_from_url(url: str) -> str:
         return "mysql"
     if scheme == "postgresql":
         return "postgresql"
+    if scheme == "derby":
+        return "derby"
     return "merge"
 
 
@@ -239,6 +241,14 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
       on duplicate matches — dedupe upstream, e.g. latest_per_key,
       same contract as the manifest MERGE sink plans/upsert.py).
 
+    The staging table is created by CLONING THE TARGET'S SCHEMA inside
+    the database (``CREATE TABLE .. AS SELECT .. WITH NO DATA`` /
+    MySQL ``LIKE``), then filled with a plain batched append — so the
+    staging column types always match the target exactly (Spark's own
+    JDBC table creation would map StringType to CLOB on some engines,
+    which a MERGE ON clause cannot compare). ``df.columns`` must be a
+    subset of the target's columns.
+
     The upsert statement runs in one transaction on the driver's JDBC
     connection (py4j ``java.sql.DriverManager``): commit on success,
     rollback + raise on failure; the staging table is dropped either
@@ -246,7 +256,8 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
     count (note MySQL counts an updated row as 2, its documented
     convention). The target table must exist (create it once with
     ``write_jdbc(mode=...)`` or DDL — an upsert into a missing table
-    is a deployment error, not something to paper over).
+    is a deployment error, not something to paper over; the staging
+    clone fails fast on it).
 
     Single-writer per (table, staging) like every sink here; the
     staging name defaults to ``<table>_stage_<8 hex>`` so concurrent
@@ -258,7 +269,7 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
     missing = [k for k in keys if k not in df.columns]
     assert not missing, f"key columns not in df: {missing}"
     dialect = (dialect or _dialect_from_url(url)).lower()
-    if dialect not in ("mysql", "postgresql", "merge"):
+    if dialect not in ("mysql", "postgresql", "merge", "derby"):
         raise ValueError(f"unknown upsert dialect {dialect!r}")
     q = _QUOTE["mysql" if dialect == "mysql" else "default"]
 
@@ -287,46 +298,73 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
         sql = (f"INSERT INTO {table} ({col_list}) "
                f"SELECT {col_list} FROM {stage} "
                f"ON CONFLICT ({conflict}) {action}")
-    else:  # ANSI MERGE
-        on = " AND ".join(f"t.{qi(k)} = s.{qi(k)}" for k in keys)
-        ins_vals = ", ".join(f"s.{qi(c)}" for c in cols)
+    else:  # ANSI MERGE ("merge" and its Derby variant)
+        str_cols = {c for c, t in df.dtypes if t == "string"} \
+            if dialect == "derby" else set()
+
+        def sref(c: str) -> str:
+            # Derby: Spark's dialect creates/binds string columns as
+            # CLOB, which Derby will not compare or assign to VARCHAR
+            # implicitly — cast every string-typed source reference
+            return (f"CAST(s.{qi(c)} AS VARCHAR(32672))"
+                    if c in str_cols else f"s.{qi(c)}")
+
+        on = " AND ".join(f"t.{qi(k)} = {sref(k)}" for k in keys)
+        ins_vals = ", ".join(sref(c) for c in cols)
         matched = ""
         if non_keys:
             set_clause = ", ".join(
-                f"{qi(c)} = s.{qi(c)}" for c in non_keys)
+                f"{qi(c)} = {sref(c)}" for c in non_keys)
             matched = f"WHEN MATCHED THEN UPDATE SET {set_clause} "
         sql = (f"MERGE INTO {table} t USING {stage} s ON {on} "
                f"{matched}"
                f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
                f"VALUES ({ins_vals})")
 
-    # 1) parallel batched transfer into the staging table
-    write_jdbc(df, url, stage, mode="overwrite", batchsize=batchsize,
-               num_partitions=num_partitions, **options)
+    if dialect == "mysql":
+        clone_sql = f"CREATE TABLE {stage} LIKE {table}"
+    elif dialect == "derby":
+        # Derby refuses Spark's CLOB-typed null binds into VARCHAR
+        # staging columns, so let Spark create the staging with its
+        # own type mapping and CAST inside the MERGE instead
+        clone_sql = None
+    else:
+        clone_sql = (f"CREATE TABLE {stage} AS SELECT {col_list} "
+                     f"FROM {table} WITH NO DATA")
 
-    # 2) one set-based upsert inside the database, transactional
     jvm = df.sparkSession._jvm
     drv = options.get("driver")
     if drv:
         jvm.java.lang.Class.forName(drv)
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            n = st.executeUpdate(sql)
-            conn.commit()
-        except Exception:
+            # 1) staging = empty clone of the target's column types
+            #    (Derby: Spark-created, see clone_sql note)
+            if clone_sql is not None:
+                st.executeUpdate(clone_sql)
+            # 2) parallel batched transfer into the staging table
+            write_jdbc(df, url, stage,
+                       mode="append" if clone_sql else "overwrite",
+                       batchsize=batchsize,
+                       num_partitions=num_partitions, **options)
+            # 3) one set-based upsert inside the database, transactional
+            conn.setAutoCommit(False)
             try:
-                conn.rollback()
-            except Exception:  # noqa: BLE001 — surface the upsert error
-                pass
-            raise
+                n = st.executeUpdate(sql)
+                conn.commit()
+            except Exception:
+                try:
+                    conn.rollback()
+                except Exception:  # noqa: BLE001 — surface upsert error
+                    pass
+                raise
         finally:
             if not keep_staging:
                 try:
+                    conn.setAutoCommit(True)
                     st.executeUpdate(f"DROP TABLE {stage}")
-                    conn.commit()
                 except Exception:  # noqa: BLE001 — staging GC best-effort
                     pass
             st.close()

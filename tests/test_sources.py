@@ -231,9 +231,9 @@ def test_jdbc_upsert_embedded_derby(spark, tmp_path):
 
     # target: composite PK (ref_no, detail_id), one value column.
     # createTableColumnTypes: Spark's JDBC writer maps StringType to
-    # CLOB on Derby, and CLOBs are not comparable in a MERGE ON clause
-    # — the staging write below inherits the same option through
-    # upsert_jdbc's **options passthrough
+    # CLOB on Derby, and CLOBs are not comparable in a MERGE ON clause;
+    # the upsert's staging table clones the TARGET's types, so only
+    # this pre-create needs the option
     coltypes = "ref_no VARCHAR(64), payload VARCHAR(128)"
     target = spark.createDataFrame(
         [("r1", 1, "old-a"), ("r1", 2, "old-b"), ("r2", 1, "old-c")],
@@ -246,7 +246,7 @@ def test_jdbc_upsert_embedded_derby(spark, tmp_path):
         [("r1", 1, "new-a"), ("r2", 1, "new-c"), ("r3", 9, "ins-d")],
         "ref_no STRING, detail_id INT, payload STRING")
     n = upsert_jdbc(batch, url, "txn", keys=["ref_no", "detail_id"],
-                    driver=driver, createTableColumnTypes=coltypes)
+                    driver=driver)
     assert n >= 3  # 2 updates + 1 insert touched
 
     back = read_jdbc(spark, url, "txn", driver=driver)
@@ -280,7 +280,7 @@ def test_jdbc_upsert_embedded_derby(spark, tmp_path):
         "ref_no STRING, detail_id INT, payload STRING")
     with _pytest.raises(Exception):
         upsert_jdbc(dup, url, "txn", keys=["ref_no", "detail_id"],
-                    driver=driver, createTableColumnTypes=coltypes)
+                    driver=driver)
     back2 = {(r["ref_no"], r["detail_id"]): r["payload"]
              for r in read_jdbc(spark, url, "txn",
                                 driver=driver).collect()}
