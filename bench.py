@@ -85,6 +85,8 @@ HEADLINE = [
     "corpus_curation_funnel",
     "seasonal_anomaly_events",
     "rfm_customer_segments",
+    # r11: mergeable HLL distinct sketches (shard -> union rollup)
+    "hll_distinct_users_daily",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

@@ -25,3 +25,52 @@ def test_approx_stats_within_envelope(spark):
         ap = approx[status]
         assert abs(ap["approx_cust"] - ex["cust"]) <= 0.05 * ex["cust"] + 1
         assert abs(ap["approx_median"] - ex["median"]) <= 0.05 * ex["median"]
+
+
+def test_hll_sketch_mergeable_and_accurate(spark):
+    """r11 HLL sketch tier (operators/agg.py): (a) the union estimate
+    is INVARIANT to how history is sliced into shards and to the
+    partitioning (register merge is commutative/associative), (b) the
+    estimate lands within the lg_k=14 accuracy contract on a 50k-value
+    domain, (c) NULL values are ignored and NULL keys/shards are real
+    groups, (d) an all-NULL group estimates 0."""
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.operators.agg import (
+        sharded_distinct_sketch,
+        union_distinct_estimate,
+    )
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 4).alias("g"),
+        F.when(F.col("id") % 97 == 0, None)
+        .otherwise(F.col("id") % 50_021).alias("u"),
+        F.col("id").alias("rid"))
+    exact = {r["g"]: r["n"] for r in df.groupBy("g").agg(
+        F.count_distinct("u").alias("n")).collect()}
+
+    ests = []
+    for shard_expr, nparts in ((F.col("rid") % 2, 8),
+                               (F.col("rid") % 7, 32),
+                               (F.lit(0), 3)):
+        sk = sharded_distinct_sketch(
+            df.repartition(nparts), ["g"], "u", shard=shard_expr)
+        est = {r["g"]: r["n_est"] for r in
+               union_distinct_estimate(sk, ["g"]).collect()}
+        ests.append(est)
+        for g, n in exact.items():
+            assert abs(est[g] - n) <= max(4, 0.05 * n), (g, est[g], n)
+    # slicing/partitioning invariance: identical estimates, not just
+    # individually-accurate ones
+    assert ests[0] == ests[1] == ests[2]
+
+    # NULL key group + all-NULL value group
+    df2 = spark.createDataFrame(
+        [(None, 1, 1), (None, 2, 2), (None, None, 3),
+         ("empty", None, 4), ("empty", None, 5)],
+        "g STRING, u INT, rid INT")
+    sk2 = sharded_distinct_sketch(df2, ["g"], "u",
+                                  shard=F.col("rid") % 2)
+    est2 = {r["g"]: r["n_est"] for r in
+            union_distinct_estimate(sk2, ["g"]).collect()}
+    assert est2 == {None: 2, "empty": 0}
