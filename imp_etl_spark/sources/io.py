@@ -241,6 +241,12 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
       on duplicate matches — dedupe upstream, e.g. latest_per_key,
       same contract as the manifest MERGE sink plans/upsert.py).
 
+    NULL-valued key columns follow SQL comparison semantics in every
+    dialect: a NULL key never matches, so such rows INSERT on every
+    run — filter or dedupe NULL keys upstream (the reference's work
+    queue enforces NOT NULL on its keys for exactly this reason).
+    An empty batch is a clean no-op (both pinned in test_sources).
+
     The staging table is created by CLONING THE TARGET'S SCHEMA inside
     the database (``CREATE TABLE .. AS SELECT .. WITH NO DATA`` /
     MySQL ``LIKE``), then filled with a plain batched append — so the

@@ -297,3 +297,91 @@ def test_jdbc_upsert_embedded_derby(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown upsert dialect"):
         upsert_jdbc(batch, url, "txn", keys=["ref_no"],
                     dialect="sqlite", driver=driver)
+
+
+def test_jdbc_upsert_edge_semantics(spark, tmp_path):
+    """Post-closing r11 pins for upsert_jdbc edges: (a) an EMPTY batch
+    is a clean no-op (0 affected, staging cleaned up, target
+    untouched); (b) NULL-valued key columns follow SQL MERGE
+    semantics — a NULL key never matches, so such rows INSERT on
+    every run (documented: dedupe/filter NULL keys upstream exactly
+    like the reference's NOT NULL work-queue contract)."""
+    import py4j
+
+    from imp_etl_spark.sources.io import read_jdbc, upsert_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/edgedb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    try:
+        spark._jvm.java.lang.Class.forName(driver)
+    except py4j.protocol.Py4JError:
+        pytest.skip("embedded Derby driver not on the classpath")
+
+    target = spark.createDataFrame(
+        [("k1", "v1")], "ref_no STRING, payload STRING")
+    write_jdbc(target, url, "t_edge", mode="overwrite", driver=driver,
+               createTableColumnTypes="ref_no VARCHAR(64), "
+                                      "payload VARCHAR(64)")
+
+    # (a) empty batch
+    empty = target.limit(0)
+    n = upsert_jdbc(empty, url, "t_edge", keys=["ref_no"],
+                    driver=driver)
+    assert n == 0
+    back = read_jdbc(spark, url, "t_edge", driver=driver)
+    assert [(r["ref_no"], r["payload"]) for r in back.collect()] == \
+        [("k1", "v1")]
+
+    # (b) NULL key: inserts every run (never matches)
+    nullkey = spark.createDataFrame(
+        [(None, "x")], "ref_no STRING, payload STRING")
+    upsert_jdbc(nullkey, url, "t_edge", keys=["ref_no"], driver=driver)
+    upsert_jdbc(nullkey, url, "t_edge", keys=["ref_no"], driver=driver)
+    rows = read_jdbc(spark, url, "t_edge", driver=driver).collect()
+    assert len(rows) == 3  # k1 + two NULL-key inserts
+    assert sum(1 for r in rows if r["ref_no"] is None) == 2
+
+
+def test_events_declared_schema_read_is_neutral(spark, tmp_path):
+    """r12 groundwork (pinned ahead of the change — see COVERAGE r11
+    'The reverted cache, named for r12'): read_table('events') today
+    runs a schema-INFERENCE pass per call because the ts physical
+    type varies by producer. The planned r12 fix reads with a
+    declared/cached schema instead. This test pins the neutrality
+    claim that fix will rely on, for BOTH producers: reading the same
+    file with the schema inference returns, explicitly declared,
+    yields an IDENTICAL schema and identical rows.
+
+    (a) driver-generated fixtures: ts is parquet TIMESTAMP(NANOS),
+        surfaced as bigint under the legacy nanosAsLong conf;
+    (b) engine-written tables: ts is a real timestamp column.
+    """
+    from imp_etl_spark.sources.parquet import read_table
+    from tests.conftest import SF_DIR
+
+    # (a) nanos fixture: declared re-read of the RAW file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_path = f"{SF_DIR}/events.parquet"
+    inferred = spark.read.parquet(raw_path)
+    declared = spark.read.schema(inferred.schema).parquet(raw_path)
+    assert declared.schema == inferred.schema
+    # (the inferred flavor depends on session state/Spark version —
+    # bigint under nanosAsLong, timestamp_ntz when read natively;
+    # neutrality must hold for WHICHEVER inference returns)
+    a = sorted(map(tuple, inferred.limit(500).collect()))
+    b = sorted(map(tuple, declared.limit(500).collect()))
+    assert a == b
+
+    # (b) engine-written events (timestamp ts): the read_table output
+    # round-trips through a declared re-read bit-identically
+    ev = read_table(spark, SF_DIR, "events").limit(500)
+    p = str(tmp_path / "engine_events")
+    ev.write.parquet(f"{p}/events.parquet")
+    back_inferred = read_table(spark, p, "events")
+    raw2 = spark.read.parquet(f"{p}/events.parquet")
+    declared2 = spark.read.schema(raw2.schema).parquet(
+        f"{p}/events.parquet")
+    assert declared2.schema == raw2.schema
+    x = sorted(map(tuple, back_inferred.collect()))
+    y = sorted(map(tuple, ev.collect()))
+    assert x == y
