@@ -474,6 +474,15 @@ def main() -> int:
                          "window fast path (floor-on, the default) — "
                          "the two runs must be value-identical vs the "
                          "oracle (seed namespace 1101+)")
+    ap.add_argument("--trailing-hotrows", default=None,
+                    help="override spark.imp_etl.trailingAgg.hotRows: "
+                         "a SMALL value (e.g. '200') makes random fuzz "
+                         "fixtures cross the trailing-RANGE seq "
+                         "trigger, driving the r11 footer-DERIVED "
+                         "probe support (0.5*hotRows/footer_bound) and "
+                         "the prefix-difference seq shape under random "
+                         "data — both value-checked vs the oracle "
+                         "(seed namespace 6001+)")
     args = ap.parse_args()
     spark = get_spark("fuzz-differential")
     spark.sparkContext.setLogLevel("FATAL")
@@ -482,6 +491,9 @@ def main() -> int:
     if args.row_floor is not None:
         spark.conf.set("spark.imp_etl.lagDispatch.rowFloor",
                        args.row_floor)
+    if args.trailing_hotrows is not None:
+        spark.conf.set("spark.imp_etl.trailingAgg.hotRows",
+                       args.trailing_hotrows)
     failed = False
     for seed in args.seeds:
         bad = run_seed(spark, seed, workers=args.workers,
