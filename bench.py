@@ -86,7 +86,9 @@ HEADLINE = [
     "seasonal_anomaly_events",
     "rfm_customer_segments",
     # r11: mergeable HLL distinct sketches (shard -> union rollup)
+    # + sketch set-algebra (inclusion-exclusion overlap)
     "hll_distinct_users_daily",
+    "hll_user_overlap_halves",
 ]
 
 # queries whose operator runs Spark jobs eagerly while BUILDING the frame

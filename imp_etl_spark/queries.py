@@ -1282,7 +1282,7 @@ _DRIVER_WINDOW_FIRST = [
     # 50-slot window fills (28 of 45). After this rotation the
     # latest-green floor moves to r8.
     # -- (1) changed in round 11 / never rowed:
-    "hll_distinct_users_daily",
+    "hll_distinct_users_daily", "hll_user_overlap_halves",
     "customer_order_gaps", "ewma_scale_vs_exact", "ewma_unbounded_scale",
     "ewma_unbounded_user", "peak_click_concurrency",
     "rolling_24h_user_value", "scd2_user_state", "top_event_paths",
@@ -1302,11 +1302,11 @@ _DRIVER_WINDOW_FIRST = [
     "incremental_agg_merge", "ivf_cosine_topk", "ivf_indexed_topk",
     "j4_merge_preview", "jaccard_sampled_pairs", "lang_confusion_matrix",
     "nation_supplier_hhi", "ngram_novelty", "oov_rate_docs",
-    "orders_backlog_aging",
     # -- position 51+: the r11 backfill queue — the two permanently
     #    rows-only entries (no DuckDB oracle; last rowed r9), then the
     #    r8 remainder, then the r9 tier, then the r10-green tier:
-    "agg_approx_stats", "math_transcendental", "outlier_events_mad",
+    "agg_approx_stats", "math_transcendental", "orders_backlog_aging",
+    "outlier_events_mad",
     "outlier_events_zscore", "passage_dedup_docs", "per_group_trend",
     "pivot_status_counts", "profile_orders", "q12_priority_class",
     "q20_bolt_suppliers", "q2_min_cost_supplier",

@@ -1012,6 +1012,75 @@ def hll_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(ok).select("day", "n_users_exact")
 
 
+@register("hll_user_overlap_halves", """
+WITH e AS (
+  SELECT event_type, user_id, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+h1 AS (SELECT DISTINCT event_type, user_id FROM e WHERE day(d) <= 15),
+h2 AS (SELECT DISTINCT event_type, user_id FROM e WHERE day(d) > 15),
+both_types AS (
+  SELECT event_type FROM h1 INTERSECT SELECT event_type FROM h2
+),
+ov AS (
+  SELECT h1.event_type AS et, COUNT(*) AS n
+  FROM h1 JOIN h2
+    ON h1.event_type IS NOT DISTINCT FROM h2.event_type
+   AND h1.user_id = h2.user_id
+  GROUP BY h1.event_type
+)
+SELECT bt.event_type, COALESCE(ov.n, 0) AS n_overlap
+FROM both_types bt
+LEFT JOIN ov ON bt.event_type IS NOT DISTINCT FROM ov.et
+""")
+def hll_user_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-algebra (r11): per event type, the estimated overlap of
+    first-half-of-month vs second-half user sets via sketch
+    inclusion-exclusion (operators/agg.py overlap_estimate) — the
+    contamination/cross-corpus screening shape at 100 TB, where both
+    sides stay 16 KiB-per-group sketch tables and the intersection
+    needs no join of the raw user domains.
+
+    Oracle gate (the row-count technique): a type's row is emitted
+    only when the sketch overlap estimate is within max(8, 10% of the
+    UNION estimate) of the exact intersection — the honest bound for
+    a difference of estimates, whose absolute error scales with the
+    union, not the overlap — and the emitted value is the EXACT
+    count, so the value hash stays exactly checkable. Only types
+    active in both halves appear (both engines agree via INTERSECT /
+    the sketch frames' inner null-safe join); NULL event_type is a
+    real group; NULL users are excluded on both engines."""
+    from imp_etl_spark.operators.agg import (
+        overlap_estimate,
+        sharded_distinct_sketch,
+    )
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+          .select("event_type", "user_id",
+                  F.dayofmonth("ts").alias("__dom")))
+    h1 = ev.where(F.col("__dom") <= 15)
+    h2 = ev.where(F.col("__dom") > 15)
+    sk1 = sharded_distinct_sketch(h1, ["event_type"], "user_id",
+                                  shard=F.lit(0))
+    sk2 = sharded_distinct_sketch(h2, ["event_type"], "user_id",
+                                  shard=F.lit(0))
+    est = overlap_estimate(sk1, sk2, ["event_type"])
+    exact = (h1.select("event_type", "user_id").distinct()
+             .join(h2.select(F.col("event_type").alias("__t2"),
+                             F.col("user_id").alias("__u2")).distinct(),
+                   F.col("event_type").eqNullSafe(F.col("__t2"))
+                   & (F.col("user_id") == F.col("__u2")))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    j = est.join(exact.withColumnRenamed("event_type", "__te"),
+                 F.col("event_type").eqNullSafe(F.col("__te")), "left")
+    n_overlap = F.coalesce(F.col("__n"), F.lit(0)).alias("n_overlap")
+    ok = (F.abs(F.col("overlap_est") - F.coalesce(F.col("__n"), F.lit(0)))
+          <= F.greatest(F.lit(8.0), F.col("union_est") * F.lit(0.1)))
+    return j.where(ok).select("event_type", n_overlap)
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: partial aggs of a base snapshot and
 # a delta batch merged WITHOUT touching base rows again; the oracle is

@@ -74,3 +74,56 @@ def test_hll_sketch_mergeable_and_accurate(spark):
     est2 = {r["g"]: r["n_est"] for r in
             union_distinct_estimate(sk2, ["g"]).collect()}
     assert est2 == {None: 2, "empty": 0}
+
+
+def test_hll_overlap_estimate_properties(spark):
+    """r11 sketch set-algebra (operators/agg.py overlap_estimate):
+    inclusion-exclusion overlap per key group must (a) read ~|A| on
+    identical sets, (b) ~0 on disjoint sets (clamped at 0), (c) track
+    a known 50% overlap within the documented union-relative error,
+    (d) return only keys present in BOTH frames, with NULL keys as
+    real groups."""
+    from pyspark.sql import functions as F
+
+    from imp_etl_spark.operators.agg import (
+        overlap_estimate,
+        sharded_distinct_sketch,
+    )
+
+    n = 20_000
+
+    def sk(df):
+        return sharded_distinct_sketch(df, ["g"], "u", shard=F.lit(0))
+
+    base = spark.range(n).select(F.lit("same").alias("g"),
+                                 F.col("id").alias("u"))
+    disj_a = spark.range(n).select(F.lit("disj").alias("g"),
+                                   F.col("id").alias("u"))
+    disj_b = spark.range(n).select(F.lit("disj").alias("g"),
+                                   (F.col("id") + n).alias("u"))
+    half_a = spark.range(n).select(F.lit("half").alias("g"),
+                                   F.col("id").alias("u"))
+    half_b = spark.range(n).select(F.lit("half").alias("g"),
+                                   (F.col("id") + n // 2).alias("u"))
+    null_a = spark.range(100).select(F.lit(None).cast("string").alias("g"),
+                                     F.col("id").alias("u"))
+    only_a = spark.range(50).select(F.lit("only_a").alias("g"),
+                                    F.col("id").alias("u"))
+
+    a = sk(base.unionByName(disj_a).unionByName(half_a)
+           .unionByName(null_a).unionByName(only_a))
+    b = sk(base.unionByName(disj_b).unionByName(half_b)
+           .unionByName(null_a))
+    out = {r["g"]: (r["overlap_est"], r["union_est"]) for r in
+           overlap_estimate(a, b, ["g"]).collect()}
+
+    assert set(out) == {"same", "disj", "half", None}  # only_a dropped
+    tol = lambda union: max(8, 0.1 * union)  # noqa: E731
+    est, u = out["same"]
+    assert abs(est - n) <= tol(u)
+    est, u = out["disj"]
+    assert 0 <= est <= tol(u)
+    est, u = out["half"]
+    assert abs(est - n // 2) <= tol(u)
+    est, u = out[None]
+    assert abs(est - 100) <= tol(u)
