@@ -1061,10 +1061,13 @@ def hll_user_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.dayofmonth("ts").alias("__dom")))
     h1 = ev.where(F.col("__dom") <= 15)
     h2 = ev.where(F.col("__dom") > 15)
-    sk1 = sharded_distinct_sketch(h1, ["event_type"], "user_id",
-                                  shard=F.lit(0))
-    sk2 = sharded_distinct_sketch(h2, ["event_type"], "user_id",
-                                  shard=F.lit(0))
+    # ONE pass builds both halves' sketches — the half indicator IS
+    # the shard key (sharded_distinct_sketch's whole point); the two
+    # sides are then row filters over the tiny sketch frame
+    sk = sharded_distinct_sketch(ev, ["event_type"], "user_id",
+                                 shard=F.col("__dom") <= 15)
+    sk1 = sk.where(F.col("__shard")).drop("__shard")
+    sk2 = sk.where(~F.col("__shard")).drop("__shard")
     est = overlap_estimate(sk1, sk2, ["event_type"])
     exact = (h1.select("event_type", "user_id").distinct()
              .join(h2.select(F.col("event_type").alias("__t2"),
