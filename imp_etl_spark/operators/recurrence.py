@@ -204,25 +204,32 @@ def ewma_scan(df: DataFrame, keys: Sequence[str],
         "spark.imp_etl.ewmaScan.driverChainRows", "100000")))
     carries = None
     if c_size >= 64 and cap > 0:
-        # the probe and the final action would each evaluate the
-        # rank+chunk-window subtree once (separate jobs reuse no
-        # shuffles); when the INPUT is provably small from parquet
-        # footers, persist the windowed frame so both passes share one
-        # evaluation. Unprovable/large inputs skip the persist — at
-        # 100 TB the probe pays one summary pass and the pandas path
-        # runs exactly as before.
+        # The probe and the final action are SEPARATE jobs over the
+        # same rank+chunk-window subtree, so carries collected in job 1
+        # joined against ranks recomputed in job 2 are only consistent
+        # when that recomputation is pinned. The driver chain therefore
+        # engages ONLY when the input is a footer-bounded parquet scan
+        # small enough to persist — the persist fixes one evaluation
+        # that both jobs share. Unprovable inputs (in-memory frames,
+        # joins, non-parquet sources — where a nondeterministic
+        # upstream like sample()/rand() could yield a DIFFERENT second
+        # evaluation, ADVICE r11) and footer-bounded inputs past the
+        # persist cap take the distributed chain, whose carry and
+        # join-back evaluate inside one query — at 100 TB nothing
+        # changes and no probe pass is wasted.
         from imp_etl_spark.operators.window import _footer_row_bound
         persist_cap = int(float(df.sparkSession.conf.get(
             "spark.imp_etl.ewmaScan.persistRows", "10000000")))
         ub = _footer_row_bound(df)
+        probe_rows = None
         if ub is not None and ub <= persist_cap:
             from pyspark.storagelevel import StorageLevel
             d = d.persist(StorageLevel.MEMORY_AND_DISK)
             if release is not None:
                 release.append(d)
             summ = _chunk_summaries(d, keys)
-        probe_rows = summ.limit(cap + 1).collect()
-        if len(probe_rows) <= cap:
+            probe_rows = summ.limit(cap + 1).collect()
+        if probe_rows is not None and len(probe_rows) <= cap:
             groups: dict[tuple, list] = {}
             for r in probe_rows:
                 groups.setdefault(tuple(r[k] for k in keys),
@@ -319,7 +326,26 @@ def ewma_final(df: DataFrame, keys: Sequence[str],
 
     cap = int(float(spark.conf.get(
         "spark.imp_etl.ewmaScan.driverChainRows", "100000")))
+    # Probe gate (ADVICE r11): at tiny chunk sizes the summary frame
+    # approaches the full input, so an unconditional LIMIT cap+1 probe
+    # on a large chunk=1 input collects up to `cap` rows and pays a
+    # whole extra pass over the rank+window subtree before the
+    # distributed chain evaluates it again. Probe only when chunking
+    # actually compresses (c_size >= 64, same gate as ewma_scan) or
+    # when a parquet footer bound PROVES the probe will succeed
+    # (rows <= cap implies summaries <= cap), which keeps the fast
+    # driver path for small chunk=1 fixtures. Unlike ewma_scan there
+    # is no consistency hazard here: a successful probe builds the
+    # entire answer from the collected rows (no join-back, no second
+    # evaluation).
     if cap > 0:
+        from imp_etl_spark.operators.window import _footer_row_bound
+
+        ub = _footer_row_bound(df)
+        probe_ok = c_size >= 64 or (ub is not None and ub <= cap)
+    else:
+        probe_ok = False
+    if probe_ok:
         probe_rows = summ.limit(cap + 1).collect()
         if len(probe_rows) <= cap:
             groups: dict[tuple, list] = {}

@@ -332,6 +332,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                            id_col, vec_col, query_id_col)
 
 
+def _coalesce_list_write(assigned: DataFrame, source: DataFrame,
+                         id_col: str, nlist: int) -> DataFrame:
+    """Bound the IVF index's output file count (r12, guide §6 — same
+    small-files fix as the MinHash signature table): without it the
+    partitioned write lands scan-tasks x nlist tiny files that every
+    probe re-opens. One exchange on (__list, sub) lays each list out
+    as ``ceil(vectors / rowsPerFile)`` files — one per list for small
+    corpora, growing with the footer-proved row bound at scale. The
+    shuffle moves (id, vector, list) rows once, the standard price of
+    a hash-distributed write layout; unprovable inputs keep the
+    spread write (blind coalescing could funnel a huge build through
+    ``nlist`` tasks)."""
+    import math
+
+    spark = assigned.sparkSession
+    rows_per_file = int(float(spark.conf.get(
+        "spark.imp_etl.ivfIndex.rowsPerFile", "250000")))
+    if rows_per_file <= 0:
+        return assigned
+    from imp_etl_spark.operators.window import _footer_row_bound
+
+    ub = _footer_row_bound(source)
+    if ub is None:
+        return assigned
+    fpl = max(1, math.ceil(ub / rows_per_file))
+    sub = F.pmod(F.xxhash64(F.col(id_col)), F.lit(fpl))
+    return assigned.repartition(nlist * fpl, F.col("__list"), sub)
+
+
 def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
                     kmeans_iters: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> list[list[float]]:
@@ -355,6 +384,7 @@ def build_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
     narrow = corpus.select(id_col, vec_col)
     if cent_vecs:
         assigned = assign_ivf_lists(narrow, cent_vecs, vec_col)
+        assigned = _coalesce_list_write(assigned, corpus, id_col, nlist)
     else:  # empty corpus: an empty index with the declared layout
         assigned = narrow.withColumn("__list", F.lit(0).cast("int")).limit(0)
     assigned.write.mode("overwrite").partitionBy("__list").parquet(path)
@@ -440,6 +470,8 @@ def ivf_index_append(spark, path: str, batch: DataFrame,
             "once the corpus is non-empty")
     assigned = assign_ivf_lists(batch.select(id_col, vec_col),
                                 cent_vecs, vec_col)
+    assigned = _coalesce_list_write(assigned, batch, id_col,
+                                    len(cent_vecs))
     assigned.write.mode("append").partitionBy("__list").parquet(path)
     return cent_vecs
 

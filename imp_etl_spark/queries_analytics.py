@@ -1063,9 +1063,21 @@ def hll_user_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     h2 = ev.where(F.col("__dom") > 15)
     # ONE pass builds both halves' sketches — the half indicator IS
     # the shard key (sharded_distinct_sketch's whole point); the two
-    # sides are then row filters over the tiny sketch frame
-    sk = sharded_distinct_sketch(ev, ["event_type"], "user_id",
-                                 shard=F.col("__dom") <= 15)
+    # sides are then row filters over the tiny sketch frame.
+    # Persist that frame (r12): overlap_estimate consumes it THREE
+    # times (side A, side B, union), and Catalyst pushes each side's
+    # __shard filter below the sketch aggregation, so the three
+    # subtrees canonicalize differently and exchange reuse never fires
+    # — the r11 plan re-scanned events and re-built the sketches 4x
+    # (plans/r12/hll_user_overlap_halves_before.txt: 6 parquet scans,
+    # 0 ReusedExchange). The persisted frame is one row per
+    # (event_type, half) at 16 KiB per sketch — exactly the persisted
+    # "sketch table" the operator's 100 TB story assumes. Tracked for
+    # release like the dedup tier's pair frames.
+    from imp_etl_spark.queries_llm import _track_persist
+
+    sk = _track_persist(sharded_distinct_sketch(
+        ev, ["event_type"], "user_id", shard=F.col("__dom") <= 15))
     sk1 = sk.where(F.col("__shard")).drop("__shard")
     sk2 = sk.where(~F.col("__shard")).drop("__shard")
     est = overlap_estimate(sk1, sk2, ["event_type"])

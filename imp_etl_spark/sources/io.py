@@ -342,7 +342,22 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
     drv = options.get("driver")
     if drv:
         jvm.java.lang.Class.forName(drv)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # Forward connection options (user/password and any pass-through
+    # driver properties) to the driver-side connection exactly as
+    # write_jdbc forwards them to the Spark staging write — against an
+    # authenticated server (the reference's MySQL deployment) a bare
+    # getConnection(url) would fail with access denied unless the
+    # credentials were embedded in the URL (ADVICE r11).
+    spark_writer_opts = {  # Spark JDBC-writer knobs, not driver props
+        "driver", "batchsize", "numpartitions", "truncate",
+        "createtablecolumntypes", "createtableoptions",
+        "isolationlevel", "sessioninitstatement", "querytimeout",
+        "fetchsize", "url", "dbtable", "query"}
+    props = jvm.java.util.Properties()
+    for k, v in options.items():
+        if k.lower() not in spark_writer_opts and v is not None:
+            props.setProperty(str(k), str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         st = conn.createStatement()
         try:

@@ -22,6 +22,15 @@ from imp_etl_spark import schemas
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: events is the one fixture read WITHOUT a declared schema (its ts
+#: physical type differs between driver-generated nanos fixtures and
+#: engine-written tables), so every read_table('events') paid a footer
+#: schema-inference pass (~0.1 s of driver/job overhead per call —
+#: queries read events 2-3x while BUILDING). Cache the inferred schema
+#: per (path, mtime): an overwritten fixture changes its mtime and
+#: re-infers; everything else skips straight to the scan. (r11)
+_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
@@ -38,7 +47,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
-        raw = spark.read.parquet(path)
+        try:
+            key = (os.path.abspath(path), os.path.getmtime(path))
+        except OSError:
+            key = None
+        cached = _EVENTS_SCHEMA_CACHE.get(key) if key else None
+        if cached is not None:
+            raw = spark.read.schema(cached).parquet(path)
+        else:
+            raw = spark.read.parquet(path)
+            if key is not None:
+                _EVENTS_SCHEMA_CACHE[key] = raw.schema
         # only nanos-as-long needs the conversion: an events table this
         # engine itself wrote (scale experiments, sinks) already carries
         # a timestamp ts and must pass through unchanged
