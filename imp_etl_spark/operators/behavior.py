@@ -99,6 +99,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within: Sequence[str] | None = None,
+    release: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Ordered-funnel summary: one row per stage with the number of
     users who reached it and the conversion rate vs stage 0.
@@ -106,9 +107,25 @@ def funnel_counts(
     Each per-stage count is a single-row aggregate; the union of stage
     rows and the stage-0 total join are driver-free 1-row broadcasts.
     The only float op is one users/base IEEE division per row.
+
+    Stage frames are persisted (r12): stage i's frame is embedded in
+    every DOWNSTREAM stage's lineage AND counted by its own union leg,
+    so without the persist an N-stage funnel re-ran stage i's
+    events-scan+join pyramid N-i+1 times (the r12 before plan scanned
+    events six times for three stages,
+    plans/r12/funnel_signup_purchase_before.txt). Frames are (user,
+    first-ts-per-stage) rows — the shrinking small side of each stage
+    join, orders of magnitude below the event stream; MEMORY_AND_DISK
+    spills rather than OOMs. ``release`` receives the handles for
+    explicit unpersist (prefix_sum/global_index lifecycle).
     """
+    from pyspark.storagelevel import StorageLevel
+
     frames = funnel_stage_users(
         events, stages, user_col, ts_col, type_col, within)
+    frames = [f.persist(StorageLevel.MEMORY_AND_DISK) for f in frames]
+    if release is not None:
+        release.extend(frames)
     rows = None
     for i, (stage, frame) in enumerate(zip(stages, frames)):
         one = frame.agg(F.count(F.lit(1)).alias("users")).select(

@@ -426,7 +426,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            max_hamming: int = 3, bands: int = 4,
                            hash_fn: str = "xxhash64",
                            max_bucket: int = 256,
-                           observation=None) -> DataFrame:
+                           observation=None,
+                           release: list[DataFrame] | None = None
+                           ) -> DataFrame:
     """SimHash near-duplicate pairs: hamming(sig_a, sig_b) <= max_hamming.
 
     Banding uses the pigeonhole principle: with ``bands > max_hamming``
@@ -467,6 +469,22 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("bk"),
     ).select(id_col, "fullsig", F.col("bk.band").alias("band"),
              F.col("bk.sig").alias("sig"))
+    # Persist the banded signature frame (r12): _capped_band_pairs
+    # consumes it FOUR ways (self-join a/b legs, overflow, bucket
+    # representatives), and — unlike the MinHash path, whose consumers
+    # read a persisted parquet index — every leg here re-ran the
+    # CPU-dominant tokenize+simhash pass (the r12 before plan shows
+    # four identical scan->Generate->Window subtrees with zero
+    # exchange reuse, plans/r12/simhash_near_dup_before.txt). The
+    # frame is (id, fullsig, band, block) — ~30 bytes x bands per doc,
+    # orders of magnitude below the corpus; MEMORY_AND_DISK spills
+    # rather than OOMs. ``release`` receives it for explicit
+    # unpersist, the same lifecycle as prefix_sum/global_index.
+    from pyspark.storagelevel import StorageLevel
+
+    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+    if release is not None:
+        release.append(blocks)
     pairs = _capped_band_pairs(blocks, id_col, max_bucket, observation,
                                extra_cols=("fullsig",))
     return (
@@ -482,7 +500,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.8,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        release: list[DataFrame] | None = None
+                        ) -> DataFrame:
     """Exact token-n-gram Jaccard similarity pairs above ``threshold``.
 
     Without ``candidates`` this computes Jaccard via an inverted index
@@ -524,6 +544,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             F.array_distinct(shingles(tokens(F.col(text_col)), n))
             .alias("gs"),
         )
+        # persist (r12): the pair join consumes gramsets TWICE (id_a
+        # and id_b sides), and without the persist each side re-ran
+        # the scan->semi-prune->tokenize->shingle pass. The frame is
+        # bounded by the candidate contract (LSH-bounded doc ids), so
+        # it is small by the same argument that justifies the
+        # broadcast above; MEMORY_AND_DISK spills rather than OOMs.
+        # ``release`` receives the handle for explicit unpersist
+        # (prefix_sum/global_index lifecycle).
+        from pyspark.storagelevel import StorageLevel
+
+        gramsets = gramsets.persist(StorageLevel.MEMORY_AND_DISK)
+        if release is not None:
+            release.append(gramsets)
         inter = F.size(F.array_intersect("gs_a", "gs_b"))
         return (
             candidates

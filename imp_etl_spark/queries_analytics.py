@@ -74,8 +74,20 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within its window (click <=12h after signup, purchase <=24h
     after that click). 150 -> 28 -> 16 users on the sf0.01 fixture."""
     ev = read_table(spark, sf_dir, "events")
-    return behavior.funnel_counts(
-        ev, _FUNNEL_STAGES, within=_FUNNEL_WITHIN)
+    # the operator persists its per-stage user frames (r12); track the
+    # handles with the dedup tier's registry so long-lived drivers
+    # release them with the other staged tiny frames
+    from imp_etl_spark.queries_llm import (
+        _DEDUP_PERSISTS,
+        _DEDUP_PERSISTS_LOCK,
+    )
+
+    rel: list[DataFrame] = []
+    out = behavior.funnel_counts(
+        ev, _FUNNEL_STAGES, within=_FUNNEL_WITHIN, release=rel)
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.extend(rel)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1088,7 +1100,12 @@ def hll_user_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("user_id") == F.col("__u2")))
              .groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("__n")))
-    j = est.join(exact.withColumnRenamed("event_type", "__te"),
+    # broadcast the per-type exact counts (one row per event type):
+    # post-aggregation size estimates are unknown to the static
+    # planner, which picked a SortMergeJoin for this tiny gate join
+    # in the r11 plan (plans/r12/hll_user_overlap_halves_before.txt)
+    j = est.join(F.broadcast(exact.withColumnRenamed(
+                     "event_type", "__te")),
                  F.col("event_type").eqNullSafe(F.col("__te")), "left")
     n_overlap = F.coalesce(F.col("__n"), F.lit(0)).alias("n_overlap")
     ok = (F.abs(F.col("overlap_est") - F.coalesce(F.col("__n"), F.lit(0)))

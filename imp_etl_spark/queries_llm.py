@@ -713,9 +713,13 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cache manager dedupes by logical plan and the second consumer
     # skips the whole Jaccard verify (a production crawl materializes
     # exactly this table between its verify and cluster stages)
+    _rel: list[DataFrame] = []
     verified = _track_persist(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                            threshold=0.5, candidates=cands))
+                            threshold=0.5, candidates=cands,
+                            release=_rel))
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.extend(_rel)
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(F.broadcast(removed), on="doc_id",
                      how="left_anti").select("doc_id", "n_chars")
@@ -790,8 +794,20 @@ def cross_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("id_new", "id_ref").alias("id_a"),
         F.greatest("id_new", "id_ref").alias("id_b"),
     ))
-    verified = ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                                   threshold=0.5, candidates=pairs)
+    # persist the verified pairs too (r12): the removed-set union below
+    # consumes them through BOTH legs (id_a and id_b), and without the
+    # persist each leg re-ran the whole Jaccard verify — including its
+    # two gramset joins — so the before plan re-scanned documents four
+    # times (plans/r12/cross_corpus_survivors_before.txt). Same staged
+    # pair-table treatment as dedup_pipeline_survivors' verified frame;
+    # pairs-only, tiny, released via release_dedup_caches.
+    _rel: list[DataFrame] = []
+    verified = _track_persist(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
+                            threshold=0.5, candidates=pairs,
+                            release=_rel))
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.extend(_rel)
     removed = (
         verified.select(F.col("id_a").alias("doc_id"))
         .unionByName(verified.select(F.col("id_b").alias("doc_id")))
@@ -884,9 +900,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persist makes the shared Jaccard verify a cache hit when both
     # run in one session (the staged pair-table artifact; tracked for
     # release_dedup_caches in long-lived drivers)
+    _rel: list[DataFrame] = []
     verified = _track_persist(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
-                            threshold=0.5, candidates=cands))
+                            threshold=0.5, candidates=cands,
+                            release=_rel))
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.extend(_rel)
     return cluster_assignments(docs.select("doc_id"), verified,
                                id_col="doc_id")
 
@@ -1234,9 +1254,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imp_etl_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "text", "doc_id",
-                                  bits=48, max_hamming=6, bands=8,
-                                  hash_fn="md5")
+    # the operator persists its banded-signature frame (r12); hand the
+    # handle to the dedup tier's tracker so long-lived drivers release
+    # it with the other staged pair-table artifacts
+    rel: list[DataFrame] = []
+    out = simhash_near_dup_pairs(docs, "text", "doc_id",
+                                 bits=48, max_hamming=6, bands=8,
+                                 hash_fn="md5", release=rel)
+    with _DEDUP_PERSISTS_LOCK:
+        _DEDUP_PERSISTS.extend(rel)
+    return out
 
 
 @register("multimodal_features", """
