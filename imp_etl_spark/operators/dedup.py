@@ -477,14 +477,14 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     # four identical scan->Generate->Window subtrees with zero
     # exchange reuse, plans/r12/simhash_near_dup_before.txt). The
     # frame is (id, fullsig, band, block) — ~30 bytes x bands per doc,
-    # orders of magnitude below the corpus; MEMORY_AND_DISK spills
-    # rather than OOMs. ``release`` receives it for explicit
-    # unpersist, the same lifecycle as prefix_sum/global_index.
-    from pyspark.storagelevel import StorageLevel
+    # orders of magnitude below the corpus. Gated on the source's
+    # footer row bound: a provably tiny corpus keeps the fused
+    # 4x-recompute plan (the persist's fixed overhead measured ~+0.3 s
+    # on the 500-doc sf0.1 fixture, where recompute is nearly free);
+    # big or unprovable inputs persist.
+    from imp_etl_spark.operators.util import persist_if_big
 
-    blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    if release is not None:
-        release.append(blocks)
+    blocks = persist_if_big(blocks, df, release)
     pairs = _capped_band_pairs(blocks, id_col, max_bucket, observation,
                                extra_cols=("fullsig",))
     return (
@@ -549,14 +549,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # the scan->semi-prune->tokenize->shingle pass. The frame is
         # bounded by the candidate contract (LSH-bounded doc ids), so
         # it is small by the same argument that justifies the
-        # broadcast above; MEMORY_AND_DISK spills rather than OOMs.
-        # ``release`` receives the handle for explicit unpersist
-        # (prefix_sum/global_index lifecycle).
-        from pyspark.storagelevel import StorageLevel
+        # broadcast above. Gated on the corpus's footer row bound —
+        # a provably tiny corpus keeps the fused two-evaluation plan
+        # (see persist_if_big).
+        from imp_etl_spark.operators.util import persist_if_big
 
-        gramsets = gramsets.persist(StorageLevel.MEMORY_AND_DISK)
-        if release is not None:
-            release.append(gramsets)
+        gramsets = persist_if_big(gramsets, df, release)
         inter = F.size(F.array_intersect("gs_a", "gs_b"))
         return (
             candidates

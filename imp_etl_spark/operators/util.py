@@ -36,6 +36,41 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None,
     return df
 
 
+def persist_if_big(df: DataFrame, source: DataFrame,
+                   release: list[DataFrame] | None = None,
+                   min_rows_conf: str = "spark.imp_etl.persist.minSourceRows",
+                   default_min_rows: int = 16384) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK) unless ``source`` is PROVABLY
+    tiny from parquet footer bounds (r12).
+
+    The multi-consumer persists this round added (banded simhash
+    signatures, candidate gramsets) trade N recomputations of a
+    CPU-bound pass for one computation plus cache reads. That trade
+    wins as soon as the pass covers more than a handful of rows, but
+    LOSES on tiny fixtures: the persist's fixed overhead (extra stage
+    boundaries, block writes, per-block read locks) measured ~+0.3 s
+    at sf0.1's 500-doc corpus, where 4x recompute of the pass is
+    nearly free. So: a footer bound BELOW the threshold keeps the
+    fused no-persist plan; anything bigger — or any input whose size
+    cannot be proven (joins, in-memory frames, non-parquet sources,
+    where the safe assumption is big) — persists. ``release``
+    receives the handle for explicit unpersist (prefix_sum lifecycle).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from imp_etl_spark.operators.window import _footer_row_bound
+
+    thr = int(float(df.sparkSession.conf.get(
+        min_rows_conf, str(default_min_rows))))
+    ub = _footer_row_bound(source)
+    if ub is not None and ub < thr:
+        return df
+    d = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if release is not None:
+        release.append(d)
+    return d
+
+
 def fs_write_text(spark, path: str, content: str) -> None:
     """Write a small text file through the Hadoop FileSystem API so
     index sidecars (_params.json and friends) work on ANY scheme the

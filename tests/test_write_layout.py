@@ -148,3 +148,37 @@ def test_ivf_index_write_is_coalesced(spark, tmp_path):
                     kmeans_iters=1)
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.collect())))
+
+
+def test_persist_if_big_gates_on_footer_bound(spark, tmp_path):
+    """persist_if_big: a provably tiny parquet source keeps the
+    unpersisted plan; a big (or unprovable) source persists — and the
+    threshold is conf-driven."""
+    from imp_etl_spark.operators.util import persist_if_big
+
+    p = str(tmp_path / "tiny.parquet")
+    spark.createDataFrame([(i,) for i in range(100)], ["id"]) \
+        .write.parquet(p)
+    src = spark.read.parquet(p)
+    derived = src.select((F.col("id") * 2).alias("x"))
+
+    # 100 rows < default 16384: no persist
+    out = persist_if_big(derived, src)
+    assert out.storageLevel.useMemory is False
+
+    # force the threshold below the bound: persists + release-tracked
+    rel = []
+    spark.conf.set("spark.imp_etl.persist.minSourceRows", "10")
+    try:
+        out2 = persist_if_big(derived, src, rel)
+        assert out2.storageLevel.useMemory is True
+        assert rel == [out2]
+    finally:
+        spark.conf.unset("spark.imp_etl.persist.minSourceRows")
+        out2.unpersist()
+
+    # unprovable source (in-memory frame): safe assumption is big
+    mem = spark.createDataFrame([(1,)], ["id"])
+    out3 = persist_if_big(mem.select("id"), mem)
+    assert out3.storageLevel.useMemory is True
+    out3.unpersist()
