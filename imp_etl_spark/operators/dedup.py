@@ -101,7 +101,9 @@ def exact_content_dedup(df: DataFrame, text_col: str = "text",
 
 def _capped_band_pairs(stacked: DataFrame, id_col: str, max_bucket: int,
                        observation=None,
-                       extra_cols: Sequence[str] = ()) -> DataFrame:
+                       extra_cols: Sequence[str] = (),
+                       source: DataFrame | None = None,
+                       release: list[DataFrame] | None = None) -> DataFrame:
     """Banded self-join with a degenerate-bucket cap.
 
     ``stacked`` holds one row per (doc, band) with columns
@@ -112,12 +114,36 @@ def _capped_band_pairs(stacked: DataFrame, id_col: str, max_bucket: int,
     ``Observation`` to read capped_buckets / capped_rows after an action.
     The oracle SQL mirrors the exact same two-path union
     (queries_llm._banded_pair_sql).
+
+    The (band, sig) stats window below feeds THREE consumer legs
+    (self-join pair legs, overflow, and — with ``extra_cols`` — the
+    bucket representatives), so without help every leg re-sorts the
+    signature table (r13, VERDICT r12 item 7). Passing ``source`` (the
+    frame whose parquet footer bounds the signature count) gates a
+    persist of the windowed frame through ``persist_if_big``: one
+    window evaluation at scale, the fused plan on provably tiny
+    corpora. ``release`` receives the handle (dedup-tier lifecycle).
     """
     wb = Window.partitionBy("band", "sig")
     stats = (
         stacked.withColumn("__bsz", F.count(F.lit(1)).over(wb))
         .withColumn("__bmin", F.min(F.col(id_col)).over(wb))
     )
+    if source is not None:
+        from imp_etl_spark.operators.util import persist_if_big
+
+        stats = persist_if_big(
+            stats, source, release,
+            min_rows_conf="spark.imp_etl.persist.minBandStatsSourceRows",
+            # A/B at sf0.1 (20k signature rows): the persist WON inside
+            # dedup_pipeline (0.63 vs 0.68 — the cands persist above it
+            # absorbs most reuse) but LOST standalone minhash_lsh_pairs
+            # 1.08 vs 0.69 — breaking the legs' pipelined exchange
+            # reuse costs more than 3 window sorts over a tiny cached
+            # frame. Crossover set a decade above the fixture: the
+            # persist is for genuinely large or unprovable signature
+            # tables, where one window sort of the index dominates.
+            default_min_rows=1_048_576)
     if observation is not None:
         stats = stats.observe(
             observation,
@@ -226,12 +252,19 @@ def minhash_stacked(df: DataFrame, text_col: str = "text",
 def minhash_candidates_from_stacked(stacked: DataFrame,
                                     id_col: str = "doc_id",
                                     max_bucket: int = 256,
-                                    observation=None) -> DataFrame:
+                                    observation=None,
+                                    release: list[DataFrame] | None = None,
+                                    ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from an ALREADY-BANDED signature
     table — the consumer half of :func:`build_minhash_index`. One wide
-    exchange on (band, sig); over-cap buckets degrade to star pairs."""
+    exchange on (band, sig); over-cap buckets degrade to star pairs.
+    The index scan itself gates the stats-window persist (r13): a
+    parquet-backed signature table is footer-provable, so big indexes
+    evaluate the bucket-stats window once instead of per consumer leg.
+    """
     return _capped_band_pairs(stacked, id_col, max_bucket,
-                              observation).distinct()
+                              observation, source=stacked,
+                              release=release).distinct()
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
@@ -254,8 +287,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     """
     stacked = minhash_stacked(df, text_col, id_col, shingle_k,
                               num_hashes, bands)
-    return minhash_candidates_from_stacked(stacked, id_col, max_bucket,
-                                           observation)
+    # gate the stats-window persist on the RAW corpus scan (the stacked
+    # frame contains a Generate and is never footer-provable itself)
+    return _capped_band_pairs(stacked, id_col, max_bucket,
+                              observation, source=df).distinct()
 
 
 def _coalesce_band_write(stacked: DataFrame, source: DataFrame,
@@ -350,7 +385,18 @@ def minhash_index_append(spark, path: str, batch: DataFrame) -> dict:
     plus a partitioned parquet append; the resident corpus is never
     read or rewritten. Same single-writer assumption as
     ``ivf_index_append`` (route through the manifest sink if concurrent
-    readers need snapshot isolation during ingest)."""
+    readers need snapshot isolation during ingest).
+
+    File-count growth (ADVICE r12): a parquet APPEND can only add
+    files, so every append grows each touched band by >= 1 file (fpb
+    is sized from the BATCH's footer bound — the resident index is
+    deliberately not re-read on the ingest path). High-frequency
+    small-batch ingest therefore re-fragments the layout over time;
+    the maintenance verb is a periodic rebuild (``build_minhash_index``
+    over the union — bit-identical by the determinism contract above),
+    exactly as table formats pair appends with compaction. An
+    unprovable batch falls back to the spread write (mixed layouts are
+    fine: consumers address the table by directory, not file count)."""
     import json
 
     from imp_etl_spark.operators.util import fs_read_text
@@ -469,24 +515,23 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("bk"),
     ).select(id_col, "fullsig", F.col("bk.band").alias("band"),
              F.col("bk.sig").alias("sig"))
-    # Persist the banded signature frame (r12): _capped_band_pairs
-    # consumes it FOUR ways (self-join a/b legs, overflow, bucket
-    # representatives), and — unlike the MinHash path, whose consumers
-    # read a persisted parquet index — every leg here re-ran the
-    # CPU-dominant tokenize+simhash pass (the r12 before plan shows
-    # four identical scan->Generate->Window subtrees with zero
-    # exchange reuse, plans/r12/simhash_near_dup_before.txt). The
-    # frame is (id, fullsig, band, block) — ~30 bytes x bands per doc,
-    # orders of magnitude below the corpus. Gated on the source's
-    # footer row bound: a provably tiny corpus keeps the fused
-    # 4x-recompute plan (the persist's fixed overhead measured ~+0.3 s
-    # on the 500-doc sf0.1 fixture, where recompute is nearly free);
-    # big or unprovable inputs persist.
-    from imp_etl_spark.operators.util import persist_if_big
-
-    blocks = persist_if_big(blocks, df, release)
+    # Persist the banded-stats frame (r12 persisted the blocks here;
+    # r13 moved the same gate one node UP into _capped_band_pairs):
+    # the stats window's consumers (self-join a/b legs, overflow,
+    # bucket representatives) each re-ran the CPU-dominant
+    # tokenize+simhash pass AND the (band, sig) window sort (the r12
+    # before plan shows four identical scan->Generate->Window subtrees
+    # with zero exchange reuse,
+    # plans/r12/simhash_near_dup_before.txt). Persisting stats instead
+    # of blocks caches the window output too — one sort instead of
+    # four — for the same ~30 bytes x bands per doc. Gated on the
+    # source's footer row bound exactly as before: a provably tiny
+    # corpus keeps the fused plan (the persist's fixed overhead
+    # measured ~+0.3 s on a 500-doc fixture, where recompute is nearly
+    # free); big or unprovable inputs persist.
     pairs = _capped_band_pairs(blocks, id_col, max_bucket, observation,
-                               extra_cols=("fullsig",))
+                               extra_cols=("fullsig",),
+                               source=df, release=release)
     return (
         pairs.withColumn(
             "hamming",

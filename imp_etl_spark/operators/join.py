@@ -133,7 +133,7 @@ def sorted_neighborhood_pairs(df: DataFrame, col: str, window: int = 3,
     # first, SQL nulls last) — which would shift every neighbor window
     ranked = global_index(
         df.select(F.col(col)).where(F.col(col).isNotNull()).distinct(),
-        col, "__idx")
+        col, "__idx", unique_order=True)
     left = ranked.select(
         F.col(col).alias("name_a"), "__idx",
         F.explode(F.array(

@@ -239,7 +239,7 @@ def shard_balanced(df: DataFrame, weight_col: str, id_col: str,
         (-F.col(weight_col).cast("long")) * F.lit(1 << 32)
         + F.col(id_col).cast("long"),
     )
-    idx = global_index(ordered, "__ord")
+    idx = global_index(ordered, "__ord", unique_order=True)
     return (
         idx.withColumn(
             shard_col,

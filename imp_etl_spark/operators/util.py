@@ -39,7 +39,9 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None,
 def persist_if_big(df: DataFrame, source: DataFrame,
                    release: list[DataFrame] | None = None,
                    min_rows_conf: str = "spark.imp_etl.persist.minSourceRows",
-                   default_min_rows: int = 16384) -> DataFrame:
+                   default_min_rows: int = 16384,
+                   max_rows_conf: str | None = None,
+                   default_max_rows: int | None = None) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) unless ``source`` is PROVABLY
     tiny from parquet footer bounds (r12).
 
@@ -55,15 +57,29 @@ def persist_if_big(df: DataFrame, source: DataFrame,
     cannot be proven (joins, in-memory frames, non-parquet sources,
     where the safe assumption is big) — persists. ``release``
     receives the handle for explicit unpersist (prefix_sum lifecycle).
+
+    ``max_rows_conf``/``default_max_rows`` (r13, ADVICE r12): an
+    optional UPPER crossover for frames whose materialized size grows
+    with the source (a token stream is ~corpus bytes). A source
+    PROVABLY at/above the cap keeps the streaming two-pass plan —
+    re-reading a compressed parquet scan twice beats spilling a
+    corpus-scale cache to local disk. Unprovable sources still persist
+    (the two bounds only ever act on footer-provable scans, where both
+    directions of the trade are measurable).
     """
     from pyspark.storagelevel import StorageLevel
 
     from imp_etl_spark.operators.window import _footer_row_bound
 
-    thr = int(float(df.sparkSession.conf.get(
-        min_rows_conf, str(default_min_rows))))
+    conf = df.sparkSession.conf
+    thr = int(float(conf.get(min_rows_conf, str(default_min_rows))))
+    cap = None
+    if max_rows_conf is not None or default_max_rows is not None:
+        raw = conf.get(max_rows_conf, str(default_max_rows)) \
+            if max_rows_conf is not None else str(default_max_rows)
+        cap = int(float(raw)) if raw not in (None, "None") else None
     ub = _footer_row_bound(source)
-    if ub is not None and ub < thr:
+    if ub is not None and (ub < thr or (cap is not None and ub >= cap)):
         return df
     d = df.persist(StorageLevel.MEMORY_AND_DISK)
     if release is not None:

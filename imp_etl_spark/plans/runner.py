@@ -91,10 +91,18 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
     if watermark is not None:
         queue = queue.filter(F.col("log_id") > F.lit(watermark))
 
+    # fused dedup↔bucket layout (r13): the branches exchange ONCE on
+    # the manifest sink's own bucket expression and the sink writes
+    # them pre-clustered — see plans.pipeline._dedup_in_bucket_layout.
+    # The JDBC sink ignores clustering (any layout is a valid batch),
+    # so one fused shape serves both sinks.
+    from imp_etl_spark.plans.upsert import DEFAULT_BUCKETS
+
     result = build_pipeline(queue, voucher, transaction,
                             voucher_key=voucher_key,
                             transaction_key=transaction_key,
-                            order_col=order_col, compat=compat)
+                            order_col=order_col, compat=compat,
+                            sink_buckets=DEFAULT_BUCKETS)
 
     # MERGE first: the writes execute both branches, and the observe()
     # metrics attached in build_pipeline record the processed/skipped
@@ -141,12 +149,14 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
         def v_write():
             return merge_upsert(
                 spark, voucher_path, result.voucher.valid, v_keys,
-                order_col, batch_is_unique=True)
+                order_col, batch_is_unique=True,
+                batch_pre_clustered=True)
 
         def t_write():
             return merge_upsert(
                 spark, txn_path, result.transaction.valid, t_keys,
-                order_col, batch_is_unique=True)
+                order_col, batch_is_unique=True,
+                batch_pre_clustered=True)
     else:
         raise ValueError(f"unknown sink {sink!r}")
     with ThreadPoolExecutor(max_workers=4) as pool:

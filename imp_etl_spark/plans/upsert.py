@@ -349,7 +349,8 @@ def _bucket_expr(key: Sequence[str], n_buckets: int):
 
 
 def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
-                    data_dir: str, files_per_bucket: int = 1) -> None:
+                    data_dir: str, files_per_bucket: int = 1,
+                    pre_clustered: bool = False) -> None:
     """Write a (partial or full) snapshot hash-bucketed on the key.
     One shuffle on the bucket id; each bucket lands as its own
     ``__bucket=k`` directory (individually addressable by manifests).
@@ -359,9 +360,19 @@ def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
     keeps task size bounded when a bucket holds gigabytes at 100 TB.
     Readers are unaffected (a bucket is a directory either way), and
     the merge cost model is unchanged: touched BUCKETS rewrite whole.
+
+    ``pre_clustered`` (r13): the caller's promise that ``df`` is
+    ALREADY exchanged on this exact bucket expression (the fused-dedup
+    pipeline shape, ``plans.pipeline._dedup_in_bucket_layout``) — the
+    write then skips its repartition, so one exchange serves both the
+    dedup window and the layout. Correctness never depends on it (the
+    dynamic partitioned write routes rows by the ``__bucket`` VALUE);
+    a wrong promise only costs extra files per bucket directory.
     """
     out = df.withColumn("__bucket", _bucket_expr(key, n_buckets))
-    if files_per_bucket > 1:
+    if pre_clustered and files_per_bucket <= 1:
+        pass  # caller already clustered on the bucket expression
+    elif files_per_bucket > 1:
         sub = F.pmod(F.xxhash64(*[F.col(k) for k in key], F.lit("sub")),
                      F.lit(files_per_bucket))
         out = (out.withColumn("__sub", sub)
@@ -394,7 +405,8 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                  max_commit_retries: int = 3,
                  batch_replaces_touched_buckets: bool = False,
                  expected_version: int | None = None,
-                 batch_is_unique: bool = False) -> int:
+                 batch_is_unique: bool = False,
+                 batch_pre_clustered: bool = False) -> int:
     """Upsert ``batch`` into the bucketed snapshot table at ``path`` on
     ``key``.
 
@@ -439,6 +451,16 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
     at most one row per ``key`` (e.g. the ETL pipeline's branches end in
     their own ``latest_per_key``) — the merge then skips its defensive
     re-dedup, dropping one Window pass from every epoch's plan.
+
+    ``batch_pre_clustered`` (r13): caller's promise that ``batch`` is
+    already exchanged on THIS table's bucket expression
+    (``pmod(xxhash64(*key), n_buckets)`` with this call's
+    ``n_buckets`` — the fused-dedup pipeline shape). Writes that take
+    the batch as-is (table creation; ``batch_replaces_touched_buckets``
+    partial merges) then skip the layout repartition — one exchange
+    per epoch serves dedup AND layout. Paths that union target rows in
+    re-cluster as before. A wrong promise costs file fan-out, never
+    correctness (the partitioned write routes by value).
     """
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError("txn_app_id and txn_version go together")
@@ -538,7 +560,10 @@ def merge_upsert(spark: SparkSession, path: str, batch: DataFrame,
                     b.unionByName(t, allowMissingColumns=True),
                     key, ["__prio"], desc=True).drop("__prio")
 
-        _write_bucketed(merged, key, n_buckets, data_dir, files_per_bucket)
+        _write_bucketed(merged, key, n_buckets, data_dir, files_per_bucket,
+                        pre_clustered=(batch_pre_clustered
+                                       and batch_is_unique
+                                       and merged is batch_unique))
         manifest = {
             "n_buckets": n_buckets,
             "key": key,

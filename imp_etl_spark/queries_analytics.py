@@ -379,7 +379,7 @@ def doc_length_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__ord", F.col("n_chars") * F.lit(1 << 32) + F.col("doc_id"))
     n = docs.count()
     ranks = {p: math.ceil(n * p) for p in (0.25, 0.5, 0.75)}
-    idx = global_index(packed, "__ord")
+    idx = global_index(packed, "__ord", unique_order=True)
     cuts = (
         idx.filter(F.col("__rn").isin(list(ranks.values())))
         .agg(*[
@@ -1085,11 +1085,18 @@ def hll_user_overlap_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0 ReusedExchange). The persisted frame is one row per
     # (event_type, half) at 16 KiB per sketch — exactly the persisted
     # "sketch table" the operator's 100 TB story assumes. Tracked for
-    # release like the dedup tier's pair frames.
-    from imp_etl_spark.queries_llm import _track_persist
+    # release like the dedup tier's pair frames. Gated (r13, VERDICT
+    # r12 item 2): the sketch rebuild the persist saves is a cheap
+    # map-side-combined agg, so the crossover sits far above the
+    # operator default — the driver measured this row 0.71x at sf0.1's
+    # 100k events with the persist unconditional, and the fused
+    # 3-evaluation plan wins until the event scan itself dominates.
+    from imp_etl_spark.queries_llm import _track_persist_if_big
 
-    sk = _track_persist(sharded_distinct_sketch(
-        ev, ["event_type"], "user_id", shard=F.col("__dom") <= 15))
+    sk = _track_persist_if_big(
+        sharded_distinct_sketch(
+            ev, ["event_type"], "user_id", shard=F.col("__dom") <= 15),
+        ev, "spark.imp_etl.persist.minSketchSourceRows", 1_048_576)
     sk1 = sk.where(F.col("__shard")).drop("__shard")
     sk2 = sk.where(~F.col("__shard")).drop("__shard")
     est = overlap_estimate(sk1, sk2, ["event_type"])
@@ -1504,7 +1511,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col(metric).cast("decimal(38,0)"), sentinel)
              * F.lit(10_000_000_000)
              + F.col("o_custkey")).alias("__sk"))
-        idx = global_index(packed, "__sk", "rn")
+        idx = global_index(packed, "__sk", "rn", unique_order=True)
         return (idx.crossJoin(F.broadcast(n))
                 .select("o_custkey",
                         F.expr("1 + ((rn - 1) * 5) div n")

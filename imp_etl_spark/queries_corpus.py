@@ -336,8 +336,15 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     their exchange.
     """
     docs = read_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # shared tokenize pass (r13): the vocab build and the coverage join
+    # are two consumers of one token stream — same two-sided gated
+    # persist as tfidf_top_term / doc_token_rarity (queries_llm)
+    from imp_etl_spark.queries_llm import _track_persist_if_token_scale
+
+    tok = _track_persist_if_token_scale(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")),
+        docs)
     vocab = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
              .orderBy(F.col("cnt").desc(), F.col("tok").asc())
              .limit(1000)

@@ -239,7 +239,18 @@ def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the token, one posting join on the token (the word-count exchange is
     reused), one 1-row broadcast total."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # the token stream feeds BOTH the corpus counts and the posting
+    # join, so the two-aggregation shape tokenized the corpus twice.
+    # r13 (VERDICT r12 item 5): share ONE tokenize pass via a gated
+    # persist — the token frame is ~corpus bytes, so the gate has both
+    # a lower crossover (tiny corpora recompute for free) and an UPPER
+    # cap (a corpus-scale cache would spill ~its own input to local
+    # disk; past the cap the two-pass streaming plan is the cheaper
+    # side of the trade, the r12 position, now conf-tunable).
+    toks = _track_persist_if_token_scale(
+        docs.select("doc_id",
+                    F.explode(tokens(F.col("text"))).alias("tok")),
+        docs)
     cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = cnts.agg(F.sum("cnt").alias("total"))
     per = (toks.join(cnts, "tok")
@@ -316,7 +327,13 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tf join; both aggregations partial-combine before their
     single exchange."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # shared tokenize pass (r13) — same two-sided gate as
+    # doc_token_rarity: tf and df are two aggregations over one
+    # token stream
+    toks = _track_persist_if_token_scale(
+        docs.select("doc_id",
+                    F.explode(tokens(F.col("text"))).alias("tok")),
+        docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"))
@@ -617,6 +634,54 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return d
 
 
+def _track_persist_if_token_scale(toks: DataFrame,
+                                  docs: DataFrame) -> DataFrame:
+    """Gated persist for a per-doc exploded token stream (r13, VERDICT
+    r12 item 5): the two-aggregation corpus queries (tfidf_top_term,
+    doc_token_rarity, oov_rate_docs) consume their token frame twice,
+    so one persisted tokenize pass replaces two — but the frame is
+    ~corpus bytes, so the gate is two-sided: below
+    ``spark.imp_etl.persist.minTokenSourceRows`` docs the recompute is
+    free (fused plan), at/above ``...maxTokenSourceRows`` docs the
+    cache would spill roughly the corpus to local disk and the
+    streaming two-pass plan wins (the r12 trade, kept, now with a
+    measured crossover window between the bounds)."""
+    from imp_etl_spark.operators.util import persist_if_big
+
+    rel: list[DataFrame] = []
+    out = persist_if_big(
+        toks, docs, release=rel,
+        min_rows_conf="spark.imp_etl.persist.minTokenSourceRows",
+        default_min_rows=2048,
+        max_rows_conf="spark.imp_etl.persist.maxTokenSourceRows",
+        default_max_rows=16_777_216)
+    if rel:
+        with _DEDUP_PERSISTS_LOCK:
+            _DEDUP_PERSISTS.extend(rel)
+    return out
+
+
+def _track_persist_if_big(df: DataFrame, source: DataFrame,
+                          min_rows_conf: str,
+                          default_min_rows: int) -> DataFrame:
+    """``persist_if_big`` routed through the dedup tier's release
+    registry (r13, VERDICT r12 item 2): the query-level persists that
+    stayed unconditional in r12 (verified pairs, candidate pairs, the
+    HLL sketch frame) now gate on the SOURCE's footer row bound like
+    the operator-level ones, each family with its own conf-overridable
+    crossover. Returns ``df`` unchanged (fused plan) below the gate."""
+    from imp_etl_spark.operators.util import persist_if_big
+
+    rel: list[DataFrame] = []
+    out = persist_if_big(df, source, release=rel,
+                         min_rows_conf=min_rows_conf,
+                         default_min_rows=default_min_rows)
+    if rel:
+        with _DEDUP_PERSISTS_LOCK:
+            _DEDUP_PERSISTS.extend(rel)
+    return out
+
+
 def release_dedup_caches(blocking: bool = False) -> int:
     """Unpersist every dedup-tier frame tracked by ``_track_persist``
     and clear the registry; returns how many were released. The shared
@@ -704,20 +769,27 @@ def dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build per corpus, _shared_minhash_stacked); the pair frame feeds
     # BOTH the posting-list prune and the pair semi-join inside
     # ngram_jaccard_pairs, so persist it (tiny — pairs only; tracked
-    # for explicit release via release_dedup_caches).
-    cands = _track_persist(minhash_candidates_from_stacked(
-        _shared_minhash_stacked(spark, sf_dir)))
+    # for explicit release via release_dedup_caches). Gated (r13) on
+    # the corpus footer bound like every other staged persist: the
+    # Jaccard verify these frames cache is expensive per doc, so the
+    # crossover sits at hundreds of docs, far below the operator-level
+    # 16384 default — only toy corpora keep the fused plan.
+    _rel: list[DataFrame] = []
+    cands = _track_persist_if_big(
+        minhash_candidates_from_stacked(_shared_minhash_stacked(
+            spark, sf_dir), release=_rel),
+        docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     # the verified-pair table is the NEXT staged artifact after the
     # signatures: survivor selection here and cluster assignment
     # (dedup_cluster_assign) consume the SAME pairs, so persist them —
     # the cache manager dedupes by logical plan and the second consumer
     # skips the whole Jaccard verify (a production crawl materializes
     # exactly this table between its verify and cluster stages)
-    _rel: list[DataFrame] = []
-    verified = _track_persist(
+    verified = _track_persist_if_big(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                             threshold=0.5, candidates=cands,
-                            release=_rel))
+                            release=_rel),
+        docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     with _DEDUP_PERSISTS_LOCK:
         _DEDUP_PERSISTS.extend(_rel)
     removed = verified.select(F.col("id_b").alias("doc_id")).distinct()
@@ -790,22 +862,24 @@ def cross_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    stacked.filter(~is_new))
     # reuse the self-join verifier on the union frame: ids are globally
     # unique, and the candidate set already constrains pairs to new↔ref
-    pairs = _track_persist(cand.select(
+    pairs = _track_persist_if_big(cand.select(
         F.least("id_new", "id_ref").alias("id_a"),
         F.greatest("id_new", "id_ref").alias("id_b"),
-    ))
+    ), docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     # persist the verified pairs too (r12): the removed-set union below
     # consumes them through BOTH legs (id_a and id_b), and without the
     # persist each leg re-ran the whole Jaccard verify — including its
     # two gramset joins — so the before plan re-scanned documents four
     # times (plans/r12/cross_corpus_survivors_before.txt). Same staged
     # pair-table treatment as dedup_pipeline_survivors' verified frame;
-    # pairs-only, tiny, released via release_dedup_caches.
+    # pairs-only, tiny, released via release_dedup_caches; gated (r13)
+    # on the corpus footer bound with the verify-tier crossover.
     _rel: list[DataFrame] = []
-    verified = _track_persist(
+    verified = _track_persist_if_big(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                             threshold=0.5, candidates=pairs,
-                            release=_rel))
+                            release=_rel),
+        docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     with _DEDUP_PERSISTS_LOCK:
         _DEDUP_PERSISTS.extend(_rel)
     removed = (
@@ -894,17 +968,21 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imp_etl_spark.operators.graph import cluster_assignments
 
     docs = read_table(spark, sf_dir, "documents")
-    cands = _track_persist(minhash_candidates_from_stacked(
-        _shared_minhash_stacked(spark, sf_dir)))
+    _rel: list[DataFrame] = []
+    cands = _track_persist_if_big(
+        minhash_candidates_from_stacked(_shared_minhash_stacked(
+            spark, sf_dir), release=_rel),
+        docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     # same logical plan as dedup_pipeline_survivors' verified frame —
     # the persist makes the shared Jaccard verify a cache hit when both
     # run in one session (the staged pair-table artifact; tracked for
-    # release_dedup_caches in long-lived drivers)
-    _rel: list[DataFrame] = []
-    verified = _track_persist(
+    # release_dedup_caches in long-lived drivers); gated (r13) on the
+    # corpus footer bound with the verify-tier crossover
+    verified = _track_persist_if_big(
         ngram_jaccard_pairs(docs, "text", "doc_id", n=5,
                             threshold=0.5, candidates=cands,
-                            release=_rel))
+                            release=_rel),
+        docs, "spark.imp_etl.persist.minVerifySourceRows", 256)
     with _DEDUP_PERSISTS_LOCK:
         _DEDUP_PERSISTS.extend(_rel)
     return cluster_assignments(docs.select("doc_id"), verified,
@@ -919,8 +997,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature pass itself is amortized across the dedup tier."""
     from imp_etl_spark.operators.dedup import minhash_candidates_from_stacked
 
-    return minhash_candidates_from_stacked(
-        _shared_minhash_stacked(spark, sf_dir))
+    _rel: list[DataFrame] = []
+    out = minhash_candidates_from_stacked(
+        _shared_minhash_stacked(spark, sf_dir), release=_rel)
+    if _rel:
+        with _DEDUP_PERSISTS_LOCK:
+            _DEDUP_PERSISTS.extend(_rel)
+    return out
 
 
 # ---------------------------------------------------------------------------

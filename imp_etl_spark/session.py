@@ -48,6 +48,24 @@ _DEFAULT_CONF = {
 }
 
 
+def _env_extra_conf() -> dict[str, str]:
+    """Conf overrides from ``SPARK_GRAFT_EXTRA_CONF`` (r13): a
+    semicolon-separated ``key=value`` list, e.g.
+    ``spark.io.compression.codec=zstd;spark.sql.join.preferSortMergeJoin=false``.
+    This is the parameterisation hook the conf-sweep methodology (guide
+    §9) and cluster deployments use — unset (the driver's bench, tests)
+    it is exactly the historical default conf, so round-over-round
+    comparability is untouched."""
+    raw = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    out: dict[str, str] = {}
+    for pair in raw.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            if k.strip():
+                out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(app_name: str = "imp_etl_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine defaults."""
@@ -55,6 +73,7 @@ def get_spark(app_name: str = "imp_etl_spark", master: str | None = None,
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
-    for k, v in {**_DEFAULT_CONF, **(extra_conf or {})}.items():
+    for k, v in {**_DEFAULT_CONF, **_env_extra_conf(),
+                 **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -349,10 +349,20 @@ def upsert_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
     # getConnection(url) would fail with access denied unless the
     # credentials were embedded in the URL (ADVICE r11).
     spark_writer_opts = {  # Spark JDBC-writer knobs, not driver props
+        # (ADVICE r12: mirror Spark's full registered JDBC option-name
+        # set — a strict driver can reject a connection carrying an
+        # unknown property, so every JDBCOptions name is excluded here,
+        # not just the common ones)
         "driver", "batchsize", "numpartitions", "truncate",
         "createtablecolumntypes", "createtableoptions",
         "isolationlevel", "sessioninitstatement", "querytimeout",
-        "fetchsize", "url", "dbtable", "query"}
+        "fetchsize", "url", "dbtable", "query",
+        "partitioncolumn", "lowerbound", "upperbound", "preparequery",
+        "cascadetruncate", "customschema", "pushdownpredicate",
+        "pushdownaggregate", "pushdownlimit", "pushdownoffset",
+        "pushdowntablesample", "keytab", "principal", "refreshkrb5config",
+        "connectionprovider", "preferredtestquery", "infertimestampntztype",
+        "tablecomment", "hint"}
     props = jvm.java.util.Properties()
     for k, v in options.items():
         if k.lower() not in spark_writer_opts and v is not None:

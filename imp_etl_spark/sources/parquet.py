@@ -27,9 +27,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: engine-written tables), so every read_table('events') paid a footer
 #: schema-inference pass (~0.1 s of driver/job overhead per call —
 #: queries read events 2-3x while BUILDING). Cache the inferred schema
-#: per (path, mtime): an overwritten fixture changes its mtime and
+#: per (path, inventory): an overwritten fixture changes its key and
 #: re-infers; everything else skips straight to the scan. (r11)
-_EVENTS_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+#:
+#: r13 (ADVICE r12): the key covers the LEAF files too — a directory
+#: table whose files are replaced in place (or within mtime
+#: granularity) changes its (file count, max leaf mtime) inventory
+#: even when the top-level mtime survives — and the dict is CAPPED:
+#: beyond _EVENTS_SCHEMA_CACHE_CAP distinct keys the oldest entry is
+#: evicted (insertion order), so a long-lived driver overwriting its
+#: events fixture never grows the cache unboundedly. An evicted entry
+#: just re-infers on its next read; nothing can go stale-wrong.
+_EVENTS_SCHEMA_CACHE: dict[tuple, object] = {}
+_EVENTS_SCHEMA_CACHE_CAP = 8
+
+
+def _events_schema_key(path: str) -> tuple | None:
+    """Cache key: abspath + top mtime + leaf-file inventory (count and
+    max leaf mtime for directory tables). None = unstattable (no
+    caching)."""
+    try:
+        apath = os.path.abspath(path)
+        top = os.path.getmtime(apath)
+        if os.path.isdir(apath):
+            leaves = [e for e in os.scandir(apath)
+                      if e.name.endswith(".parquet")]
+            inv = (len(leaves),
+                   max((e.stat().st_mtime for e in leaves), default=0.0))
+        else:
+            inv = (1, top)
+        return (apath, top, inv)
+    except OSError:
+        return None
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,16 +76,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
-        try:
-            key = (os.path.abspath(path), os.path.getmtime(path))
-        except OSError:
-            key = None
+        key = _events_schema_key(path)
         cached = _EVENTS_SCHEMA_CACHE.get(key) if key else None
         if cached is not None:
             raw = spark.read.schema(cached).parquet(path)
         else:
             raw = spark.read.parquet(path)
             if key is not None:
+                while len(_EVENTS_SCHEMA_CACHE) >= _EVENTS_SCHEMA_CACHE_CAP:
+                    _EVENTS_SCHEMA_CACHE.pop(
+                        next(iter(_EVENTS_SCHEMA_CACHE)))
                 _EVENTS_SCHEMA_CACHE[key] = raw.schema
         # only nanos-as-long needs the conversion: an events table this
         # engine itself wrote (scale experiments, sinks) already carries

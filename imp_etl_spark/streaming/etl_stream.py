@@ -87,15 +87,22 @@ def run_etl_stream(spark: SparkSession, queue_stream: DataFrame,
     tkey = transaction_key or ["voucher_details_id", "reference_no"]
 
     def _epoch(batch_queue: DataFrame, epoch_id: int) -> None:
+        # fused dedup↔bucket layout, same as the batch runner (r13):
+        # each branch exchanges once on the sink's bucket expression
+        from imp_etl_spark.plans.upsert import DEFAULT_BUCKETS
+
         result = build_pipeline(batch_queue, voucher, transaction,
                                 voucher_key=vkey, transaction_key=tkey,
-                                order_col=order_col, compat=compat)
-        # the branches end in their own latest_per_key on the same keys,
+                                order_col=order_col, compat=compat,
+                                sink_buckets=DEFAULT_BUCKETS)
+        # the branches end in their own per-key dedup on the same keys,
         # so the merge's defensive re-dedup Window pass is skipped
         merge_upsert(spark, voucher_path, result.voucher.valid, vkey,
-                     order_col, batch_is_unique=True)
+                     order_col, batch_is_unique=True,
+                     batch_pre_clustered=True)
         merge_upsert(spark, txn_path, result.transaction.valid, tkey,
-                     order_col, batch_is_unique=True)
+                     order_col, batch_is_unique=True,
+                     batch_pre_clustered=True)
         # the merges executed both observed plans: mark the branches so
         # the counter reads below come free from observe() instead of
         # re-running two count() jobs per epoch (same contract as the
