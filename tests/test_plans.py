@@ -12,6 +12,26 @@ from imp_etl_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _force_distributed(spark):
+    """Pin the skew-safe DISTRIBUTED machinery shape (r13): provably
+    small frames now dispatch to a single-partition sort (value-equal,
+    pinned in test_r13_optimizations), so plan pins that exist to
+    guarantee the at-scale shape force the big path — a corpus-scale
+    frame can never take the small path (it is count-proven), so the
+    shape under this conf IS the shape at 100 TB."""
+    conf = "spark.imp_etl.prefixSum.maxSingleSortRows"
+    spark.conf.set(conf, "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset(conf)
+
+
 def _executed(df) -> str:
     df.collect()  # finalize the adaptive plan (AQE re-plans at runtime)
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -163,29 +183,33 @@ def test_global_index_single_shuffle_no_window(spark):
 
 
 def test_window_ops_release_lifecycle(spark):
-    """global_index/prefix_sum with release=[] leave NO persisted RDD
-    blocks behind once the caller unpersists after its action — the
-    long-lived-driver contract (VERDICT r4 item 4)."""
-    from imp_etl_spark.operators.window import global_index, prefix_sum
-    from imp_etl_spark.sources.parquet import read_table
+    with _force_distributed(spark):
+        """global_index/prefix_sum with release=[] leave NO persisted RDD
+        blocks behind once the caller unpersists after its action — the
+        long-lived-driver contract (VERDICT r4 item 4)."""
+        from imp_etl_spark.operators.window import global_index, prefix_sum
+        from imp_etl_spark.sources.parquet import read_table
 
-    def persisted_ids():
-        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
-                   .toArray())
+        def persisted_ids():
+            return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                       .toArray())
 
-    before = persisted_ids()
-    o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
-    handle: list = []
-    idx = global_index(o, "o_orderkey", "gidx", num_partitions=8,
-                       release=handle)
-    ps = prefix_sum(o, ["o_orderkey"], "o_orderkey", out_col="cum",
-                    num_partitions=8, release=handle)
-    assert idx.count() > 0 and ps.count() > 0
-    assert len(handle) == 2
-    assert persisted_ids() - before  # blocks live until released
-    for d in handle:
-        d.unpersist(blocking=True)
-    assert persisted_ids() - before == set()
+        before = persisted_ids()
+        o = read_table(spark, SF_DIR, "orders").select("o_orderkey")
+        handle: list = []
+        idx = global_index(o, "o_orderkey", "gidx", num_partitions=8,
+                           release=handle)
+        ps = prefix_sum(o, ["o_orderkey"], "o_orderkey", out_col="cum",
+                        num_partitions=8, release=handle)
+        assert idx.count() > 0 and ps.count() > 0
+        # r13: prefix_sum registers its input persist too (the range
+        # sampling no longer recomputes the child), so the handle holds
+        # 3 frames; the release contract below is what matters
+        assert len(handle) == 3
+        assert persisted_ids() - before  # blocks live until released
+        for d in handle:
+            d.unpersist(blocking=True)
+        assert persisted_ids() - before == set()
 
 
 def test_run_etl_leaves_no_persisted_blocks(spark, tmp_path):
@@ -261,15 +285,16 @@ def test_histogram_window_runs_on_result_not_input(spark):
 
 
 def test_percentiles_rank_pick_is_range_partitioned(spark):
-    plan = _executed(_run("agg_percentiles_disc", spark))
-    # r8 giant-group-safe shape: count-collapse + prefix_sum — the rank
-    # scan runs over a RANGE partitioning on (group, value), never a
-    # per-group window sort (l_returnflag's domain is 3, so the old
-    # shape sorted a third of lineitem per task)
-    assert "rangepartitioning" in plan.lower()
-    assert "percent_rank" not in plan.lower()
-    assert plan.count("Window") <= 1  # only prefix_sum's __pid cumsum
-    assert "BroadcastHashJoin" in plan  # per-group offsets broadcast back
+    with _force_distributed(spark):
+        plan = _executed(_run("agg_percentiles_disc", spark))
+        # r8 giant-group-safe shape: count-collapse + prefix_sum — the rank
+        # scan runs over a RANGE partitioning on (group, value), never a
+        # per-group window sort (l_returnflag's domain is 3, so the old
+        # shape sorted a third of lineitem per task)
+        assert "rangepartitioning" in plan.lower()
+        assert "percent_rank" not in plan.lower()
+        assert plan.count("Window") <= 1  # only prefix_sum's __pid cumsum
+        assert "BroadcastHashJoin" in plan  # per-group offsets broadcast back
 
 
 def test_passage_dedup_partial_window_group_limit(spark):
@@ -342,11 +367,12 @@ def test_zscore_broadcasts_moments_single_agg_pass(spark):
 
 
 def test_shard_balanced_no_single_partition_window(spark):
-    plan = _executed(_run("shard_documents_balanced", spark))
-    # global order comes from global_index: range partition + local
-    # row_number per partition — no empty-partitionBy window funnel
-    assert "partitionBy=[]" not in plan.replace(" ", "")
-    assert "rangepartitioning" in plan.lower()
+    with _force_distributed(spark):
+        plan = _executed(_run("shard_documents_balanced", spark))
+        # global order comes from global_index: range partition + local
+        # row_number per partition — no empty-partitionBy window funnel
+        assert "partitionBy=[]" not in plan.replace(" ", "")
+        assert "rangepartitioning" in plan.lower()
 
 
 def test_scd2_two_windows_share_one_shuffle(spark):
@@ -369,12 +395,13 @@ def test_streaks_no_global_window(spark):
 
 
 def test_quartile_bins_broadcast_cutpoints(spark):
-    plan = _executed(_run("doc_length_quartile_bins", spark))
-    # cutpoints are a 1-row broadcast; the rank comes from the range-
-    # partitioned global index, never an empty-partitionBy row_number
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "rangepartitioning" in plan.lower()
-    assert "partitionBy=[]" not in plan.replace(" ", "")
+    with _force_distributed(spark):
+        plan = _executed(_run("doc_length_quartile_bins", spark))
+        # cutpoints are a 1-row broadcast; the rank comes from the range-
+        # partitioned global index, never an empty-partitionBy row_number
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "rangepartitioning" in plan.lower()
+        assert "partitionBy=[]" not in plan.replace(" ", "")
 
 
 def test_twap_window_and_agg_share_one_shuffle(spark):
@@ -406,34 +433,37 @@ def test_percentile_position_single_shared_sort(spark):
 
 
 def test_mad_outliers_broadcast_stats_no_nested_loop(spark):
-    plan = _executed(_run("outlier_events_mad", spark))
-    # median/MAD frames broadcast back onto the fact; integer-only
-    # predicate; never empty-partitionBy. r8: the rank-picks run on
-    # (group, value) COUNTS through the range-partitioned distributed
-    # prefix sum — a dominant group splits across tasks instead of
-    # funneling one sort task (the pre-r8 group-keyed row window paid
-    # 2.3x at 25x under ~97% one-group skew, SCALING.md)
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "partitionBy=[]" not in plan.replace(" ", "")
-    assert "rangepartitioning" in plan.lower()
+    with _force_distributed(spark):
+        plan = _executed(_run("outlier_events_mad", spark))
+        # median/MAD frames broadcast back onto the fact; integer-only
+        # predicate; never empty-partitionBy. r8: the rank-picks run on
+        # (group, value) COUNTS through the range-partitioned distributed
+        # prefix sum — a dominant group splits across tasks instead of
+        # funneling one sort task (the pre-r8 group-keyed row window paid
+        # 2.3x at 25x under ~97% one-group skew, SCALING.md)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "partitionBy=[]" not in plan.replace(" ", "")
+        assert "rangepartitioning" in plan.lower()
 
 
 def test_snm_is_equi_join_on_index(spark):
-    plan = _executed(_run("snm_part_pairs", spark))
-    # neighbor pairing is an equi join on (index+offset) — no
-    # inequality/nested-loop join; rank is range-partitioned
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "rangepartitioning" in plan.lower()
+    with _force_distributed(spark):
+        plan = _executed(_run("snm_part_pairs", spark))
+        # neighbor pairing is an equi join on (index+offset) — no
+        # inequality/nested-loop join; rank is range-partitioned
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "rangepartitioning" in plan.lower()
 
 
 def test_peak_concurrency_distributed_prefix_sum(spark):
-    plan = _executed(_run("peak_click_concurrency", spark))
-    # sweep-line running sum must be the two-phase prefix_sum —
-    # range-partitioned, never an empty-partitionBy window funnel
-    assert "partitionBy=[]" not in plan.replace(" ", "")
-    assert "rangepartitioning" in plan.lower()
+    with _force_distributed(spark):
+        plan = _executed(_run("peak_click_concurrency", spark))
+        # sweep-line running sum must be the two-phase prefix_sum —
+        # range-partitioned, never an empty-partitionBy window funnel
+        assert "partitionBy=[]" not in plan.replace(" ", "")
+        assert "rangepartitioning" in plan.lower()
 
 
 def test_top_paths_bounded_topk(spark):
@@ -488,11 +518,12 @@ def test_q12_broadcast_join_pushed_class_filter(spark):
 
 
 def test_quality_percentile_window_keyed_by_source(spark):
-    plan = _executed(_run("quality_percentile_filter", spark))
-    # percent_rank partitions on the bounded source key — one exchange,
-    # never an empty-partitionBy global window
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "partitionBy=[]" not in plan.replace(" ", "")
+    with _force_distributed(spark):
+        plan = _executed(_run("quality_percentile_filter", spark))
+        # percent_rank partitions on the bounded source key — one exchange,
+        # never an empty-partitionBy global window
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partitionBy=[]" not in plan.replace(" ", "")
 
 
 def test_dup_rate_hash_count_then_broadcast(spark):
@@ -545,52 +576,53 @@ def test_oov_rate_broadcast_vocab(spark):
 
 
 def test_closing_batch_plan_shapes(spark):
-    """Consolidated pins for the closing round-3 batch: each query's
-    only nested-loop node (if any) is its documented 1-row broadcast,
-    nothing falls back to CartesianProduct or an undocumented
-    single-task window, and the exchange counts match the documented
-    shuffle budgets."""
-    def plan_of(name):
-        return _executed(_run(name, spark))
+    with _force_distributed(spark):
+        """Consolidated pins for the closing round-3 batch: each query's
+        only nested-loop node (if any) is its documented 1-row broadcast,
+        nothing falls back to CartesianProduct or an undocumented
+        single-task window, and the exchange counts match the documented
+        shuffle budgets."""
+        def plan_of(name):
+            return _executed(_run(name, spark))
 
-    p = plan_of("events_dau_wau")
-    assert "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p
-    assert p.count("Exchange hashpartitioning") <= 2
+        p = plan_of("events_dau_wau")
+        assert "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p
+        assert p.count("Exchange hashpartitioning") <= 2
 
-    p = plan_of("basket_part_pairs_lift")
-    assert "TakeOrderedAndProject" in p
-    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row order count
-    assert p.count("Exchange hashpartitioning") <= 2
+        p = plan_of("basket_part_pairs_lift")
+        assert "TakeOrderedAndProject" in p
+        assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row order count
+        assert p.count("Exchange hashpartitioning") <= 2
 
-    p = plan_of("event_type_transitions")
-    assert "Join" not in p  # pure window + agg pipeline
-    assert p.count("Exchange hashpartitioning") <= 3
+        p = plan_of("event_type_transitions")
+        assert "Join" not in p  # pure window + agg pipeline
+        assert p.count("Exchange hashpartitioning") <= 3
 
-    p = plan_of("seasonal_anomaly_events")
-    assert p.count("Exchange hashpartitioning") == 1  # moments agg
-    assert "BroadcastHashJoin" in p  # baseline broadcast, equi-keyed
-    assert "BroadcastNestedLoopJoin" not in p
+        p = plan_of("seasonal_anomaly_events")
+        assert p.count("Exchange hashpartitioning") == 1  # moments agg
+        assert "BroadcastHashJoin" in p  # baseline broadcast, equi-keyed
+        assert "BroadcastNestedLoopJoin" not in p
 
-    for name in ("orders_backlog_aging", "events_inactivity_churn"):
-        p = plan_of(name)
-        assert p.count("Exchange hashpartitioning") == 1
-        assert p.count("BroadcastNestedLoopJoin") == 1  # as-of broadcast
-        assert "SortMergeJoin" not in p
+        for name in ("orders_backlog_aging", "events_inactivity_churn"):
+            p = plan_of(name)
+            assert p.count("Exchange hashpartitioning") == 1
+            assert p.count("BroadcastNestedLoopJoin") == 1  # as-of broadcast
+            assert "SortMergeJoin" not in p
 
-    p = plan_of("events_wow_growth")
-    assert "Join" not in p
-    assert p.count("Exchange hashpartitioning") <= 2
-    assert "partitionBy=[]" not in p.replace(" ", "")
+        p = plan_of("events_wow_growth")
+        assert "Join" not in p
+        assert p.count("Exchange hashpartitioning") <= 2
+        assert "partitionBy=[]" not in p.replace(" ", "")
 
-    p = plan_of("parts_pareto_cumshare")
-    assert "rangepartitioning" in p.lower()  # distributed prefix sums
-    assert "partitionBy=[]" not in p.replace(" ", "")
-    assert "CartesianProduct" not in p
+        p = plan_of("parts_pareto_cumshare")
+        assert "rangepartitioning" in p.lower()  # distributed prefix sums
+        assert "partitionBy=[]" not in p.replace(" ", "")
+        assert "CartesianProduct" not in p
 
-    p = plan_of("rfm_customer_segments")
-    assert "partitionBy=[]" not in p.replace(" ", "")
-    assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row count
-    assert "CartesianProduct" not in p
+        p = plan_of("rfm_customer_segments")
+        assert "partitionBy=[]" not in p.replace(" ", "")
+        assert p.count("BroadcastNestedLoopJoin") == 1  # 1-row count
+        assert "CartesianProduct" not in p
 
 
 def test_hhi_and_order_gaps_shapes(spark):
