@@ -172,7 +172,8 @@ class PipelineResult:
 
 
 def _dedup_in_bucket_layout(df: DataFrame, pk: list[str], order_col: str,
-                            n_buckets: int) -> DataFrame:
+                            n_buckets: int,
+                            files_per_bucket: int = 1) -> DataFrame:
     """Last-writer-wins dedup fused INTO the sink's bucket layout (r13,
     VERDICT r12 item 3 — the dedup↔bucket-write double exchange).
 
@@ -189,17 +190,32 @@ def _dedup_in_bucket_layout(df: DataFrame, pk: list[str], order_col: str,
     share the order value and are arbitrary in both shapes). The sink
     (``merge_upsert(batch_pre_clustered=True)``) then writes the
     already-clustered rows without re-partitioning.
+
+    ``files_per_bucket`` keeps the fused shape scale-adaptive: with
+    one partition per bucket, a big batch sorts in only ``n_buckets``
+    tasks (measured at 100x sf0.1: 45.7M rows through 16 tasks left
+    half of local[32] idle). ``files_per_bucket > 1`` sub-splits each
+    bucket by a second key hash — the EXACT expression the sink's
+    wide-write path uses, so the pre-clustered promise still holds and
+    each (bucket, sub) task lands one file, the documented wide-bucket
+    layout. Per-key dedup stays valid because the sub key is a pure
+    function of pk.
     """
     from pyspark.sql import Window
 
     from imp_etl_spark.plans.upsert import _bucket_expr
 
     bucket = _bucket_expr(pk, n_buckets)
+    parts = [bucket]
+    if files_per_bucket > 1:
+        parts.append(F.pmod(
+            F.xxhash64(*[F.col(k) for k in pk], F.lit("sub")),
+            F.lit(files_per_bucket)))
     ks = F.struct(*[F.col(k) for k in pk])
-    w = Window.partitionBy(bucket).orderBy(
+    w = Window.partitionBy(*parts).orderBy(
         *[F.col(k).asc() for k in pk], F.col(order_col).desc())
     return (
-        df.repartition(bucket)
+        df.repartition(*parts)
         .withColumn("__first", ~F.lag(ks).over(w).eqNullSafe(ks))
         .filter(F.col("__first"))
         .drop("__first")
@@ -208,7 +224,8 @@ def _dedup_in_bucket_layout(df: DataFrame, pk: list[str], order_col: str,
 
 def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
             cleanse_fn, order_col: str, compat: bool,
-            persist: bool, sink_buckets: int | None) -> BranchResult:
+            persist: bool, sink_buckets: int | None,
+            sink_files_per_bucket: int = 1) -> BranchResult:
     # cleanse is CPU-bound (regex/timestamp parsing); widen few-partition
     # local scans to all cores first (no-op on real multi-split tables).
     # probe=entity: the partition decision reads the raw scan, so the
@@ -245,7 +262,7 @@ def _branch(entity: DataFrame, keys: DataFrame, pk: list[str],
     # (A2/A3 semantics unchanged).
     deduped = (
         _dedup_in_bucket_layout(observed.filter(~invalid), pk, order_col,
-                                sink_buckets)
+                                sink_buckets, sink_files_per_bucket)
         if sink_buckets else
         latest_per_key(observed.filter(~invalid), pk, [order_col],
                        desc=True))
@@ -274,7 +291,8 @@ def build_pipeline(queue: DataFrame, voucher: DataFrame,
                    order_col: str = "reference_no",
                    compat: bool = True,
                    persist: bool = True,
-                   sink_buckets: int | None = None) -> PipelineResult:
+                   sink_buckets: int | None = None,
+                   sink_files_per_bucket: int = 1) -> PipelineResult:
     """Assemble the full dataflow. All lazy — nothing executes here
     (``persist`` only marks the branch points for caching).
 
@@ -284,13 +302,15 @@ def build_pipeline(queue: DataFrame, voucher: DataFrame,
     expression instead of hash(pk) followed by the sink's
     hash(bucket); see ``_dedup_in_bucket_layout``) and the caller
     should pass ``batch_pre_clustered=True`` with the SAME
-    ``n_buckets`` to ``merge_upsert``. ``None`` keeps the plain
-    hash(pk) dedup (callers that never hit the bucketed sink)."""
+    ``n_buckets`` (and ``files_per_bucket``) to ``merge_upsert``.
+    ``None`` keeps the plain hash(pk) dedup (callers that never hit
+    the bucketed sink)."""
     keys = reference_keys(queue)
     vb = _branch(voucher, keys, voucher_key or ["voucher_id", "reference_no"],
-                 cleanse_voucher, order_col, compat, persist, sink_buckets)
+                 cleanse_voucher, order_col, compat, persist, sink_buckets,
+                 sink_files_per_bucket)
     tb = _branch(transaction, keys,
                  transaction_key or ["voucher_details_id", "reference_no"],
                  cleanse_transaction, order_col, compat, persist,
-                 sink_buckets)
+                 sink_buckets, sink_files_per_bucket)
     return PipelineResult(voucher=vb, transaction=tb, keys=keys)

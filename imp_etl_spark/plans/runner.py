@@ -95,14 +95,22 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
     # the manifest sink's own bucket expression and the sink writes
     # them pre-clustered — see plans.pipeline._dedup_in_bucket_layout.
     # The JDBC sink ignores clustering (any layout is a valid batch),
-    # so one fused shape serves both sinks.
+    # so one fused shape serves both sinks. files_per_bucket keeps the
+    # fused dedup sort scale-adaptive: 'auto' sub-splits each bucket so
+    # the sort uses the session's full parallelism instead of funneling
+    # a big epoch through n_buckets tasks (the bucket dirs then hold
+    # files_per_bucket files each — the documented wide-bucket layout).
     from imp_etl_spark.plans.upsert import DEFAULT_BUCKETS
 
+    fpb_raw = spark.conf.get("spark.imp_etl.etlSink.filesPerBucket", "auto")
+    fpb = (max(1, spark.sparkContext.defaultParallelism // DEFAULT_BUCKETS)
+           if fpb_raw == "auto" else max(1, int(fpb_raw)))
     result = build_pipeline(queue, voucher, transaction,
                             voucher_key=voucher_key,
                             transaction_key=transaction_key,
                             order_col=order_col, compat=compat,
-                            sink_buckets=DEFAULT_BUCKETS)
+                            sink_buckets=DEFAULT_BUCKETS,
+                            sink_files_per_bucket=fpb)
 
     # MERGE first: the writes execute both branches, and the observe()
     # metrics attached in build_pipeline record the processed/skipped
@@ -150,13 +158,13 @@ def run_etl(spark: SparkSession, queue: DataFrame, voucher: DataFrame,
             return merge_upsert(
                 spark, voucher_path, result.voucher.valid, v_keys,
                 order_col, batch_is_unique=True,
-                batch_pre_clustered=True)
+                files_per_bucket=fpb, batch_pre_clustered=True)
 
         def t_write():
             return merge_upsert(
                 spark, txn_path, result.transaction.valid, t_keys,
                 order_col, batch_is_unique=True,
-                batch_pre_clustered=True)
+                files_per_bucket=fpb, batch_pre_clustered=True)
     else:
         raise ValueError(f"unknown sink {sink!r}")
     with ThreadPoolExecutor(max_workers=4) as pool:

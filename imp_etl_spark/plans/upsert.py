@@ -370,8 +370,8 @@ def _write_bucketed(df: DataFrame, key: Sequence[str], n_buckets: int,
     a wrong promise only costs extra files per bucket directory.
     """
     out = df.withColumn("__bucket", _bucket_expr(key, n_buckets))
-    if pre_clustered and files_per_bucket <= 1:
-        pass  # caller already clustered on the bucket expression
+    if pre_clustered:
+        pass  # caller already clustered on (bucket[, sub]) — any fpb
     elif files_per_bucket > 1:
         sub = F.pmod(F.xxhash64(*[F.col(k) for k in key], F.lit("sub")),
                      F.lit(files_per_bucket))

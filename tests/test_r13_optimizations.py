@@ -78,6 +78,35 @@ def test_pre_clustered_merge_equals_replanned_merge(spark, tmp_path):
     assert dirs and len(files) == len(dirs)
 
 
+def test_fused_dedup_sub_split_matches_and_single_exchange(spark, tmp_path):
+    """files_per_bucket > 1 (the scale-adaptive sub-split that keeps a
+    big epoch's dedup sort from funneling through n_buckets tasks):
+    same rows as latest_per_key, still ONE exchange, and the
+    pre-clustered wide write commits the identical table."""
+    from imp_etl_spark.operators.dedup import latest_per_key
+    from imp_etl_spark.plans.pipeline import _dedup_in_bucket_layout
+    from imp_etl_spark.plans.upsert import merge_upsert, read_target
+
+    df = _dup_frame(spark)
+    key = ["voucher_id", "reference_no"]
+    fused = _dedup_in_bucket_layout(df, key, "seq", 16, files_per_bucket=3)
+    plain = latest_per_key(df, key, ["seq"], desc=True)
+    assert _rows(fused) == _rows(plain)
+    # AQE reprints the pre-execution plan under "== Initial Plan ==";
+    # count only the final plan's exchanges
+    plan = fused._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    p_fused = str(tmp_path / "fused_wide")
+    p_plain = str(tmp_path / "plain")
+    merge_upsert(spark, p_fused, fused, key, "seq", batch_is_unique=True,
+                 files_per_bucket=3, batch_pre_clustered=True)
+    merge_upsert(spark, p_plain, plain, key, "seq", batch_is_unique=True)
+    assert _rows(read_target(spark, p_fused)) == \
+        _rows(read_target(spark, p_plain))
+
+
 def test_run_etl_plan_has_single_branch_exchange(spark, tmp_path):
     """End-to-end pin of VERDICT r12 item 3: the voucher branch's valid
     plan (what the MERGE executes) carries exactly ONE exchange —
